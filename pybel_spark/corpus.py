@@ -1,0 +1,184 @@
+"""Deterministic synthetic Common-Crawl-style corpus.
+
+Every document is a pure function of its integer index, so the corpus is
+reproducible at any scale with no stored data, and — critically for the
+correctness gate — the *expected* triples of the whole corpus are expressible
+in plain SQL as an arithmetic join against the frozen per-unit golden outputs
+(fixtures/pool.json, generated from the reference compiler).
+
+Document i:
+  - embeds 1 + (i % 3) statement units; unit j of doc i is pool unit
+    (i * 7 + j) % n_units
+  - every 5th doc carries only `html` (text NULL) to exercise the
+    byte-identical extraction path
+  - every 29th doc is lang='de' (passes through the pipeline unharmed)
+"""
+import html as _html
+import json
+import os
+from datetime import datetime, timedelta, timezone
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_POOL_PATH = os.path.join(os.path.dirname(_HERE), 'fixtures', 'pool.json')
+_RESOURCES_PATH = os.path.join(os.path.dirname(_HERE), 'fixtures', 'resources.json')
+
+EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+UNITS_PER_DOC_MOD = 3          # doc i has 1 + (i % 3) units
+UNIT_STRIDE = 11               # coprime with the pool size → full unit coverage
+HTML_ONLY_MOD = 5              # every 5th doc ships html, text NULL
+LANG_DE_MOD = 29               # every 29th doc is German prose
+
+_WORDS = (
+    'alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu '
+    'protein signal pathway cell receptor kinase binding factor growth'
+).split()
+_WORDS_DE = 'zelle signal weg rezeptor bindung faktor wachstum eiweiss'.split()
+
+
+def load_pool():
+    with open(_POOL_PATH) as f:
+        return json.load(f)
+
+
+def load_corpus_catalog():
+    """DictCatalog over the frozen resources fixture."""
+    from .resources import DictCatalog
+    with open(_RESOURCES_PATH) as f:
+        raw = json.load(f)
+    return DictCatalog(
+        namespaces=raw['namespaces'],
+        annotations={url: set(values) for url, values in raw['annotations'].items()},
+    )
+
+
+class CorpusSpec:
+    """Holds the pool and derives documents deterministically by index."""
+
+    def __init__(self, pool=None):
+        pool = pool or load_pool()
+        self.header = pool['header']
+        self.units = pool['units']
+        self.n_units = len(self.units)
+
+    def unit_indices(self, i):
+        n = 1 + (i % UNITS_PER_DOC_MOD)
+        return [(i * UNIT_STRIDE + j) % self.n_units for j in range(n)]
+
+    def doc_lang(self, i):
+        return 'de' if i % LANG_DE_MOD == 0 and i > 0 else 'en'
+
+    def prose(self, i, lang):
+        words = _WORDS_DE if lang == 'de' else _WORDS
+        return ' '.join(words[(i + k) % len(words)] for k in range(8)) + '.'
+
+    def doc_text(self, i):
+        """The extracted text of document i (the byte-identical contract)."""
+        lang = self.doc_lang(i)
+        lines = [self.prose(i, lang), '']
+        lines.extend(self.header)
+        for idx in self.unit_indices(i):
+            lines.append('')
+            lines.extend(self.units[idx]['lines'])
+        lines.append('')
+        lines.append(self.prose(i + 1, lang))
+        return '\n'.join(lines)
+
+    def doc_row(self, i):
+        """Full documents-table row for index i."""
+        text = self.doc_text(i)
+        lang = self.doc_lang(i)
+        url = 'https://corpus.test/page/{}'.format(i)
+        ts = EPOCH + timedelta(seconds=i)
+        if i % HTML_ONLY_MOD == 0:
+            return (url, ts, wrap_html(text, title='Page {}'.format(i)), None, lang)
+        return (url, ts, None, text, lang)
+
+    def expected_unit_indices_by_url(self, urls):
+        """{url: [unit ids]} for parity checks."""
+        out = {}
+        for url in urls:
+            i = int(url.rsplit('/', 1)[1])
+            out[url] = self.unit_indices(i)
+        return out
+
+
+def wrap_html(text, title='page'):
+    """Deterministic HTML wrapping; extract_text() inverts it byte-exactly."""
+    body = '\n'.join(
+        '<p>{}</p>'.format(_html.escape(line, quote=False))
+        for line in text.split('\n')
+    )
+    page = (
+        '<html><head><meta charset="utf-8"><title>{}</title></head>\n'
+        '<body>\n{}\n</body></html>'
+    ).format(_html.escape(title, quote=False), body)
+    return page.encode('utf-8')
+
+
+def extract_text(html_bytes):
+    """Byte-identical inverse of wrap_html: one text line per <p> element."""
+    page = html_bytes.decode('utf-8')
+    lines = []
+    pos = 0
+    while True:
+        start = page.find('<p>', pos)
+        if start < 0:
+            break
+        end = page.find('</p>', start)
+        if end < 0:
+            break
+        lines.append(_html.unescape(page[start + 3:end]))
+        pos = end + 4
+    return '\n'.join(lines)
+
+
+def generate_documents(spark, n_docs, partitions=None):
+    """Build the synthetic documents DataFrame: one row per index in
+    [0, n_docs), computed in parallel with a vectorized batch function."""
+    import pandas as pd
+
+    from .schemas import DOCUMENTS_SCHEMA
+
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+
+    spec_pool = load_pool()
+
+    def build(batches):
+        spec = CorpusSpec(spec_pool)
+        for pdf in batches:
+            rows = [spec.doc_row(int(i)) for i in pdf['id']]
+            yield pd.DataFrame(
+                rows, columns=['url', 'warc_ts', 'html', 'text', 'lang'])
+
+    return (
+        spark.range(0, n_docs, numPartitions=partitions)
+        .mapInPandas(build, schema=DOCUMENTS_SCHEMA)
+    )
+
+
+def documents_from_driver_table(spark, sf_dir, partitions=None):
+    """Derive the synthetic corpus deterministically from the driver's
+    documents.parquet (doc_id, ...) so corpus size scales with sf.
+
+    The mapping doc_id → BEL content is the same pure function of the integer
+    id, which keeps the DuckDB oracle reconstruction purely arithmetic.
+    """
+    import pandas as pd
+
+    from .schemas import DOCUMENTS_SCHEMA
+
+    spec_pool = load_pool()
+    ids = spark.read.parquet('{}/documents.parquet'.format(sf_dir)).select('doc_id')
+    if partitions:
+        ids = ids.repartition(partitions)
+
+    def build(batches):
+        spec = CorpusSpec(spec_pool)
+        for pdf in batches:
+            rows = [spec.doc_row(int(i)) for i in pdf['doc_id']]
+            yield pd.DataFrame(
+                rows, columns=['url', 'warc_ts', 'html', 'text', 'lang'])
+
+    return ids.mapInPandas(build, schema=DOCUMENTS_SCHEMA)

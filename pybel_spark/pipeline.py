@@ -1,0 +1,244 @@
+"""The KG-construction pipeline: documents → nodes/edges/triples/warnings.
+
+Spark-first design notes (100 TB scale):
+
+- The entire extract→detect→parse→ground→canonicalize block is ONE
+  ``mapInPandas`` stage: it is embarrassingly parallel by document row, so the
+  only shuffles in the whole job are the content-hash dedups at the end.
+- Grounding dictionaries are broadcast once per executor
+  (``SparkContext.broadcast``), not re-pickled per task; inside the UDF they
+  are plain dict lookups (the reference's SQLite round-trip becomes a hash
+  probe).
+- Dedup keys are md5 content hashes → uniformly distributed → the dedup
+  shuffle has no skew by construction. AQE is on for runtime coalescing.
+- Checkpoint-resume: documents are bucketed by ``xxhash64(url)``; a lineage
+  row per bucket records completion + metrics. A re-run anti-joins completed
+  buckets and appends only missing ones (reference has no equivalent — the
+  north rule requires it).
+"""
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+from .bel.compiler import DocumentCompiler
+from .corpus import extract_text, load_corpus_catalog
+from .schemas import LINEAGE_SCHEMA, PARSED_SCHEMA
+
+#: lines that can possibly be BEL content: control/definition records or
+#: function-call-shaped statements. Everything else on a web page is prose.
+BEL_LINE_RE = re.compile(
+    r'^\s*(?:SET\s|UNSET[\s{]|UNSET$|DEFINE\s|[A-Za-z]+\s*\()')
+
+
+def mask_non_bel_lines(text):
+    """Statement detection: blank out non-BEL lines, preserving line numbers
+    (so warning line numbers refer to the original page text)."""
+    return [
+        line if BEL_LINE_RE.match(line) else ''
+        for line in text.split('\n')
+    ]
+
+
+def make_parse_func(catalog, compiler_options=None):
+    """Build the Arrow-batched parse function for ``mapInPandas``.
+
+    ``catalog`` must be picklable (DictCatalog / ResourceCatalog); it ships to
+    executors once inside the task closure and is reused across batches.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    options = compiler_options or {}
+
+    def parse(batches):
+        compiler = DocumentCompiler(resources=catalog, **options)
+        for pdf in batches:
+            out = {k: [] for k in (
+                'url', 'lang', 'text_sha256', 'n_lines', 'n_statements',
+                'nodes', 'edges', 'warnings')}
+            htmls = pdf['html'] if 'html' in pdf else [None] * len(pdf)
+            for url, html, text, lang in zip(
+                    pdf['url'], htmls, pdf['text'], pdf['lang']):
+                if text is None and html is not None:
+                    text = extract_text(bytes(html))
+                if text is None:
+                    text = ''
+                lines = mask_non_bel_lines(text)
+                n_statements = sum(1 for ln in lines if ln)
+                result = compiler.compile(lines)
+                out['url'].append(url)
+                out['lang'].append(lang)
+                out['text_sha256'].append(
+                    hashlib.sha256(text.encode('utf8')).hexdigest())
+                out['n_lines'].append(len(lines))
+                out['n_statements'].append(n_statements)
+                out['nodes'].append(result['nodes'])
+                out['edges'].append(result['edges'])
+                out['warnings'].append(result['warnings'])
+            yield pd.DataFrame(out)
+
+    return parse
+
+
+class GraphResult:
+    """Handles to the pipeline's output DataFrames."""
+
+    def __init__(self, parsed: DataFrame):
+        self.parsed = parsed
+
+    @property
+    def nodes(self) -> DataFrame:
+        return (
+            self.parsed
+            .select(F.explode('nodes').alias('n'))
+            .select('n.*')
+            .dropDuplicates(['node_id'])
+        )
+
+    @property
+    def edges(self) -> DataFrame:
+        """Globally deduplicated edges (content-hash key, first writer wins —
+        same union semantics as the reference's insert-if-new)."""
+        return (
+            self.parsed
+            .select(F.col('url'), F.explode('edges').alias('e'))
+            .select('url', 'e.*')
+            .dropDuplicates(['edge_id'])
+        )
+
+    @property
+    def warnings(self) -> DataFrame:
+        return (
+            self.parsed
+            .select(F.col('url'), F.explode('warnings').alias('w'))
+            .select('url', 'w.*')
+        )
+
+    @property
+    def triples(self) -> DataFrame:
+        """Distinct (subject, predicate, object) — the north-star output."""
+        return (
+            self.parsed
+            .select(F.explode('edges').alias('e'))
+            .select(
+                F.col('e.triple_subject').alias('subject'),
+                F.col('e.triple_predicate').alias('predicate'),
+                F.col('e.triple_object').alias('object'),
+            )
+            .where(F.col('subject').isNotNull())
+            .distinct()
+        )
+
+    @property
+    def doc_metrics(self) -> DataFrame:
+        return self.parsed.select(
+            'url', 'lang', 'text_sha256', 'n_lines', 'n_statements',
+            F.size('edges').alias('n_edges'),
+            F.size('warnings').alias('n_warnings'),
+        )
+
+
+def build_graph(documents: DataFrame, catalog=None, compiler_options=None,
+                persist=True) -> GraphResult:
+    """Run the parse pipeline over a documents DataFrame."""
+    if catalog is None:
+        catalog = load_corpus_catalog()
+    parse = make_parse_func(catalog, compiler_options)
+    parsed = documents.mapInPandas(parse, schema=PARSED_SCHEMA)
+    if persist:
+        parsed = parsed.persist()
+    return GraphResult(parsed)
+
+
+# ----------------------------------------------------------------------- #
+# checkpoint-resumable run
+
+def run_checkpointed(spark, documents: DataFrame, out_dir: str,
+                     n_buckets: int = 64, catalog=None,
+                     compiler_options=None) -> dict:
+    """Materialize the graph under ``out_dir`` with per-bucket lineage.
+
+    Outputs (parquet, partitioned by bucket): nodes/ edges/ warnings/ and a
+    lineage/ table. A second invocation with the same ``out_dir`` skips
+    buckets whose lineage row says 'done' — kill-and-rerun resumes where it
+    left off, and content-hash keys make appends idempotent after dedup at
+    read time (``read_graph``).
+    """
+    import os
+
+    docs = documents.withColumn(
+        'bucket', F.pmod(F.xxhash64('url'), F.lit(n_buckets)).cast('int'))
+
+    lineage_path = os.path.join(out_dir, 'lineage')
+    done = set()
+    try:
+        done_rows = spark.read.parquet(lineage_path) \
+            .where(F.col('status') == 'done').select('bucket').collect()
+        done = {r['bucket'] for r in done_rows}
+    except Exception:
+        pass  # first run: no lineage yet
+
+    if done:
+        docs = docs.where(~F.col('bucket').isin(sorted(done)))
+
+    remaining = docs.persist()
+    if remaining.isEmpty():
+        remaining.unpersist()
+        return {'skipped_buckets': len(done), 'processed_buckets': 0}
+
+    result = build_graph(remaining.drop('bucket'), catalog=catalog,
+                         compiler_options=compiler_options, persist=False)
+    parsed = result.parsed.withColumn(
+        'bucket', F.pmod(F.xxhash64('url'), F.lit(n_buckets)).cast('int'))
+    parsed = parsed.persist()
+
+    (parsed.select('bucket', F.explode('nodes').alias('n')).select('bucket', 'n.*')
+     .write.mode('append').partitionBy('bucket')
+     .parquet(os.path.join(out_dir, 'nodes')))
+    (parsed.select('bucket', 'url', F.explode('edges').alias('e'))
+     .select('bucket', 'url', 'e.*')
+     .write.mode('append').partitionBy('bucket')
+     .parquet(os.path.join(out_dir, 'edges')))
+    (parsed.select('bucket', 'url', F.explode('warnings').alias('w'))
+     .select('bucket', 'url', 'w.*')
+     .write.mode('append').partitionBy('bucket')
+     .parquet(os.path.join(out_dir, 'warnings')))
+
+    lineage = (
+        parsed.groupBy('bucket').agg(
+            F.count('*').alias('n_docs'),
+            F.sum('n_statements').alias('n_statements'),
+            F.sum(F.size('edges')).alias('n_edges'),
+            F.sum(F.size('warnings')).alias('n_warnings'),
+        )
+        .withColumn('status', F.lit('done'))
+        .select(*[f.name for f in LINEAGE_SCHEMA.fields])
+    )
+    lineage.write.mode('append').parquet(lineage_path)
+
+    n_processed = parsed.select('bucket').distinct().count()
+    parsed.unpersist()
+    remaining.unpersist()
+    return {'skipped_buckets': len(done), 'processed_buckets': n_processed}
+
+
+def read_graph(spark, out_dir: str) -> dict:
+    """Read back a checkpointed run with idempotent dedup applied."""
+    import os
+
+    nodes = spark.read.parquet(os.path.join(out_dir, 'nodes')) \
+        .dropDuplicates(['node_id'])
+    edges = spark.read.parquet(os.path.join(out_dir, 'edges')) \
+        .dropDuplicates(['edge_id'])
+    warnings = spark.read.parquet(os.path.join(out_dir, 'warnings'))
+    triples = (
+        edges.select(
+            F.col('triple_subject').alias('subject'),
+            F.col('triple_predicate').alias('predicate'),
+            F.col('triple_object').alias('object'))
+        .where(F.col('subject').isNotNull())
+        .distinct()
+    )
+    return {'nodes': nodes, 'edges': edges, 'warnings': warnings,
+            'triples': triples}

@@ -1,0 +1,37 @@
+"""SparkSession factory with scale-appropriate defaults."""
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name='pybel-spark', cores=None, shuffle_partitions=None,
+              extra_conf=None):
+    """Build a local SparkSession.
+
+    On a real cluster the same config block ships via spark-submit --conf;
+    AQE + skew-join handling are on so runtime re-planning can split hot
+    partitions (hot namespaces / hot URLs) without manual tuning.
+    """
+    if cores is None:
+        cores = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * int(cores), 32)
+
+    builder = (
+        SparkSession.builder
+        .master('local[{}]'.format(cores))
+        .appName(app_name)
+        .config('spark.sql.shuffle.partitions', str(shuffle_partitions))
+        .config('spark.sql.adaptive.enabled', 'true')
+        .config('spark.sql.adaptive.coalescePartitions.enabled', 'true')
+        .config('spark.sql.adaptive.skewJoin.enabled', 'true')
+        .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
+        .config('spark.sql.execution.arrow.maxRecordsPerBatch', '2048')
+        .config('spark.sql.files.maxPartitionBytes', '134217728')
+        .config('spark.driver.memory', os.environ.get('SPARK_DRIVER_MEMORY', '8g'))
+        .config('spark.ui.enabled', 'false')
+        .config('spark.sql.session.timeZone', 'UTC')
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
