@@ -81,6 +81,47 @@ def make_parse_func(catalog, compiler_options=None):
     return parse
 
 
+def extract_triples(documents: DataFrame, catalog=None,
+                    compiler_options=None, distinct=True) -> DataFrame:
+    """Fast path for the north-star output: documents → (subject, predicate,
+    object) triples only.
+
+    Same compile as build_graph, but the UDF ships just three string columns
+    back through Arrow instead of the full nested node/edge/warning rows —
+    an order of magnitude less serialization and shuffle input for the most
+    common job.
+    """
+    import pandas as pd
+
+    from .schemas import TRIPLES_SCHEMA
+
+    if catalog is None:
+        catalog = load_corpus_catalog()
+    options = compiler_options or {}
+
+    def parse(batches):
+        compiler = DocumentCompiler(resources=catalog, **options)
+        for pdf in batches:
+            subjects, predicates, objects = [], [], []
+            htmls = pdf['html'] if 'html' in pdf else [None] * len(pdf)
+            for html, text in zip(htmls, pdf['text']):
+                if text is None and html is not None:
+                    text = extract_text(bytes(html))
+                if text is None:
+                    continue
+                result = compiler.compile(mask_non_bel_lines(text))
+                for e in result['edges']:
+                    if e['triple_subject'] is not None:
+                        subjects.append(e['triple_subject'])
+                        predicates.append(e['triple_predicate'])
+                        objects.append(e['triple_object'])
+            yield pd.DataFrame({
+                'subject': subjects, 'predicate': predicates, 'object': objects})
+
+    triples = documents.mapInPandas(parse, schema=TRIPLES_SCHEMA)
+    return triples.distinct() if distinct else triples
+
+
 class GraphResult:
     """Handles to the pipeline's output DataFrames."""
 
@@ -140,7 +181,7 @@ class GraphResult:
 
 
 def build_graph(documents: DataFrame, catalog=None, compiler_options=None,
-                persist=True) -> GraphResult:
+                persist=False) -> GraphResult:
     """Run the parse pipeline over a documents DataFrame."""
     if catalog is None:
         catalog = load_corpus_catalog()
