@@ -1,0 +1,124 @@
+"""End-to-end Spark pipeline tests: corpus parity, extraction byte-identity,
+fast-path equivalence, and the checkpoint-resume drill."""
+import shutil
+import tempfile
+
+import pytest
+
+from pybel_spark.corpus import CorpusSpec, extract_text, generate_documents, wrap_html
+from pybel_spark.pipeline import (
+    build_graph, extract_triples, mask_non_bel_lines, read_graph,
+    run_checkpointed,
+)
+
+N_DOCS = 150
+
+
+@pytest.fixture(scope='module')
+def docs(spark):
+    df = generate_documents(spark, N_DOCS, partitions=4).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope='module')
+def spec():
+    return CorpusSpec()
+
+
+def expected_triples(spec, n_docs):
+    out = set()
+    for i in range(n_docs):
+        for idx in spec.unit_indices(i):
+            out.update(tuple(t) for t in spec.units[idx]['golden']['triples'])
+    return out
+
+
+def test_extraction_byte_identity(spec):
+    """html → text must invert wrap_html exactly (the per-url contract)."""
+    for i in (0, 5, 29, 60, 115):
+        text = spec.doc_text(i)
+        assert extract_text(wrap_html(text, title='Page {}'.format(i))) == text
+
+
+def test_detection_keeps_all_bel_lines(spec):
+    for i in (0, 1, 2, 50):
+        text = spec.doc_text(i)
+        masked = mask_non_bel_lines(text)
+        original = text.split('\n')
+        assert len(masked) == len(original)
+        # all header + unit lines survive detection
+        for line in spec.header:
+            assert line in masked
+        for idx in spec.unit_indices(i):
+            for line in spec.units[idx]['lines']:
+                assert line in masked
+
+
+def test_pipeline_triples_parity(spark, docs, spec):
+    got = {tuple(r) for r in build_graph(docs).triples.collect()}
+    assert got == expected_triples(spec, N_DOCS)
+
+
+def test_fast_path_matches_full_path(spark, docs):
+    fast = {tuple(r) for r in extract_triples(docs).collect()}
+    full = {tuple(r) for r in build_graph(docs).triples.collect()}
+    assert fast == full
+
+
+def test_pipeline_warning_counts(spark, docs, spec):
+    got = build_graph(docs).warnings.count()
+    expected = sum(
+        len(spec.units[idx]['golden']['warnings'])
+        for i in range(N_DOCS) for idx in spec.unit_indices(i)
+    )
+    assert got == expected
+
+
+def test_checkpoint_resume(spark, docs, spec):
+    """Run bucketed; then re-run — everything skipped; then delete lineage of
+    one bucket and re-run — only that bucket reprocessed; outputs dedupe to
+    the same triples."""
+    out_dir = tempfile.mkdtemp(prefix='pybel_spark_ckpt_')
+    try:
+        r1 = run_checkpointed(spark, docs, out_dir, n_buckets=8)
+        assert r1['processed_buckets'] == 8
+        assert r1['skipped_buckets'] == 0
+
+        # full re-run: all buckets already done
+        r2 = run_checkpointed(spark, docs, out_dir, n_buckets=8)
+        assert r2['processed_buckets'] == 0
+        assert r2['skipped_buckets'] == 8
+
+        graph = read_graph(spark, out_dir)
+        got = {
+            (r['triple_subject'], r['triple_predicate'], r['triple_object'])
+            for r in graph['edges']
+            .where('triple_subject is not null')
+            .select('triple_subject', 'triple_predicate', 'triple_object')
+            .distinct().collect()
+        }
+        assert got == expected_triples(spec, N_DOCS)
+
+        # simulate a partial failure: mark bucket 3 as not done by rewriting
+        # lineage without it, then resume
+        import os
+        lineage = spark.read.parquet(os.path.join(out_dir, 'lineage'))
+        kept = lineage.where('bucket != 3')
+        kept_rows = kept.collect()
+        shutil.rmtree(os.path.join(out_dir, 'lineage'))
+        spark.createDataFrame(kept_rows, lineage.schema) \
+            .write.parquet(os.path.join(out_dir, 'lineage'))
+
+        r3 = run_checkpointed(spark, docs, out_dir, n_buckets=8)
+        assert r3['processed_buckets'] == 1
+        assert r3['skipped_buckets'] == 7
+
+        # bucket-3 rows were appended twice; dedup at read restores exactness
+        graph = read_graph(spark, out_dir)
+        n_edges = graph['edges'].count()
+        n_edge_ids = graph['edges'].select('edge_id').distinct().count()
+        assert n_edges == n_edge_ids
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
