@@ -109,22 +109,35 @@ def node_record(node):
 
 def graph_to_golden(graph):
     """Serialize a compiled BELGraph into a JSON-able golden record."""
+    from pybel.utils import canonicalize_edge
+
     nodes = sorted((node_record(n) for n in graph.nodes()), key=lambda r: r['bel'])
     edges = []
     for u, v, k, d in graph.edges(keys=True, data=True):
         citation = d.get('citation')
+        citation_db = citation.get('db') if citation else None
+        citation_id = citation.get('db_id') if citation else None
+        # deterministic cross-language edge signature over the same five
+        # keying components the reference hashes (utils.py:143-175)
+        sig_payload = json.dumps(
+            [u.as_bel(), v.as_bel(),
+             '{}:{}'.format(citation_db, citation_id) if citation_db else None,
+             d.get('evidence'), canonicalize_edge(d)],
+            sort_keys=True, separators=(',', ':'))
+        import hashlib
         edges.append({
             'source': u.as_bel(),
             'target': v.as_bel(),
             'relation': d['relation'],
-            'citation_db': citation.get('db') if citation else None,
-            'citation_id': citation.get('db_id') if citation else None,
+            'citation_db': citation_db,
+            'citation_id': citation_id,
             'evidence': d.get('evidence'),
             'annotations': {
                 key: sorted(values)
                 for key, values in sorted((d.get('annotations') or {}).items())
             },
             'line': d.get('line'),
+            'edge_sig': hashlib.md5(sig_payload.encode('utf8')).hexdigest(),
         })
     edges.sort(key=lambda r: json.dumps(r, sort_keys=True))
     triples = sorted(set(get_triples(graph)))

@@ -397,6 +397,7 @@ class _CompileState:
         bel = model.node_as_bel(node)
         if bel in self.nodes:
             return bel
+        variants = node.get('variants') or []
         self.nodes[bel] = {
             'node_bel': bel,
             'node_id': model.node_md5(node),
@@ -404,6 +405,11 @@ class _CompileState:
             'namespace': (node.get('concept') or {}).get('namespace'),
             'name': (node.get('concept') or {}).get('name'),
             'identifier': (node.get('concept') or {}).get('identifier'),
+            'variant_kinds': sorted({v['kind'] for v in variants}) or None,
+            'n_members': len(node['members']) if node.get('members') is not None else None,
+            'n_reactants': len(node['reactants']) if node.get('reactants') else None,
+            'n_products': len(node['products']) if node.get('products') else None,
+            'has_fusion': bool(node.get('fusion')),
             'node_json': json.dumps(node, sort_keys=True, separators=(',', ':')),
         }
         self._node_cache_put(bel, node)
@@ -461,6 +467,8 @@ class _CompileState:
             'annotations': annotations or None,
             'subject_modifier': _json_or_none(subject_modifier),
             'object_modifier': _json_or_none(object_modifier),
+            'subject_modifier_kind': (subject_modifier or {}).get('modifier'),
+            'object_modifier_kind': (object_modifier or {}).get('modifier'),
             'line': line,
             'triple_subject': triple[0] if triple else None,
             'triple_predicate': triple[1] if triple else None,

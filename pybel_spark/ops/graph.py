@@ -1,0 +1,83 @@
+"""The KG container and set-operations over graphs.
+
+Reference: struct/operations.py:23-216 (left_full_join/union/subgraph/
+node_intersection). A graph is two DataFrames; union is unionByName +
+content-hash dedup (the reference's insert-if-absent over a dict becomes a
+hash-aggregate that Catalyst plans for free).
+"""
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass
+class KG:
+    """A BEL knowledge graph: nodes + edges DataFrames."""
+
+    nodes: DataFrame
+    edges: DataFrame
+
+    def count(self):
+        return {'nodes': self.nodes.count(), 'edges': self.edges.count()}
+
+    def persist(self):
+        return KG(self.nodes.persist(), self.edges.persist())
+
+    def node_ids(self) -> DataFrame:
+        return self.nodes.select('node_id')
+
+
+def induce_by_nodes(graph: KG, node_ids: DataFrame) -> KG:
+    """Induced subgraph over a node-id set: edges with BOTH endpoints in the
+    set (double semi-join), nodes restricted to the set
+    (reference struct/mutation/induction/utils.py:34-46)."""
+    ids = node_ids.select(F.col(node_ids.columns[0]).alias('node_id')).distinct()
+    edges = (
+        graph.edges
+        .join(F.broadcast(ids).withColumnRenamed('node_id', 'source_id'),
+              on='source_id', how='leftsemi')
+        .join(F.broadcast(ids).withColumnRenamed('node_id', 'target_id'),
+              on='target_id', how='leftsemi')
+    )
+    nodes = graph.nodes.join(F.broadcast(ids), on='node_id', how='leftsemi')
+    return KG(nodes, edges)
+
+
+def induce_by_edges(graph: KG, edges: DataFrame) -> KG:
+    """Subgraph from an edge subset: nodes = all endpoints (plus nothing else)."""
+    endpoint_ids = (
+        edges.select(F.col('source_id').alias('node_id'))
+        .unionByName(edges.select(F.col('target_id').alias('node_id')))
+        .distinct()
+    )
+    nodes = graph.nodes.join(endpoint_ids, on='node_id', how='leftsemi')
+    return KG(nodes, edges)
+
+
+def left_full_join(g: KG, h: KG) -> KG:
+    """g ∪ h by content hash (reference operations.py:45-71)."""
+    return KG(
+        g.nodes.unionByName(h.nodes).dropDuplicates(['node_id']),
+        g.edges.unionByName(h.edges, allowMissingColumns=True)
+        .dropDuplicates(['edge_id']),
+    )
+
+
+def union(graphs) -> KG:
+    """n-ary union (reference operations.py:113-152)."""
+    graphs = list(graphs)
+    if not graphs:
+        raise ValueError('no graphs to union')
+    nodes = reduce(lambda a, b: a.unionByName(b), (g.nodes for g in graphs))
+    edges = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True),
+        (g.edges for g in graphs))
+    return KG(nodes.dropDuplicates(['node_id']), edges.dropDuplicates(['edge_id']))
+
+
+def node_intersection(g: KG, h: KG) -> KG:
+    """Union of the subgraphs induced over the shared node set
+    (reference operations.py:155-216)."""
+    shared = g.node_ids().intersect(h.node_ids())
+    return left_full_join(induce_by_nodes(g, shared), induce_by_nodes(h, shared))

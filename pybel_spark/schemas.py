@@ -4,8 +4,8 @@ Nothing is schema-inferred; recursive node structure is carried as canonical
 JSON alongside flat identity/metadata columns (Spark structs cannot recurse).
 """
 from pyspark.sql.types import (
-    ArrayType, BinaryType, IntegerType, LongType, MapType, StringType,
-    StructField, StructType, TimestampType,
+    ArrayType, BinaryType, BooleanType, IntegerType, LongType, MapType,
+    StringType, StructField, StructType, TimestampType,
 )
 
 #: pipeline input (BASELINE.json input_hint shape)
@@ -24,6 +24,11 @@ NODE_STRUCT = StructType([
     StructField('namespace', StringType(), True),
     StructField('name', StringType(), True),
     StructField('identifier', StringType(), True),
+    StructField('variant_kinds', ArrayType(StringType()), True),
+    StructField('n_members', IntegerType(), True),
+    StructField('n_reactants', IntegerType(), True),
+    StructField('n_products', IntegerType(), True),
+    StructField('has_fusion', BooleanType(), True),
     StructField('node_json', StringType(), False),
 ])
 
@@ -40,6 +45,8 @@ EDGE_STRUCT = StructType([
     StructField('annotations', MapType(StringType(), ArrayType(StringType())), True),
     StructField('subject_modifier', StringType(), True),
     StructField('object_modifier', StringType(), True),
+    StructField('subject_modifier_kind', StringType(), True),
+    StructField('object_modifier_kind', StringType(), True),
     StructField('line', IntegerType(), True),
     StructField('triple_subject', StringType(), True),
     StructField('triple_predicate', StringType(), True),

@@ -1,0 +1,175 @@
+"""Graph-ops layer tests, validated against the frozen per-unit goldens."""
+import pytest
+from pyspark.sql import functions as F
+
+from pybel_spark.corpus import CorpusSpec, generate_documents
+from pybel_spark.ops import (
+    KG, Pipeline, collapse, deletion, filters, induction, inference,
+    node_intersection, summary, union,
+)
+from pybel_spark.pipeline import build_graph
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope='module')
+def kg(spark):
+    docs = generate_documents(spark, N_DOCS, partitions=4)
+    result = build_graph(docs)
+    graph = KG(result.nodes, result.edges).persist()
+    graph.count()
+    yield graph
+
+
+@pytest.fixture(scope='module')
+def spec():
+    return CorpusSpec()
+
+
+def expected_edge_multiset(spec, n_docs):
+    """Global (deduped) edge set reconstructed from per-unit goldens."""
+    edges = {}
+    for i in range(n_docs):
+        for idx in spec.unit_indices(i):
+            for e in spec.units[idx]['golden']['edges']:
+                edges[e['edge_sig']] = e
+    return edges
+
+
+def test_count_functions(kg, spec):
+    expected = {}
+    seen = set()
+    for i in range(N_DOCS):
+        for idx in spec.unit_indices(i):
+            for node in spec.units[idx]['golden']['nodes']:
+                if node['bel'] not in seen:
+                    seen.add(node['bel'])
+                    expected[node['function']] = expected.get(node['function'], 0) + 1
+    got = {r['function']: r['n_nodes'] for r in summary.count_functions(kg).collect()}
+    assert got == expected
+
+
+def test_count_relations(kg, spec):
+    edges = expected_edge_multiset(spec, N_DOCS)
+    expected = {}
+    for e in edges.values():
+        expected[e['relation']] = expected.get(e['relation'], 0) + 1
+    got = {r['relation']: r['n_edges'] for r in summary.count_relations(kg).collect()}
+    assert got == expected
+
+
+def test_top_hubs(kg, spec):
+    edges = expected_edge_multiset(spec, N_DOCS)
+    degree = {}
+    for e in edges.values():
+        degree[e['source']] = degree.get(e['source'], 0) + 1
+        degree[e['target']] = degree.get(e['target'], 0) + 1
+    expected = sorted(degree.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r['node_bel'], r['degree'])
+           for r in summary.get_top_hubs(kg, n=10).collect()]
+    assert got == expected
+
+
+def test_pubmed_identifiers(kg, spec):
+    edges = expected_edge_multiset(spec, N_DOCS)
+    expected = sorted({
+        e['citation_id'] for e in edges.values()
+        if e['citation_db'] == 'PubMed'
+    })
+    got = [r['pmid'] for r in summary.get_pubmed_identifiers(kg).collect()]
+    assert got == expected
+
+
+def test_filter_causal(kg, spec):
+    edges = expected_edge_multiset(spec, N_DOCS)
+    expected = sum(1 for e in edges.values()
+                   if e['relation'] in ('increases', 'directlyIncreases',
+                                        'decreases', 'directlyDecreases',
+                                        'regulates'))
+    got = kg.edges.where(filters.is_causal_relation()).count()
+    assert got == expected
+
+
+def test_collapse_all_variants(kg):
+    collapsed = collapse.collapse_all_variants(kg)
+    assert collapsed.nodes.where(filters.has_variant()).count() == 0
+    # hasVariant self-references are dropped by the rewrite
+    assert collapsed.edges.where(
+        F.col('source_id') == F.col('target_id')).count() == 0
+    assert collapsed.nodes.count() < kg.nodes.count()
+
+
+def test_collapse_to_genes(kg):
+    collapsed = collapse.collapse_to_genes(kg)
+    remaining = {r['function'] for r in collapsed.nodes.select('function')
+                 .distinct().collect()}
+    # any protein/RNA left has no same-concept gene in the graph
+    genes = {(r['namespace'], r['name']) for r in kg.nodes
+             .where('function = "Gene"').select('namespace', 'name').collect()}
+    leftover = collapsed.nodes.where(
+        F.col('function').isin(['Protein', 'RNA', 'miRNA'])
+        & F.col('namespace').isNotNull()).collect()
+    for row in leftover:
+        assert (row['namespace'], row['name']) not in genes
+
+
+def test_induction_by_neighborhood(kg):
+    seed = kg.nodes.where("name = 'AKT1' and function = 'Protein'") \
+        .select('node_id')
+    sub = induction.get_subgraph_by_neighborhood(kg, seed)
+    seed_ids = {r['node_id'] for r in seed.collect()}
+    rows = sub.edges.select('source_id', 'target_id').collect()
+    assert rows
+    for row in rows:
+        assert row['source_id'] in seed_ids or row['target_id'] in seed_ids
+
+
+def test_induction_by_annotation(kg):
+    sub = induction.get_subgraph_by_annotation_value(kg, 'Species', '9606')
+    assert sub.edges.count() > 0
+    for row in sub.edges.select('annotations').collect():
+        assert '9606' in row['annotations']['Species']
+
+
+def test_remove_pathologies(kg):
+    cleaned = deletion.remove_pathologies(kg)
+    assert cleaned.nodes.where("function = 'Pathology'").count() == 0
+
+
+def test_remove_isolated_nodes(kg):
+    cleaned = deletion.remove_isolated_nodes(kg)
+    degrees = deletion.node_degrees(cleaned)
+    assert degrees.where('degree = 0').count() == 0
+
+
+def test_union_idempotent(kg):
+    doubled = union([kg, kg])
+    assert doubled.nodes.count() == kg.nodes.count()
+    assert doubled.edges.count() == kg.edges.count()
+
+
+def test_node_intersection_self(kg):
+    both = node_intersection(kg, kg)
+    assert both.nodes.count() == kg.nodes.count()
+
+
+def test_enrich_rnas_with_genes(kg):
+    enriched = inference.enrich_rnas_with_genes(kg)
+    rnas = kg.nodes.where(
+        (F.col('function') == 'RNA') & F.col('variant_kinds').isNull()
+        & ~F.col('has_fusion') & F.col('namespace').isNotNull())
+    n_new_expected = rnas.count()
+    assert n_new_expected > 0
+    # every reference RNA now has a transcribedTo in-edge from its gene
+    transcribed = enriched.edges.where("relation = 'transcribedTo'")
+    rna_ids = {r['node_id'] for r in rnas.collect()}
+    covered = {r['target_id'] for r in transcribed.collect()}
+    assert rna_ids <= covered
+
+
+def test_pipeline_registry_roundtrip(kg):
+    p = Pipeline().append('remove_associations').append('collapse_all_variants')
+    p2 = Pipeline.from_json(p.to_json())
+    result = p2.run(kg)
+    assert result.edges.where("relation = 'association'").count() == 0
+    assert result.nodes.where(filters.has_variant()).count() == 0
