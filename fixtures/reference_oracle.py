@@ -100,10 +100,15 @@ def compile_bel_path(path, **kwargs):
 
 
 def node_record(node):
+    concept = node.get('concept') or {}
+    variants = node.get('variants') or []
     return {
         'bel': node.as_bel(),
         'md5': node.md5,
         'function': node.function,
+        'namespace': concept.get('namespace'),
+        'name': concept.get('name'),
+        'variant_kinds': sorted({v['kind'] for v in variants}),
     }
 
 
