@@ -1,0 +1,201 @@
+"""Deduplication operators.
+
+All identity/similarity keys are md5-derived → uniform → skew-free shuffles.
+The near-dup paths follow the inverted-index pattern: only documents sharing
+a shingle (or an LSH band) are ever compared, so cost scales with true
+collision volume, not |docs|².
+"""
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .tokenize import shingles
+
+
+def exact_duplicates(docs: DataFrame, id_col='doc_id', text_col='text') -> DataFrame:
+    """Groups of byte-identical documents (hash groupBy)."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias('text_md5'))
+        .groupBy('text_md5')
+        .agg(F.count(F.lit(1)).alias('n_docs'),
+             F.min(id_col).alias('keep_doc_id'),
+             F.sort_array(F.collect_list(id_col)).alias('doc_ids'))
+        .where(F.col('n_docs') > 1)
+    )
+
+
+def doc_shingles(docs: DataFrame, id_col='doc_id', text_col='text',
+                 n=3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs."""
+    return (
+        docs.select(F.col(id_col).alias('doc_id'),
+                    F.explode(shingles(text_col, n)).alias('shingle'))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col='doc_id', text_col='text',
+                        n=3, threshold=0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    inverted-index self-join on the shingle key → intersection counts;
+    sizes joined in → |A ∪ B| = |A| + |B| − |A ∩ B|.
+    """
+    sh = doc_shingles(docs, id_col, text_col, n).persist()
+    sizes = sh.groupBy('doc_id').agg(F.count(F.lit(1)).alias('n_shingles'))
+    inter = (
+        sh.alias('a').join(sh.alias('b'), on='shingle')
+        .where(F.col('a.doc_id') < F.col('b.doc_id'))
+        .groupBy(F.col('a.doc_id').alias('doc_a'),
+                 F.col('b.doc_id').alias('doc_b'))
+        .agg(F.count(F.lit(1)).alias('n_common'))
+    )
+    result = (
+        inter
+        .join(sizes.withColumnRenamed('doc_id', 'doc_a')
+              .withColumnRenamed('n_shingles', 'size_a'), on='doc_a')
+        .join(sizes.withColumnRenamed('doc_id', 'doc_b')
+              .withColumnRenamed('n_shingles', 'size_b'), on='doc_b')
+        .withColumn('jaccard',
+                    F.col('n_common')
+                    / (F.col('size_a') + F.col('size_b') - F.col('n_common')))
+        .where(F.col('jaccard') >= threshold)
+        .select('doc_a', 'doc_b', 'jaccard')
+    )
+    return result
+
+
+def minhash_signatures(docs: DataFrame, id_col='doc_id', text_col='text',
+                       n=3, num_hashes=16) -> DataFrame:
+    """K salted-md5 MinHash values per document.
+
+    hash_k(shingle) = md5(k || ':' || shingle); signature_k = min over
+    shingles — deterministic and reproducible in any engine with md5.
+    """
+    sh = doc_shingles(docs, id_col, text_col, n)
+    salted = sh.select(
+        'doc_id', 'shingle',
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias('k'),
+    ).select(
+        'doc_id', 'k',
+        F.md5(F.concat_ws(':', F.col('k').cast('string'), 'shingle')).alias('h'),
+    )
+    return (
+        salted.groupBy('doc_id', 'k').agg(F.min('h').alias('minhash'))
+    )
+
+
+def minhash_lsh_candidates(docs: DataFrame, id_col='doc_id', text_col='text',
+                           n=3, num_hashes=16, bands=4) -> DataFrame:
+    """LSH banding: K minhashes split into `bands` bands; documents sharing a
+    band signature become candidate pairs."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    band_sigs = (
+        sigs.withColumn('band', (F.col('k') / rows_per_band).cast('int'))
+        .groupBy('doc_id', 'band')
+        .agg(F.md5(F.concat_ws('|', F.sort_array(
+            F.collect_list(F.concat_ws(':', F.col('k').cast('string'),
+                                       'minhash'))))).alias('band_sig'))
+    )
+    return (
+        band_sigs.alias('a').join(band_sigs.alias('b'),
+                                  on=['band', 'band_sig'])
+        .where(F.col('a.doc_id') < F.col('b.doc_id'))
+        .select(F.col('a.doc_id').alias('doc_a'),
+                F.col('b.doc_id').alias('doc_b'))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(docs: DataFrame, id_col='doc_id', text_col='text',
+                        n=3, num_hashes=16, bands=4,
+                        threshold=0.5) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: candidates from banding, then
+    exact Jaccard verification of candidates only."""
+    candidates = minhash_lsh_candidates(docs, id_col, text_col, n,
+                                        num_hashes, bands)
+    sh = doc_shingles(docs, id_col, text_col, n).persist()
+    sizes = sh.groupBy('doc_id').agg(F.count(F.lit(1)).alias('n_shingles'))
+    inter = (
+        candidates
+        .join(sh.withColumnRenamed('doc_id', 'doc_a'), on='doc_a')
+        .join(sh.withColumnRenamed('doc_id', 'doc_b'),
+              on=['doc_b', 'shingle'])
+        .groupBy('doc_a', 'doc_b')
+        .agg(F.count(F.lit(1)).alias('n_common'))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed('doc_id', 'doc_a')
+              .withColumnRenamed('n_shingles', 'size_a'), on='doc_a')
+        .join(sizes.withColumnRenamed('doc_id', 'doc_b')
+              .withColumnRenamed('n_shingles', 'size_b'), on='doc_b')
+        .withColumn('jaccard',
+                    F.col('n_common')
+                    / (F.col('size_a') + F.col('size_b') - F.col('n_common')))
+        .where(F.col('jaccard') >= threshold)
+        .select('doc_a', 'doc_b', 'jaccard')
+    )
+
+
+def simhash(docs: DataFrame, id_col='doc_id', text_col='text') -> DataFrame:
+    """64-bit SimHash per document from token md5s.
+
+    bit_j(sig) = sign of Σ_tokens (±1 depending on bit j of md5(token),
+    weighted by token count). Deterministic; all column algebra.
+    """
+    tokens = (
+        docs.select(F.col(id_col).alias('doc_id'),
+                    F.explode(F.split(F.trim(F.col(text_col)), r'\s+'))
+                    .alias('token'))
+        .groupBy('doc_id', 'token')
+        .agg(F.count(F.lit(1)).alias('weight'))
+    )
+    # extract 64 bits from the first 16 hex chars of md5
+    hex16 = F.substring(F.md5('token'), 1, 16)
+    bit_cols = []
+    for j in range(64):
+        nibble_idx = j // 4
+        bit_in_nibble = j % 4
+        nibble = F.conv(F.substring(hex16, nibble_idx + 1, 1), 16, 10).cast('int')
+        bit = F.shiftright(nibble, bit_in_nibble).bitwiseAND(F.lit(1))
+        bit_cols.append(
+            F.sum(F.col('weight') * (bit * 2 - 1)).alias('b{}'.format(j)))
+    sums = tokens.groupBy('doc_id').agg(*bit_cols)
+    sig = None
+    for j in range(64):
+        bit = (F.col('b{}'.format(j)) > 0).cast('long')
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return sums.select('doc_id', sig.alias('simhash'))
+
+
+def simhash_near_duplicates(docs: DataFrame, id_col='doc_id',
+                            text_col='text', max_hamming=3,
+                            band_bits=16) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into 4 x 16-bit
+    chunks (pigeonhole: ≤3 differing bits → ≥1 identical chunk), join on
+    chunks, verify Hamming distance."""
+    sigs = simhash(docs, id_col, text_col)
+    chunks = sigs.select(
+        'doc_id', 'simhash',
+        F.explode(F.array(*[
+            F.concat_ws(':', F.lit(i),
+                        F.shiftright('simhash', i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1)).cast('string'))
+            for i in range(64 // band_bits)
+        ])).alias('chunk'),
+    )
+    pairs = (
+        chunks.alias('a').join(chunks.alias('b'), on='chunk')
+        .where(F.col('a.doc_id') < F.col('b.doc_id'))
+        .select(F.col('a.doc_id').alias('doc_a'),
+                F.col('b.doc_id').alias('doc_b'),
+                F.col('a.simhash').alias('sig_a'),
+                F.col('b.simhash').alias('sig_b'))
+        .distinct()
+        .withColumn('hamming', F.bit_count(
+            F.col('sig_a').bitwiseXOR(F.col('sig_b'))))
+        .where(F.col('hamming') <= max_hamming)
+        .select('doc_a', 'doc_b', 'hamming')
+    )
+    return pairs

@@ -1,0 +1,90 @@
+"""Language-ID heuristic, quality scoring, and document fingerprinting.
+
+All deterministic column expressions (codegen-friendly); formulas are simple
+integer-ratio arithmetic so an external SQL engine reproduces them bit-exact.
+"""
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .tokenize import whitespace_tokens
+
+#: tiny stopword seed lists for the n-gram/stopword language heuristic
+STOPWORDS = {
+    'en': ['the', 'of', 'and', 'to', 'in', 'a', 'is', 'that', 'for', 'it',
+           'with', 'as', 'was', 'on', 'are', 'by', 'this', 'be', 'or', 'an'],
+    'de': ['der', 'die', 'das', 'und', 'ist', 'nicht', 'mit', 'ein', 'eine',
+           'zu', 'den', 'von', 'für', 'auf', 'im', 'des', 'sich', 'dem'],
+    'fr': ['le', 'la', 'les', 'de', 'des', 'et', 'est', 'un', 'une', 'du',
+           'que', 'qui', 'dans', 'pour', 'pas', 'sur', 'au', 'avec'],
+}
+
+
+def stopword_hits(lang: str, col='text') -> Column:
+    """Number of tokens that are stopwords of the given language."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(
+        F.transform(whitespace_tokens(col), lambda t: F.lower(t)),
+        lambda t: t.isin(words),
+    ))
+
+
+def detect_language(docs: DataFrame, id_col='doc_id', text_col='text') -> DataFrame:
+    """Pick the language whose stopword hit-count is highest (ties broken by
+    language code order; zero hits everywhere → 'unknown')."""
+    scored = docs.select(
+        F.col(id_col).alias('doc_id'),
+        *[stopword_hits(lang, text_col).alias('hits_{}'.format(lang))
+          for lang in sorted(STOPWORDS)],
+    )
+    best = F.greatest(*[F.col('hits_{}'.format(lang))
+                        for lang in sorted(STOPWORDS)])
+    detected = F.when(best <= 0, F.lit('unknown'))
+    for lang in sorted(STOPWORDS):
+        detected = detected.when(F.col('hits_{}'.format(lang)) == best,
+                                 F.lit(lang))
+    return scored.select('doc_id', detected.alias('detected_lang'))
+
+
+def quality_features(docs: DataFrame, id_col='doc_id',
+                     text_col='text') -> DataFrame:
+    """Per-document quality features: sizes, mean token length, stopword and
+    alphabetic ratios. All exact-integer ratios → engine-portable."""
+    tokens = whitespace_tokens(text_col)
+    n_tokens = F.size(tokens)
+    n_chars = F.length(text_col)
+    token_chars = F.aggregate(
+        tokens, F.lit(0), lambda acc, t: acc + F.length(t))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r'[^A-Za-z]', ''))
+    stop_hits = stopword_hits('en', text_col)
+    return docs.select(
+        F.col(id_col).alias('doc_id'),
+        n_chars.alias('n_chars_computed'),
+        n_tokens.alias('n_tokens'),
+        (token_chars.cast('double') / n_tokens).alias('mean_token_len'),
+        (stop_hits.cast('double') / n_tokens).alias('stopword_ratio'),
+        (alpha_chars.cast('double') / n_chars).alias('alpha_ratio'),
+    )
+
+
+def quality_score(docs: DataFrame, id_col='doc_id', text_col='text',
+                  min_tokens=10, max_mean_token_len=15.0) -> DataFrame:
+    """A simple keep/drop signal in [0,1] combining the features — the shape
+    of a Gopher/C4-style heuristic filter."""
+    feats = quality_features(docs, id_col, text_col)
+    length_ok = (F.col('n_tokens') >= min_tokens).cast('int')
+    token_len_ok = (F.col('mean_token_len') <= max_mean_token_len).cast('int')
+    alpha_ok = (F.col('alpha_ratio') >= 0.6).cast('int')
+    stop_ok = (F.col('stopword_ratio') >= 0.01).cast('int')
+    return feats.select(
+        'doc_id',
+        ((length_ok + token_len_ok + alpha_ok + stop_ok) / F.lit(4.0))
+        .alias('quality_score'),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col='doc_id', text_col='text') -> DataFrame:
+    """Normalization-robust document fingerprint: md5 of lowercased,
+    whitespace-collapsed text."""
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                         r'\s+', ' '))
+    return docs.select(F.col(id_col).alias('doc_id'),
+                       F.md5(normalized).alias('fingerprint'))

@@ -1,0 +1,134 @@
+"""Similarity search over an embedding column (array<float>).
+
+- cosine_topk: exact brute-force top-k via a broadcast join of the (small)
+  query set against all vectors — dot products in JVM column expressions.
+- lsh_topk: random-hyperplane LSH bucketing as the scale path — candidates
+  share a signature prefix, so the join touches a small fraction of pairs.
+
+Hyperplanes are generated deterministically from a seed on the driver and
+broadcast — no data-dependent state.
+"""
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(vectors: DataFrame, k=5, query_ids=None,
+                id_col='vec_id', vec_col='embedding') -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is filtered then broadcast; the big side streams once.
+    Output: (vec_id, neighbor_id, rank) ordered deterministically
+    (similarity desc, neighbor_id asc).
+    """
+    queries = vectors.select(F.col(id_col).alias('q_id'),
+                             F.col(vec_col).alias('q_vec'))
+    if query_ids is not None:
+        queries = queries.where(F.col('q_id').isin(list(query_ids)))
+
+    pairs = (
+        vectors.select(F.col(id_col).alias('neighbor_id'),
+                       F.col(vec_col).alias('n_vec'))
+        .crossJoin(F.broadcast(queries))
+        .where(F.col('neighbor_id') != F.col('q_id'))
+        .withColumn('similarity', cosine(F.col('q_vec'), F.col('n_vec')))
+    )
+    w = Window.partitionBy('q_id').orderBy(F.desc('similarity'), 'neighbor_id')
+    return (
+        pairs.withColumn('rank', F.row_number().over(w))
+        .where(F.col('rank') <= k)
+        .select(F.col('q_id').alias('vec_id'), 'neighbor_id', 'rank',
+                'similarity')
+    )
+
+
+def _hyperplanes(dim, n_planes, seed=7):
+    """Deterministic pseudo-random hyperplanes: component (p, d) from
+    md5(seed:p:d) mapped to [-1, 1]."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5('{}:{}:{}'.format(seed, p, d).encode()).digest()
+            (v,) = struct.unpack('<Q', h[:8])
+            row.append((v / float(2 ** 64)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signatures(vectors: DataFrame, n_planes=4, n_tables=8, seed=7,
+                   id_col='vec_id', vec_col='embedding') -> DataFrame:
+    """Multi-table random-hyperplane signatures: per table t, bucket =
+    (t, bits of sign(v · plane_{t,p})). Output is exploded to one row per
+    (vector, table) — the standard multi-probe trade-off: more tables →
+    higher recall, more candidates."""
+    sample = vectors.select(F.size(vec_col).alias('d')).first()
+    dim = sample['d']
+    bucket_cols = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        sig = None
+        for p, plane in enumerate(planes):
+            plane_col = F.array(*[F.lit(x) for x in plane])
+            bit = (_dot(F.col(vec_col), plane_col) > 0).cast('long')
+            term = F.shiftleft(bit, p)
+            sig = term if sig is None else sig.bitwiseOR(term)
+        bucket_cols.append(
+            F.concat_ws(':', F.lit(t), sig.cast('string')))
+    return vectors.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(F.array(*bucket_cols)).alias('lsh_bucket'))
+
+
+def lsh_topk(vectors: DataFrame, k=5, n_planes=4, n_tables=8, seed=7,
+             query_ids=None, id_col='vec_id', vec_col='embedding') -> DataFrame:
+    """Approximate top-k: exact cosine ranking over the union of LSH-bucket
+    candidates from all tables.
+
+    At scale this replaces the cross join with a bucket-key equi-join whose
+    fan-out is Σ|bucket|² — tune (n_planes, n_tables) to bound bucket size
+    vs recall."""
+    sigs = lsh_signatures(vectors, n_planes, n_tables, seed, id_col, vec_col)
+    queries = sigs.select(F.col(id_col).alias('q_id'),
+                          F.col(vec_col).alias('q_vec'), 'lsh_bucket')
+    if query_ids is not None:
+        queries = queries.where(F.col('q_id').isin(list(query_ids)))
+    candidates = (
+        sigs.select(F.col(id_col).alias('neighbor_id'),
+                    F.col(vec_col).alias('n_vec'), 'lsh_bucket')
+        .join(F.broadcast(queries), on='lsh_bucket')
+        .where(F.col('neighbor_id') != F.col('q_id'))
+        .select('q_id', 'q_vec', 'neighbor_id', 'n_vec')
+        .dropDuplicates(['q_id', 'neighbor_id'])
+        .withColumn('similarity', cosine(F.col('q_vec'), F.col('n_vec')))
+    )
+    w = Window.partitionBy('q_id').orderBy(F.desc('similarity'), 'neighbor_id')
+    return (
+        candidates.withColumn('rank', F.row_number().over(w))
+        .where(F.col('rank') <= k)
+        .select(F.col('q_id').alias('vec_id'), 'neighbor_id', 'rank',
+                'similarity')
+    )
+
+
+def knn_recall(exact: DataFrame, approx: DataFrame) -> float:
+    """Recall of an approximate ANN result vs the exact top-k."""
+    e = exact.select('vec_id', 'neighbor_id')
+    a = approx.select('vec_id', 'neighbor_id')
+    hit = e.join(a, on=['vec_id', 'neighbor_id'], how='leftsemi').count()
+    total = e.count()
+    return hit / total if total else 1.0

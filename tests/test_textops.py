@@ -1,0 +1,159 @@
+"""Training-data ops tests: dedup, similarity, quality, multimodal plumbing."""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pybel_spark.textops import dedup, multimodal, quality, similarity, tokenize
+
+SF_DIR = '/root/testdata/sf0.001'
+
+
+@pytest.fixture(scope='module')
+def docs(spark):
+    """Small corpus with exact and near duplicates built in."""
+    base = [
+        (0, 'the quick brown fox jumps over the lazy dog near the river bank'),
+        (1, 'the quick brown fox jumps over the lazy dog near the river bank'),  # exact dup of 0
+        (2, 'the quick brown fox jumps over the lazy dog near the river'),       # near dup of 0
+        (3, 'a completely different document about spark and distributed data'),
+        (4, 'der schnelle braune fuchs springt über den faulen hund im wald und ist weg'),
+        (5, 'le renard brun rapide saute par dessus le chien paresseux dans la forêt'),
+        (6, 'the quick brown fox jumps over the lazy dog near the river bend'),  # near dup of 0/2
+        (7, 'zzz qqq xxx 12345 !!!! ???? @@@@ #### $$$$ %%%% ^^^^ &&&&'),
+    ]
+    df = spark.createDataFrame(base, ['doc_id', 'text']).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_exact_duplicates(spark, docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]['doc_ids'] == [0, 1]
+    assert groups[0]['keep_doc_id'] == 0
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r['doc_a'], r['doc_b']): r['jaccard']
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0            # exact dup
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.7
+    assert (0, 6) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_candidates_cover_near_dups(spark, docs):
+    verified = {(r['doc_a'], r['doc_b'])
+                for r in dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in verified
+    assert (0, 2) in verified
+    # verified pairs are a subset of true-jaccard pairs
+    truth = {(r['doc_a'], r['doc_b'])
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert verified <= truth
+
+
+def test_simhash_near_duplicates(spark, docs):
+    sigs = {r['doc_id']: r['simhash'] for r in dedup.simhash(docs).collect()}
+    assert sigs[0] == sigs[1]  # identical text → identical signature
+    pairs = {(r['doc_a'], r['doc_b']): r['hamming']
+             for r in dedup.simhash_near_duplicates(docs, max_hamming=8).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs
+
+
+def test_detect_language(spark, docs):
+    langs = {r['doc_id']: r['detected_lang']
+             for r in quality.detect_language(docs).collect()}
+    assert langs[0] == 'en'
+    assert langs[4] == 'de'
+    assert langs[5] == 'fr'
+    assert langs[7] == 'unknown'
+
+
+def test_quality_features_and_score(spark, docs):
+    feats = {r['doc_id']: r for r in quality.quality_features(docs).collect()}
+    row = feats[0]
+    text = docs.where('doc_id = 0').collect()[0]['text']
+    tokens = text.split()
+    assert row['n_tokens'] == len(tokens)
+    assert row['n_chars_computed'] == len(text)
+    assert abs(row['mean_token_len']
+               - sum(len(t) for t in tokens) / len(tokens)) < 1e-12
+    scores = {r['doc_id']: r['quality_score']
+              for r in quality.quality_score(docs).collect()}
+    assert scores[0] == 1.0
+    assert scores[7] < 0.75  # junk doc penalized
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, 'Hello  World'), (1, 'hello world'), (2, ' HELLO\tWORLD ')],
+        ['doc_id', 'text'])
+    fps = [r['fingerprint'] for r in quality.fingerprint(df).collect()]
+    assert len(set(fps)) == 1
+
+
+def test_tokenize_shingles(spark):
+    df = spark.createDataFrame([(0, 'a b c d')], ['doc_id', 'text'])
+    rows = df.select(tokenize.shingles('text', 3).alias('s')).collect()
+    assert rows[0]['s'] == ['a b c', 'b c d']
+    short = spark.createDataFrame([(0, 'a b')], ['doc_id', 'text'])
+    rows = short.select(tokenize.shingles('text', 3).alias('s')).collect()
+    assert rows[0]['s'] == ['a b']
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    vectors = spark.read.parquet(f'{SF_DIR}/embeddings.parquet').limit(80).persist()
+    rows = vectors.collect()
+    mats = {r['vec_id']: np.array(r['embedding'], dtype='float64') for r in rows}
+
+    got = similarity.cosine_topk(vectors, k=3, query_ids=[0, 1, 2]).collect()
+    got_sets = {}
+    for r in got:
+        got_sets.setdefault(r['vec_id'], set()).add(r['neighbor_id'])
+
+    for q in (0, 1, 2):
+        qv = mats[q]
+        sims = sorted(
+            ((np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v)), nid)
+             for nid, v in mats.items() if nid != q),
+            key=lambda t: (-t[0], t[1]))
+        expected = {nid for _, nid in sims[:3]}
+        assert got_sets[q] == expected
+
+    vectors.unpersist()
+
+
+def test_lsh_topk_recall(spark):
+    vectors = spark.read.parquet(f'{SF_DIR}/embeddings.parquet').persist()
+    queries = list(range(20))
+    exact = similarity.cosine_topk(vectors, k=5, query_ids=queries)
+    approx = similarity.lsh_topk(vectors, k=5, n_planes=4, query_ids=queries)
+    recall = similarity.knn_recall(exact, approx)
+    assert recall >= 0.5  # 4 planes = 16 buckets over 500 vecs
+    vectors.unpersist()
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n_rows=30)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r['media_id']: r for r in feats}
+    assert all(len(r['feature']) == 8 for r in feats)
+    # deterministic: recompute one feature on the driver
+    import hashlib
+    payload = hashlib.sha256(b'3').digest() * (1 + 3 % 5)
+    expected = multimodal.deterministic_fake_feature(payload, 8)
+    got = by_id['media-3']['feature']
+    assert all(abs(a - b) < 1e-6 for a, b in zip(got, expected))
+
+
+def test_real_decoders_are_stubbed(spark):
+    media = multimodal.synthetic_media(spark, n_rows=3)
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, use_fake_decoder=False).collect()
