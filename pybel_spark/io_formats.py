@@ -1,0 +1,236 @@
+"""Exporters: triples TSV / edgelist, SIF/CSV, GSEA, node-link JSON, and the
+canonical BEL script round-trip.
+
+Reference sinks: io/tsv/api.py:36-59 (to_tsv/to_edgelist), io/extras.py:21-85
+(to_csv/to_sif/to_gsea), io/nodelink.py:32-137, canonicalize.py:41-344
+(to_bel_script). Exports are DataFrame-first: statement rendering runs in a
+vectorized pandas UDF, ordering/grouping is a Spark sort, and the result is
+either a text-line DataFrame (writable with df.write.text at any scale) or a
+driver-side string for small subgraphs.
+"""
+import json
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType
+
+from .bel.constants import (
+    GENE, MIRNA, PROTEIN, RNA, UNQUALIFIED_EDGES,
+)
+from .bel.decanonicalize import edge_to_bel
+
+#: citation + evidence used for the auto-generated footer block
+#: (reference constants: PYBEL_PUBMED / PYBEL_AUTOEVIDENCE)
+AUTO_PMID = '29048466'
+AUTO_EVIDENCE = 'Automatically added by PyBEL'
+
+
+def triples_to_tsv(triples: DataFrame) -> DataFrame:
+    """(subject, predicate, object) → sorted tab-separated lines
+    (io/tsv/api.py:36-45)."""
+    return (
+        triples.distinct()
+        .orderBy('subject', 'predicate', 'object')
+        .select(F.concat_ws('\t', 'subject', 'predicate', 'object')
+                .alias('value'))
+    )
+
+
+def triples_to_edgelist(triples: DataFrame) -> DataFrame:
+    """(h, t, {"relation": r}) lines (io/tsv/api.py:48-58)."""
+    return (
+        triples.distinct()
+        .orderBy('subject', 'predicate', 'object')
+        .select(F.concat_ws(
+            '\t', 'subject', 'object',
+            F.to_json(F.struct(F.col('predicate').alias('relation'))),
+        ).alias('value'))
+    )
+
+
+def _statement_column(edges: DataFrame, sep=' ') -> DataFrame:
+    """Add a 'statement' column rendering each edge back to BEL."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(StringType())
+    def render(source_bel: pd.Series, target_bel: pd.Series,
+               relation: pd.Series, subj_mod: pd.Series,
+               obj_mod: pd.Series) -> pd.Series:
+        out = []
+        for s, t, r, sm, om in zip(source_bel, target_bel, relation,
+                                   subj_mod, obj_mod):
+            out.append(edge_to_bel(
+                s, t, r,
+                json.loads(sm) if sm else None,
+                json.loads(om) if om else None,
+                sep=sep))
+        return pd.Series(out)
+
+    return edges.withColumn('statement', render(
+        'source_bel', 'target_bel', 'relation',
+        'subject_modifier', 'object_modifier'))
+
+
+def to_sif(edges: DataFrame, sep='\t') -> DataFrame:
+    """source <sep> relation <sep> target statement lines (io/extras.py:46-64)."""
+    return _statement_column(edges, sep=sep).select(
+        F.col('statement').alias('value'))
+
+
+def to_csv(edges: DataFrame, sep='\t') -> DataFrame:
+    """SIF lines plus the JSON edge payload (io/extras.py:21-43)."""
+    payload = F.to_json(F.struct(
+        'relation', 'citation_db', 'citation_id', 'evidence', 'annotations',
+        'subject_modifier', 'object_modifier'))
+    return _statement_column(edges, sep=sep).select(
+        F.concat_ws(sep, 'statement', payload).alias('value'))
+
+
+def to_gsea(nodes: DataFrame, name='pybel-spark graph') -> DataFrame:
+    """HGNC gene symbols as a GRP gene-set file (io/extras.py:67-85)."""
+    symbols = (
+        nodes
+        .where(F.col('function').isin([GENE, RNA, MIRNA, PROTEIN])
+               & (F.lower('namespace') == 'hgnc')
+               & F.col('name').isNotNull())
+        .select('name').distinct().orderBy('name')
+        .select(F.col('name').alias('value'))
+    )
+    header = symbols.sparkSession.createDataFrame(
+        [('# {}'.format(name),)], ['value'])
+    return header.unionByName(symbols)
+
+
+def to_nodelink(nodes: DataFrame, edges: DataFrame, metadata=None) -> dict:
+    """Node-link JSON dict (io/nodelink.py:32-137): nodes sorted by BEL
+    string, links reference node indices. Driver-side — node-link is a
+    small-subgraph interchange format."""
+    node_rows = nodes.orderBy('node_bel').collect()
+    index = {row['node_id']: i for i, row in enumerate(node_rows)}
+    links = []
+    for row in edges.collect():
+        links.append({
+            'source': index[row['source_id']],
+            'target': index[row['target_id']],
+            'relation': row['relation'],
+            'citation': (
+                {'db': row['citation_db'], 'db_id': row['citation_id']}
+                if row['citation_db'] else None),
+            'evidence': row['evidence'],
+            'annotations': dict(row['annotations']) if row['annotations'] else None,
+            'key': row['edge_id'],
+        })
+    return {
+        'directed': True,
+        'multigraph': True,
+        'graph': metadata or {},
+        'nodes': [json.loads(row['node_json']) for row in node_rows],
+        'links': links,
+    }
+
+
+def to_bel_script_lines(nodes: DataFrame, edges: DataFrame,
+                        metadata=None, namespaces=None,
+                        annotations=None, namespace_patterns=None,
+                        annotation_patterns=None, annotation_lists=None) -> list:
+    """Canonical BEL script serialization (canonicalize.py:41-344).
+
+    Qualified edges sorted by (citation_db, citation_id, evidence) and
+    emitted in SET/UNSET blocks; unqualified structural edges and isolated
+    nodes go in an auto-evidence footer. The heavy ordering runs in Spark;
+    line assembly streams on the driver.
+    """
+    lines = []
+    metadata = metadata or {}
+    lines.append('SET DOCUMENT Name = "{}"'.format(metadata.get('name', 'export')))
+    lines.append('SET DOCUMENT Version = "{}"'.format(metadata.get('version', '1.0.0')))
+    for keyword, url in sorted((namespaces or {}).items()):
+        lines.append('DEFINE NAMESPACE {} AS URL "{}"'.format(keyword, url))
+    for keyword, pattern in sorted((namespace_patterns or {}).items()):
+        lines.append('DEFINE NAMESPACE {} AS PATTERN "{}"'.format(keyword, pattern))
+    for keyword, url in sorted((annotations or {}).items()):
+        lines.append('DEFINE ANNOTATION {} AS URL "{}"'.format(keyword, url))
+    for keyword, pattern in sorted((annotation_patterns or {}).items()):
+        lines.append('DEFINE ANNOTATION {} AS PATTERN "{}"'.format(keyword, pattern))
+    for keyword, values in sorted((annotation_lists or {}).items()):
+        lines.append('DEFINE ANNOTATION {} AS LIST {{{}}}'.format(
+            keyword, ', '.join('"{}"'.format(v) for v in sorted(values))))
+    lines.append('')
+
+    qualified = (
+        edges
+        .where(F.col('citation_db').isNotNull() & F.col('evidence').isNotNull())
+        .orderBy('citation_db', 'citation_id', 'evidence', 'source_bel',
+                 'relation', 'target_bel')
+    )
+    rendered = _statement_column(qualified).select(
+        'citation_db', 'citation_id', 'evidence', 'annotations', 'statement')
+
+    current_citation = None
+    current_evidence = None
+    for row in rendered.toLocalIterator():
+        citation = (row['citation_db'], row['citation_id'])
+        if citation != current_citation:
+            if current_evidence is not None:
+                lines.append('UNSET SupportingText')
+            if current_citation is not None:
+                lines.append('UNSET Citation')
+                lines.append('#' * 80)
+            lines.append('SET Citation = {{"{}", "{}"}}'.format(*citation))
+            current_citation = citation
+            current_evidence = None
+        if row['evidence'] != current_evidence:
+            if current_evidence is not None:
+                lines.append('UNSET SupportingText')
+            lines.append('SET SupportingText = "{}"'.format(row['evidence']))
+            current_evidence = row['evidence']
+        keys = sorted(row['annotations']) if row['annotations'] else []
+        for key in keys:
+            values = sorted(row['annotations'][key])
+            if len(values) == 1:
+                lines.append('SET {} = "{}"'.format(key, values[0]))
+            else:
+                lines.append('SET {} = {{{}}}'.format(
+                    key, ', '.join('"{}"'.format(v) for v in values)))
+        lines.append(row['statement'])
+        if keys:
+            if len(keys) == 1:
+                lines.append('UNSET {}'.format(keys[0]))
+            else:
+                lines.append('UNSET {{{}}}'.format(', '.join(keys)))
+    if current_evidence is not None:
+        lines.append('UNSET SupportingText')
+    if current_citation is not None:
+        lines.append('UNSET Citation')
+
+    # footer: unqualified structural edges + isolated nodes
+    unqualified = (
+        edges
+        .where(F.col('relation').isin(sorted(UNQUALIFIED_EDGES))
+               & F.col('evidence').isNull())
+        .orderBy('source_bel', 'relation', 'target_bel')
+        .select('source_bel', 'relation', 'target_bel')
+    )
+    endpoint_ids = (
+        edges.select(F.col('source_id').alias('node_id'))
+        .unionByName(edges.select(F.col('target_id').alias('node_id')))
+        .distinct()
+    )
+    isolated = (
+        nodes.join(endpoint_ids, on='node_id', how='leftanti')
+        .orderBy('node_bel').select('node_bel')
+    )
+    unq_rows = unqualified.collect()
+    iso_rows = isolated.collect()
+    if unq_rows or iso_rows:
+        lines.append('#' * 47)
+        lines.append('SET Citation = {{"PubMed", "{}"}}'.format(AUTO_PMID))
+        lines.append('SET SupportingText = "{}"'.format(AUTO_EVIDENCE))
+        for row in unq_rows:
+            lines.append('{} {} {}'.format(
+                row['source_bel'], row['relation'], row['target_bel']))
+        for row in iso_rows:
+            lines.append(row['node_bel'])
+        lines.append('UNSET SupportingText')
+        lines.append('UNSET Citation')
+    return lines

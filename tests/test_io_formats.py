@@ -1,0 +1,135 @@
+"""Exporter tests, including the canonical BEL-script round-trip."""
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pybel_spark.corpus import generate_documents, load_corpus_catalog
+from pybel_spark.bel.compiler import DocumentCompiler
+from pybel_spark import io_formats
+from pybel_spark.pipeline import build_graph
+
+N_DOCS = 80
+
+#: DEFINE lines for the round-trip export (same resources as the corpus)
+NAMESPACE_URLS = {
+    'CHEBI': 'file://chebi-names.belns',
+    'HGNC': 'file://hgnc-names.belns',
+    'GO': 'file://go-names.belns',
+    'MESHD': 'file://mesh-names.belns',
+    'TESTNS2': 'file://test_ns_2.belns',
+}
+ANNOTATION_URLS = {
+    'Species': 'file://species-taxonomy-id.belanno',
+    'CellLine': 'file://cell-line.belanno',
+}
+
+
+@pytest.fixture(scope='module')
+def result(spark):
+    docs = generate_documents(spark, N_DOCS, partitions=4)
+    r = build_graph(docs)
+    r.parsed = r.parsed.persist()
+    r.parsed.count()
+    yield r
+
+
+def test_triples_tsv(result):
+    lines = [r['value'] for r in
+             io_formats.triples_to_tsv(result.triples).collect()]
+    assert lines == sorted(lines)
+    assert all(len(line.split('\t')) == 3 for line in lines)
+
+
+def test_edgelist(result):
+    lines = [r['value'] for r in
+             io_formats.triples_to_edgelist(result.triples).collect()]
+    h, t, payload = lines[0].split('\t')
+    assert 'relation' in json.loads(payload)
+
+
+def test_sif_and_csv(result):
+    sif = [r['value'] for r in io_formats.to_sif(result.edges).collect()]
+    assert sif
+    # every line is a re-rendered BEL statement: subject relation object
+    assert all(len(line.split('\t')) == 3 for line in sif)
+    csv = [r['value'] for r in io_formats.to_csv(result.edges).collect()]
+    assert all(len(line.split('\t')) >= 4 for line in csv)
+
+
+def test_gsea(result):
+    lines = [r['value'] for r in io_formats.to_gsea(result.nodes).collect()]
+    assert lines[0].startswith('#')
+    assert 'AKT1' in lines
+
+
+def test_nodelink(result):
+    payload = io_formats.to_nodelink(result.nodes, result.edges)
+    assert payload['directed'] and payload['multigraph']
+    assert len(payload['nodes']) == result.nodes.count()
+    assert len(payload['links']) == result.edges.count()
+    # links reference valid node indices
+    n = len(payload['nodes'])
+    for link in payload['links']:
+        assert 0 <= link['source'] < n and 0 <= link['target'] < n
+
+
+def test_bel_script_round_trip(result):
+    """Export the graph to a canonical BEL script, recompile it, and require
+    identical node/edge/triple sets — the strongest exporter correctness
+    property (mirrors the reference's own round-trip tests)."""
+    lines = io_formats.to_bel_script_lines(
+        result.nodes, result.edges,
+        metadata={'name': 'roundtrip', 'version': '1.0.0'},
+        namespaces=NAMESPACE_URLS, annotations=ANNOTATION_URLS,
+        namespace_patterns={'dbSNP': 'rs[0-9]*'},
+        annotation_patterns={'TestRegex': '[0-9]+'},
+        annotation_lists={'TESTAN1': ['1', '2', '3'],
+                          'TESTAN2': ['1', '2', '3']},
+    )
+    from pybel_spark.resources import reference_catalog
+    compiled = DocumentCompiler(resources=reference_catalog()).compile(lines)
+
+    original_nodes = {r['node_bel'] for r in result.nodes.collect()}
+    recompiled_nodes = {r['node_bel'] for r in compiled['nodes']}
+    assert recompiled_nodes == original_nodes
+
+    def edge_key(source, relation, target, citation_db, citation_id, evidence):
+        return (source, relation, target, citation_db, citation_id, evidence)
+
+    original_edges = {
+        edge_key(r['source_bel'], r['relation'], r['target_bel'],
+                 r['citation_db'], r['citation_id'], r['evidence'])
+        for r in result.edges.collect()
+    }
+    recompiled_edges = {
+        edge_key(e['source_bel'], e['relation'], e['target_bel'],
+                 e['citation_db'], e['citation_id'], e['evidence'])
+        for e in compiled['edges']
+        # structural edges recompile with no citation; footer edges carry the
+        # auto citation — compare only the truly qualified ones
+        if e['citation_db'] is not None
+        and e['citation_id'] != io_formats.AUTO_PMID
+    }
+    original_qualified = {
+        e for e in original_edges if e[3] is not None
+    }
+    assert recompiled_edges == original_qualified
+
+    # structural edges re-derive themselves from node structure
+    original_structural = {
+        (e[0], e[1], e[2]) for e in original_edges if e[3] is None
+    }
+    recompiled_structural = {
+        (e['source_bel'], e['relation'], e['target_bel'])
+        for e in compiled['edges']
+    }
+    assert original_structural <= recompiled_structural
+
+    # triples parity end-to-end
+    original_triples = {tuple(r) for r in result.triples.collect()}
+    recompiled_triples = {
+        (e['triple_subject'], e['triple_predicate'], e['triple_object'])
+        for e in compiled['edges'] if e['triple_subject'] is not None
+    }
+    assert original_triples <= recompiled_triples
