@@ -1,0 +1,81 @@
+"""Structured Streaming over an append-only documents table.
+
+The reference is strictly batch (SURVEY.md §2.9); this is the Spark-native
+add-on the north rule anticipates: new web-page files/snapshots land in the
+input directory, the SAME vectorized parse stage processes them incrementally,
+and outputs append with exactly-once file-sink semantics via the stream
+checkpoint. Because parsing is stateless per document, no watermarks or
+stateful operators are needed — state lives entirely in the sink + checkpoint.
+
+Downstream dedup (distinct triples / nodes) is a batch view over the streamed
+edge log: read_stream_output() applies the same content-hash dropDuplicates
+used by the batch path.
+"""
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from .corpus import load_corpus_catalog
+from .pipeline import make_parse_func
+from .schemas import DOCUMENTS_SCHEMA, PARSED_SCHEMA
+
+
+def read_document_stream(spark, input_dir: str,
+                         max_files_per_trigger: int = 16) -> DataFrame:
+    """Incrementally read parquet documents dropped into ``input_dir``."""
+    return (
+        spark.readStream
+        .schema(DOCUMENTS_SCHEMA)
+        .option('maxFilesPerTrigger', str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+
+
+def parse_document_stream(documents: DataFrame, catalog=None,
+                          compiler_options=None) -> DataFrame:
+    """The streaming parse: identical mapInPandas stage as the batch path."""
+    if catalog is None:
+        catalog = load_corpus_catalog()
+    parse = make_parse_func(catalog, compiler_options)
+    return documents.mapInPandas(parse, schema=PARSED_SCHEMA)
+
+
+def start_edge_stream(spark, input_dir: str, out_dir: str, catalog=None,
+                      compiler_options=None, trigger_available_now=True):
+    """Stream documents → exploded edge rows appended to a parquet log.
+
+    Exactly-once via the file sink + checkpoint; restarting after a kill
+    resumes from the last committed batch (complements the batch pipeline's
+    bucket lineage).
+    """
+    parsed = parse_document_stream(
+        read_document_stream(spark, input_dir), catalog, compiler_options)
+    edges = (
+        parsed.select(F.col('url'), F.explode('edges').alias('e'))
+        .select('url', 'e.*')
+    )
+    writer = (
+        edges.writeStream
+        .format('parquet')
+        .option('path', os.path.join(out_dir, 'edges_log'))
+        .option('checkpointLocation', os.path.join(out_dir, 'checkpoint'))
+        .outputMode('append')
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_stream_output(spark, out_dir: str) -> dict:
+    """Batch views over the streamed edge log with content-hash dedup."""
+    edges = spark.read.parquet(os.path.join(out_dir, 'edges_log')) \
+        .dropDuplicates(['edge_id'])
+    triples = (
+        edges.select(
+            F.col('triple_subject').alias('subject'),
+            F.col('triple_predicate').alias('predicate'),
+            F.col('triple_object').alias('object'))
+        .where(F.col('subject').isNotNull())
+        .distinct()
+    )
+    return {'edges': edges, 'triples': triples}
