@@ -1,0 +1,109 @@
+"""Query system: load → union → seed → transform, JSON-serializable.
+
+Reference: struct/query/query.py:21-204, seeding.py:25-163,
+selection.py:26. A query names its input tables, a list of seeds (each a
+§2.4 induction over the universe), and a Pipeline protocol; seed results are
+unioned and the pipeline runs with the universe available for expansions.
+"""
+import json
+import random
+
+from pyspark.sql import functions as F
+
+from .ops import KG, Pipeline, induction, union
+from .ops.graph import induce_by_edges
+
+SEED_TYPES = ('induction', 'neighbors', 'annotation', 'annotation_value',
+              'pubmed', 'upstream', 'downstream', 'sample')
+
+
+class Seeding:
+    """An ordered list of seed specs; results are unioned (seeding.py:93-121)."""
+
+    def __init__(self, seeds=None):
+        self.seeds = list(seeds or [])
+
+    def append(self, seed_type, data=None):
+        if seed_type not in SEED_TYPES:
+            raise ValueError('unknown seed type: {}'.format(seed_type))
+        self.seeds.append({'type': seed_type, 'data': data})
+        return self
+
+    def run(self, universe: KG) -> KG:
+        if not self.seeds:
+            return universe
+        subgraphs = [self._run_one(universe, seed) for seed in self.seeds]
+        return union(subgraphs)
+
+    @staticmethod
+    def _run_one(universe: KG, seed) -> KG:
+        seed_type, data = seed['type'], seed.get('data')
+        if seed_type == 'induction':
+            return induction.get_subgraph_by_induction(universe, data)
+        if seed_type == 'neighbors':
+            return induction.get_subgraph_by_neighborhood(universe, data)
+        if seed_type == 'annotation':
+            return induction.get_subgraph_by_annotations(universe, data)
+        if seed_type == 'annotation_value':
+            return induction.get_subgraph_by_annotation_value(
+                universe, data['key'], *data['values'])
+        if seed_type == 'pubmed':
+            return induction.get_subgraph_by_pubmed(universe, *data)
+        if seed_type == 'upstream':
+            return induction.get_upstream_causal_subgraph(universe, data)
+        if seed_type == 'downstream':
+            return induction.get_downstream_causal_subgraph(universe, data)
+        if seed_type == 'sample':
+            # seeded random edge sample (reference induction/random_subgraph
+            # approximated with a deterministic-seed sample)
+            fraction = data.get('fraction', 0.1)
+            seed_value = data.get('seed', 42)
+            edges = universe.edges.sample(fraction=fraction, seed=seed_value)
+            return induce_by_edges(universe, edges)
+        raise ValueError(seed_type)
+
+    def to_json(self):
+        return json.dumps(self.seeds)
+
+    @classmethod
+    def from_json(cls, payload):
+        return cls(json.loads(payload))
+
+
+class Query:
+    """Seeding + pipeline over a universe graph (query.py:21-204)."""
+
+    def __init__(self, seeding=None, pipeline=None, tables=None):
+        self.seeding = seeding or Seeding()
+        self.pipeline = pipeline or Pipeline()
+        self.tables = tables  # optional {'nodes': path, 'edges': path}
+
+    def load_universe(self, spark) -> KG:
+        if not self.tables:
+            raise ValueError('query has no tables to load')
+        return KG(
+            spark.read.parquet(self.tables['nodes']).dropDuplicates(['node_id']),
+            spark.read.parquet(self.tables['edges']).dropDuplicates(['edge_id']),
+        )
+
+    def run(self, universe: KG = None, spark=None) -> KG:
+        if universe is None:
+            universe = self.load_universe(spark)
+        seeded = self.seeding.run(universe)
+        return self.pipeline.run(seeded, universe=universe)
+
+    def to_json(self):
+        return json.dumps({
+            'tables': self.tables,
+            'seeding': self.seeding.seeds,
+            'pipeline': self.pipeline.protocol,
+        })
+
+    @classmethod
+    def from_json(cls, payload):
+        raw = json.loads(payload)
+        return cls(
+            seeding=Seeding(raw.get('seeding')),
+            pipeline=Pipeline(raw.get('pipeline')),
+            tables=raw.get('tables'),
+        )
