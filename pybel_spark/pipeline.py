@@ -118,7 +118,11 @@ def extract_triples(documents: DataFrame, catalog=None,
             yield pd.DataFrame({
                 'subject': subjects, 'predicate': predicates, 'object': objects})
 
-    triples = documents.mapInPandas(parse, schema=TRIPLES_SCHEMA)
+    # explicit projection: Catalyst can't prune columns through mapInPandas,
+    # so drop url/warc_ts/lang before the UDF → the parquet scan reads only
+    # (html, text)
+    triples = documents.select('html', 'text') \
+        .mapInPandas(parse, schema=TRIPLES_SCHEMA)
     return triples.distinct() if distinct else triples
 
 
@@ -186,7 +190,10 @@ def build_graph(documents: DataFrame, catalog=None, compiler_options=None,
     if catalog is None:
         catalog = load_corpus_catalog()
     parse = make_parse_func(catalog, compiler_options)
-    parsed = documents.mapInPandas(parse, schema=PARSED_SCHEMA)
+    # prune to the columns the UDF consumes (mapInPandas defeats automatic
+    # column pruning): warc_ts never reaches the parser
+    parsed = documents.select('url', 'html', 'text', 'lang') \
+        .mapInPandas(parse, schema=PARSED_SCHEMA)
     if persist:
         parsed = parsed.persist()
     return GraphResult(parsed)
