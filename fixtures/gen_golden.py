@@ -102,6 +102,51 @@ def build_units():
     for s in extract_statement_lines(os.path.join(BEL_DIR, 'thorough.bel')):
         add('thorough', s)
 
+    # annotated pool — rich annotation contexts (list values, multiple keys,
+    # regex annotations) to exercise annotation-map summaries and filters
+    annotated = [
+        ('p(HGNC:AKT1) -> p(HGNC:FADD)',
+         [('Species', '9606'), ('CellLine', '10B9 cell')]),
+        ('p(HGNC:EGFR) -| p(HGNC:CASP8)',
+         [('Species', '10090'), ('TestRegex', '123')]),
+        ('p(HGNC:FADD) -- p(HGNC:EGFR)',
+         [('Species', '9606'), ('TESTAN1', '1')]),
+        ('act(p(HGNC:CASP8)) -> p(HGNC:AKT1)',
+         [('CellLine', '1321N1 cell'), ('TESTAN2', '2')]),
+        ('p(HGNC:AKT1) => bp(GO:"apoptotic process")',
+         [('Species', '10116')]),
+        ('g(HGNC:APP) :> r(HGNC:APP)',
+         [('TESTAN1', '3'), ('TestRegex', '42')]),
+    ]
+    for s, anns in annotated:
+        add('annotated', s, annotations=anns)
+
+    # list-valued annotation SETs (SET KEY = {"a", "b"})
+    units.append({
+        'id': len(units), 'kind': 'annotated',
+        'lines': [
+            'SET Citation = {{"PubMed","Synthetic article {}","{}"}}'.format(
+                len(units), 10000 + len(units)),
+            'SET Evidence = "Synthetic evidence {}"'.format(len(units)),
+            'SET TESTAN1 = {"1", "2"}',
+            'SET Species = "9606"',
+            'p(HGNC:CASP8) -| p(HGNC:FADD)',
+        ],
+    })
+    units.append({
+        'id': len(units), 'kind': 'annotated',
+        'lines': [
+            'SET Citation = {{"PubMed","Synthetic article {}","{}"}}'.format(
+                len(units), 10000 + len(units)),
+            'SET Evidence = "Synthetic evidence {}"'.format(len(units)),
+            'SET TESTAN2 = {"2", "3"}',
+            'SET CellLine = "10B9 cell"',
+            'p(HGNC:MAPT) cnc p(HGNC:APP)',
+            'UNSET CellLine',
+            'p(HGNC:MAPT) -- p(HGNC:CFTR)',
+        ],
+    })
+
     # slushy pool — malformed statements that must produce warnings, no triples
     slushy = [
         'p(SFAM:"Bcl-2 Family") -> p(HGNC:MAPT)',             # undefined namespace
