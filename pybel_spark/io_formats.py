@@ -129,6 +129,72 @@ def to_nodelink(nodes: DataFrame, edges: DataFrame, metadata=None) -> dict:
     }
 
 
+def from_nodelink(spark, payload: dict):
+    """Inverse of to_nodelink: node-link JSON dict → (nodes, edges) DataFrames
+    with the engine's canonical ids (io/nodelink.py:70-96)."""
+    from .bel import model
+    from .schemas import EDGE_STRUCT, NODE_STRUCT
+
+    node_rows = []
+    bels = []
+    for node in payload['nodes']:
+        bel = model.node_as_bel(node)
+        bels.append(bel)
+        concept = node.get('concept') or {}
+        variants = node.get('variants') or []
+        node_rows.append((
+            model.node_md5(node), bel, node['function'],
+            concept.get('namespace'), concept.get('name'),
+            concept.get('identifier'),
+            sorted({v['kind'] for v in variants}) or None,
+            len(node['members']) if node.get('members') is not None else None,
+            len(node['reactants']) if node.get('reactants') else None,
+            len(node['products']) if node.get('products') else None,
+            bool(node.get('fusion')),
+            json.dumps(node, sort_keys=True, separators=(',', ':')),
+        ))
+
+    edge_rows = []
+    for link in payload['links']:
+        src, dst = link['source'], link['target']
+        citation = link.get('citation') or {}
+        edge_rows.append((
+            link.get('key'),
+            node_rows[src][0], bels[src], node_rows[dst][0], bels[dst],
+            link['relation'], citation.get('db'), citation.get('db_id'),
+            link.get('evidence'),
+            {k: list(v) for k, v in (link.get('annotations') or {}).items()}
+            or None,
+            None, None, None, None, None, None, None, None,
+        ))
+    nodes = spark.createDataFrame(node_rows, NODE_STRUCT)
+    edges = spark.createDataFrame(edge_rows, EDGE_STRUCT)
+    return nodes, edges
+
+
+def strip_annotations(edges: DataFrame) -> DataFrame:
+    """Remove all annotations from edges (reference mutation/metadata.py:21)."""
+    return edges.withColumn(
+        'annotations', F.lit(None).cast('map<string,array<string>>'))
+
+
+def add_annotation_value(edges: DataFrame, key: str, value: str) -> DataFrame:
+    """Set an annotation value on every edge (mutation/metadata.py:add)."""
+    return edges.withColumn(
+        'annotations',
+        F.map_concat(
+            F.coalesce(F.col('annotations'),
+                       F.create_map().cast('map<string,array<string>>')),
+            F.create_map(F.lit(key), F.array(F.lit(value)))))
+
+
+def remove_annotation_value(edges: DataFrame, key: str) -> DataFrame:
+    """Drop one annotation key from every edge (mutation/metadata.py:remove)."""
+    return edges.withColumn(
+        'annotations',
+        F.map_filter('annotations', lambda k, _v: k != key))
+
+
 def to_bel_script_lines(nodes: DataFrame, edges: DataFrame,
                         metadata=None, namespaces=None,
                         annotations=None, namespace_patterns=None,

@@ -1,0 +1,109 @@
+"""Path-based induction: bounded BFS distances and all-shortest-paths
+subgraphs.
+
+Reference: struct/mutation/induction/paths.py:57-118
+(get_subgraph_by_all_shortest_paths). Distances are computed by iterative
+frontier joins (label propagation) — diameter-bounded, so a handful of
+narrow-shuffle rounds; the shortest-path membership test is the classic
+d(a,w) + d(w,b) = d(a,b) criterion evaluated as a join, never a driver loop
+over paths.
+"""
+from pyspark.sql import DataFrame, functions as F
+
+from .graph import KG, induce_by_nodes
+
+
+def bfs_distances(graph: KG, sources, max_hops=6, directed=True) -> DataFrame:
+    """(source_id, node_id, distance) for nodes within max_hops of each
+    source. Iterative frontier expansion with min-distance dedup."""
+    edges = graph.edges.select('source_id', 'target_id')
+    if not directed:
+        edges = edges.unionByName(
+            graph.edges.select(
+                F.col('target_id').alias('source_id'),
+                F.col('source_id').alias('target_id')))
+    edges = edges.distinct().persist()
+
+    if isinstance(sources, DataFrame):
+        seeds = sources.select(F.col(sources.columns[0]).alias('origin'))
+    else:
+        spark = graph.nodes.sparkSession
+        seeds = spark.createDataFrame([(s,) for s in sources], ['origin'])
+
+    distances = seeds.select(
+        'origin', F.col('origin').alias('node_id'), F.lit(0).alias('distance'))
+    frontier = distances
+    for hop in range(1, max_hops + 1):
+        neighbors = (
+            frontier
+            .join(edges.withColumnRenamed('source_id', 'node_id'), on='node_id')
+            .select('origin', F.col('target_id').alias('node_id'),
+                    F.lit(hop).alias('distance'))
+            .distinct()
+        )
+        # localCheckpoint truncates the iterative lineage — without it every
+        # round re-evaluates the whole union chain from the source scan
+        new = neighbors.join(distances.select('origin', 'node_id'),
+                             on=['origin', 'node_id'], how='leftanti') \
+            .localCheckpoint()
+        if new.isEmpty():
+            break
+        distances = distances.unionByName(new).localCheckpoint()
+        frontier = new
+    edges.unpersist()
+    return distances
+
+
+def get_subgraph_by_all_shortest_paths(graph: KG, node_ids, max_hops=6,
+                                       directed=False) -> KG:
+    """Induced subgraph over every node lying on a shortest path between any
+    pair of seed nodes (induction/paths.py:57-118).
+
+    w is on a shortest a→b path  ⇔  d(a,w) + d(w,b) = d(a,b); with the
+    undirected default, d(w,b) = d(b,w), so one BFS table from the seed set
+    suffices."""
+    if not directed:
+        dist = bfs_distances(graph, node_ids, max_hops, directed=False).persist()
+        pair_dist = (
+            dist.alias('da').join(dist.alias('db'), on='node_id')
+            .where(F.col('da.origin') < F.col('db.origin'))
+            .groupBy(F.col('da.origin').alias('a'),
+                     F.col('db.origin').alias('b'))
+            .agg(F.min(F.col('da.distance') + F.col('db.distance'))
+                 .alias('d_ab'))
+        )
+        on_path = (
+            dist.alias('da')
+            .join(dist.alias('db'), on='node_id')
+            .join(pair_dist,
+                  on=(F.col('da.origin') == F.col('a'))
+                  & (F.col('db.origin') == F.col('b')))
+            .where(F.col('da.distance') + F.col('db.distance') == F.col('d_ab'))
+            .select('node_id').distinct()
+        )
+        result = induce_by_nodes(graph, on_path)
+        dist.unpersist()
+        return result
+
+    forward = bfs_distances(graph, node_ids, max_hops, directed=True)
+    # reverse distances: BFS over flipped edges
+    flipped = KG(graph.nodes, graph.edges.select(
+        F.col('target_id').alias('source_id'),
+        F.col('source_id').alias('target_id')))
+    backward = bfs_distances(flipped, node_ids, max_hops, directed=True)
+    pair_dist = (
+        forward.alias('fa').join(backward.alias('bb'), on='node_id')
+        .where(F.col('fa.origin') != F.col('bb.origin'))
+        .groupBy(F.col('fa.origin').alias('a'), F.col('bb.origin').alias('b'))
+        .agg(F.min(F.col('fa.distance') + F.col('bb.distance')).alias('d_ab'))
+    )
+    on_path = (
+        forward.alias('fa')
+        .join(backward.alias('bb'), on='node_id')
+        .join(pair_dist,
+              on=(F.col('fa.origin') == F.col('a'))
+              & (F.col('bb.origin') == F.col('b')))
+        .where(F.col('fa.distance') + F.col('bb.distance') == F.col('d_ab'))
+        .select('node_id').distinct()
+    )
+    return induce_by_nodes(graph, on_path)

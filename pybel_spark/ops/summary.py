@@ -64,6 +64,70 @@ def get_top_pathologies(graph: KG, n=15) -> DataFrame:
     )
 
 
+def iter_node_concepts(nodes: DataFrame) -> DataFrame:
+    """Explode EVERY concept mentioned by each node — including variant
+    concepts, fusion partners, list members, and reaction participants
+    (reference node_summary.py:95-194 recursion). Arrow-batched walk of the
+    canonical node JSON."""
+    import json as _json
+
+    import pandas as pd
+
+    def walk(node, out):
+        concept = node.get('concept')
+        if concept and concept.get('namespace'):
+            out.append((concept['namespace'], concept.get('name'),
+                        concept.get('identifier')))
+        for variant in node.get('variants') or ():
+            vc = variant.get('concept')
+            if vc and vc.get('namespace'):
+                out.append((vc['namespace'], vc.get('name'),
+                            vc.get('identifier')))
+        fusion = node.get('fusion')
+        if fusion:
+            walk(fusion['partner_5p'], out)
+            walk(fusion['partner_3p'], out)
+        for key in ('members', 'reactants', 'products'):
+            for child in node.get(key) or ():
+                walk(child, out)
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for node_id, payload in zip(pdf['node_id'], pdf['node_json']):
+                out = []
+                walk(_json.loads(payload), out)
+                for namespace, name, identifier in out:
+                    rows.append((node_id, namespace, name, identifier))
+            yield pd.DataFrame(
+                rows, columns=['node_id', 'namespace', 'name', 'identifier'])
+
+    return nodes.select('node_id', 'node_json').mapInPandas(
+        extract,
+        schema='node_id string, namespace string, name string, identifier string')
+
+
+def count_names_by_namespace(graph: KG, namespace) -> DataFrame:
+    """Distinct names used per namespace, recursing into nested structures
+    (node_summary.py:95-194)."""
+    return (
+        iter_node_concepts(graph.nodes)
+        .where(F.col('namespace') == namespace)
+        .groupBy('name').agg(F.count(F.lit(1)).alias('n_mentions'))
+        .orderBy('name')
+    )
+
+
+def get_unused_namespaces(graph: KG, defined_namespaces) -> list:
+    """Defined-but-unused namespaces (node_summary.py:75-93)."""
+    used = {
+        r['namespace']
+        for r in iter_node_concepts(graph.nodes)
+        .select('namespace').distinct().collect()
+    }
+    return sorted(set(defined_namespaces) - used)
+
+
 def count_relations(graph: KG) -> DataFrame:
     """edge count by relation (edge_summary.py:88-97)."""
     return graph.edges.groupBy('relation') \

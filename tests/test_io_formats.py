@@ -74,6 +74,32 @@ def test_nodelink(result):
         assert 0 <= link['source'] < n and 0 <= link['target'] < n
 
 
+def test_nodelink_round_trip(spark, result):
+    payload = io_formats.to_nodelink(result.nodes, result.edges)
+    nodes2, edges2 = io_formats.from_nodelink(spark, payload)
+    assert {r['node_id'] for r in nodes2.collect()} \
+        == {r['node_id'] for r in result.nodes.collect()}
+    got = {(r['source_id'], r['relation'], r['target_id'],
+            r['citation_id'], r['evidence']) for r in edges2.collect()}
+    expected = {(r['source_id'], r['relation'], r['target_id'],
+                 r['citation_id'], r['evidence'])
+                for r in result.edges.collect()}
+    assert got == expected
+
+
+def test_annotation_mutations(spark, result):
+    stripped = io_formats.strip_annotations(result.edges)
+    assert stripped.where('annotations is not null').count() == 0
+    tagged = io_formats.add_annotation_value(result.edges, 'Source', 'corpus')
+    from pyspark.sql import functions as F
+    n = tagged.where(F.array_contains(
+        F.col('annotations').getItem('Source'), 'corpus')).count()
+    assert n == result.edges.count()
+    removed = io_formats.remove_annotation_value(tagged, 'Source')
+    assert removed.where(
+        F.map_contains_key('annotations', 'Source')).count() == 0
+
+
 def test_bel_script_round_trip(result):
     """Export the graph to a canonical BEL script, recompile it, and require
     identical node/edge/triple sets — the strongest exporter correctness

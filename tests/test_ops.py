@@ -167,6 +167,37 @@ def test_enrich_rnas_with_genes(kg):
     assert rna_ids <= covered
 
 
+def test_count_names_by_namespace_recursive(kg, spec):
+    """Concept recursion covers fusion partners / variants / members."""
+    got = {r['name'] for r in
+           summary.count_names_by_namespace(kg, 'HGNC').collect()}
+    # TMPRSS2 only appears inside fusion nodes — flat namespace counting
+    # would miss it
+    assert 'TMPRSS2' in got
+    assert 'AKT1' in got
+
+
+def test_bfs_and_all_shortest_paths(kg):
+    from pybel_spark.ops import paths
+
+    akt1 = kg.nodes.where(
+        "name = 'AKT1' and function = 'Protein' and variant_kinds is null"
+    ).select('node_id')
+    akt1_id = akt1.collect()[0]['node_id']
+    dist = paths.bfs_distances(kg, [akt1_id], max_hops=2, directed=False)
+    rows = {r['node_id']: r['distance'] for r in dist.collect()}
+    assert rows[akt1_id] == 0
+    assert any(d == 1 for d in rows.values())
+
+    egfr_id = kg.nodes.where(
+        "name = 'EGFR' and function = 'Protein' and variant_kinds is null"
+    ).collect()[0]['node_id']
+    sub = paths.get_subgraph_by_all_shortest_paths(kg, [akt1_id, egfr_id])
+    sub_ids = {r['node_id'] for r in sub.nodes.collect()}
+    assert akt1_id in sub_ids and egfr_id in sub_ids
+    assert len(sub_ids) < kg.nodes.count()
+
+
 def test_pipeline_registry_roundtrip(kg):
     p = Pipeline().append('remove_associations').append('collapse_all_variants')
     p2 = Pipeline.from_json(p.to_json())
