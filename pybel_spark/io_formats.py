@@ -172,6 +172,67 @@ def from_nodelink(spark, payload: dict):
     return nodes, edges
 
 
+def to_umbrella_nodelink(nodes: DataFrame, edges: DataFrame,
+                         metadata=None) -> dict:
+    """Node-link JSON where edge modifiers are folded into the node labels
+    ("umbrella" nodes, reference io/umbrella_nodelink.py:41-98): the node
+    list is the set of *decorated* statement terms, e.g. act(p(HGNC:X))."""
+    rendered = _statement_column(edges, sep='\t').select(
+        'statement', 'relation', 'citation_db', 'citation_id', 'evidence',
+        'annotations', 'edge_id').collect()
+    labels = []
+    index = {}
+    links = []
+    for row in rendered:
+        subject_label, _, object_label = row['statement'].split('\t')
+        for label in (subject_label, object_label):
+            if label not in index:
+                index[label] = len(labels)
+                labels.append(label)
+        links.append({
+            'source': index[subject_label],
+            'target': index[object_label],
+            'relation': row['relation'],
+            'citation': ({'db': row['citation_db'], 'db_id': row['citation_id']}
+                         if row['citation_db'] else None),
+            'evidence': row['evidence'],
+            'annotations': dict(row['annotations']) if row['annotations'] else None,
+            'key': row['edge_id'],
+        })
+    return {
+        'directed': True,
+        'multigraph': True,
+        'graph': metadata or {},
+        'nodes': [{'bel': label} for label in labels],
+        'links': links,
+    }
+
+
+def to_graphml(nodes: DataFrame, edges: DataFrame, path: str,
+               umbrella: bool = False) -> None:
+    """GraphML export (reference io/graphml.py:18-80) — driver-side via
+    networkx; GraphML is a small-subgraph interchange format."""
+    import networkx as nx
+
+    graph = nx.MultiDiGraph()
+    if umbrella:
+        payload = to_umbrella_nodelink(nodes, edges)
+        for node in payload['nodes']:
+            graph.add_node(node['bel'])
+        for link in payload['links']:
+            graph.add_edge(
+                payload['nodes'][link['source']]['bel'],
+                payload['nodes'][link['target']]['bel'],
+                interaction=link['relation'])
+    else:
+        for row in nodes.collect():
+            graph.add_node(row['node_bel'], function=row['function'])
+        for row in edges.collect():
+            graph.add_edge(row['source_bel'], row['target_bel'],
+                           key=row['edge_id'], interaction=row['relation'])
+    nx.write_graphml(graph, path)
+
+
 def strip_annotations(edges: DataFrame) -> DataFrame:
     """Remove all annotations from edges (reference mutation/metadata.py:21)."""
     return edges.withColumn(

@@ -87,6 +87,23 @@ def test_nodelink_round_trip(spark, result):
     assert got == expected
 
 
+def test_umbrella_nodelink(result):
+    payload = io_formats.to_umbrella_nodelink(result.nodes, result.edges)
+    labels = {n['bel'] for n in payload['nodes']}
+    # modifier-decorated terms appear as their own nodes
+    assert any(label.startswith('act(') for label in labels)
+    assert len(payload['links']) == result.edges.count()
+
+
+def test_graphml(result, tmp_path):
+    path = str(tmp_path / 'graph.graphml')
+    io_formats.to_graphml(result.nodes, result.edges, path)
+    import networkx as nx
+    graph = nx.read_graphml(path)
+    assert graph.number_of_nodes() == result.nodes.count()
+    assert graph.number_of_edges() == result.edges.count()
+
+
 def test_annotation_mutations(spark, result):
     stripped = io_formats.strip_annotations(result.edges)
     assert stripped.where('annotations is not null').count() == 0
