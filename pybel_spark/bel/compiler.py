@@ -59,6 +59,8 @@ def sanitize_lines(lines):
 
 
 def _trailing_comment_index(line):
+    if '//' not in line:  # fast path: the vast majority of lines
+        return None
     in_quote = False
     for i in range(len(line) - 1):
         c = line[i]

@@ -70,6 +70,45 @@ class Seeding:
         return cls(json.loads(payload))
 
 
+def register_views(graph: KG, spark=None, prefix='kg_'):
+    """Register the graph as SQL temp views (reference QueryManager,
+    manager/query_manager.py:33-268 — arbitrary filtered retrieval becomes
+    plain Spark SQL over these views)."""
+    graph.nodes.createOrReplaceTempView(prefix + 'nodes')
+    graph.edges.createOrReplaceTempView(prefix + 'edges')
+    return [prefix + 'nodes', prefix + 'edges']
+
+
+def query_edges(graph: KG, source_bel=None, relation=None, target_bel=None,
+                evidence_contains=None):
+    """QueryManager.query_edges: filtered edge retrieval."""
+    edges = graph.edges
+    if source_bel is not None:
+        edges = edges.where(F.col('source_bel') == source_bel)
+    if relation is not None:
+        edges = edges.where(F.col('relation') == relation)
+    if target_bel is not None:
+        edges = edges.where(F.col('target_bel') == target_bel)
+    if evidence_contains is not None:
+        edges = edges.where(F.col('evidence').contains(evidence_contains))
+    return edges
+
+
+def query_nodes(graph: KG, function=None, namespace=None, name_contains=None,
+                bel_contains=None):
+    """QueryManager.query_nodes: filtered node retrieval."""
+    nodes = graph.nodes
+    if function is not None:
+        nodes = nodes.where(F.col('function') == function)
+    if namespace is not None:
+        nodes = nodes.where(F.col('namespace') == namespace)
+    if name_contains is not None:
+        nodes = nodes.where(F.lower('name').contains(name_contains.lower()))
+    if bel_contains is not None:
+        nodes = nodes.where(F.col('node_bel').contains(bel_contains))
+    return nodes
+
+
 class Query:
     """Seeding + pipeline over a universe graph (query.py:21-204)."""
 

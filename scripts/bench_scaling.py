@@ -1,16 +1,20 @@
 """Two-cluster-size scaling benchmark (sandbox proxy for N vs 4N executors).
 
-Materializes one shared corpus parquet, then runs the identical job
-(parquet scan → vectorized parse → distinct triples) at several parallelism
-levels in separate JVMs. The headline N→4N pair is local[2] → local[8]:
-this box has 16 physical cores exposed as 32 SMT threads, so 8→32 conflates
-hyper-threading with scaling; 2→8 stays within physical cores. local[32] is
-reported as well for transparency.
+Design:
+- Each configuration is `taskset`-pinned to exactly its simulated cluster's
+  core budget (JVM + Python workers share it, like real executors).
+- This sandbox is a shared VM with bursty CPU steal (up to ~19% observed),
+  so N and 4N runs are PAIRED: each round runs local[2] then local[8]
+  back-to-back under the same host conditions, and the efficiency is the
+  median of per-round ratios — slow-host windows cancel instead of biasing
+  one side.
 
-Writes BENCH/BASELINE.md. Usage: python scripts/bench_scaling.py [n_docs] [repeats]
+Writes BENCH/BASELINE.md.
+Usage: python scripts/bench_scaling.py [n_docs] [rounds]
 """
 import json
 import os
+import statistics
 import subprocess
 import sys
 from datetime import datetime, timezone
@@ -28,8 +32,6 @@ spark = get_spark(app_name='scaling-gen', cores=32)
 spark.sparkContext.setLogLevel('ERROR')
 generate_documents(spark, n_docs, partitions=128) \
     .write.mode('overwrite').parquet("@CORPUS@")
-generate_documents(spark, n_docs // 2, partitions=128) \
-    .write.mode('overwrite').parquet("@CORPUS_HALF@")
 spark.stop()
 '''
 
@@ -40,90 +42,72 @@ from pyspark.sql import functions as F
 from pybel_spark.session import get_spark
 from pybel_spark.pipeline import build_graph, extract_triples
 
-cores = int(sys.argv[1]); repeats = int(sys.argv[2])
+cores = int(sys.argv[1])
 spark = get_spark(app_name='scaling-%d' % cores, cores=cores)
 spark.sparkContext.setLogLevel('ERROR')
 docs = spark.read.parquet("@CORPUS@")
-half = spark.read.parquet("@CORPUS_HALF@")
-n_docs = docs.count()
-n_half = half.count()
 extract_triples(docs.limit(3000)).count()  # warm-up
-# statement counts are input properties, computed once outside the timing
+t0 = time.time()
+extract_triples(docs).count()
+wall = time.time() - t0
 stmts = build_graph(docs, persist=False).parsed.agg(
     F.sum('n_statements')).collect()[0][0]
-stmts_half = build_graph(half, persist=False).parsed.agg(
-    F.sum('n_statements')).collect()[0][0]
-walls, walls_half = [], []
-for _ in range(repeats):
-    t0 = time.time()
-    extract_triples(half).count()
-    walls_half.append(time.time() - t0)
-    t0 = time.time()
-    extract_triples(docs).count()
-    walls.append(time.time() - t0)
-walls.sort(); walls_half.sort()
-median = walls[len(walls)//2]
-median_half = walls_half[len(walls_half)//2]
-# marginal throughput: slope between the two input sizes cancels the fixed
-# per-job cost (session/stage setup), which a real N-vs-4N executor
-# comparison would amortize over hours of input
-marginal = (stmts - stmts_half) / max(median - median_half, 1e-9)
-print(json.dumps({'cores': cores, 'n_docs': n_docs, 'walls': walls,
-                  'walls_half': walls_half,
-                  'median_wall': median, 'median_wall_half': median_half,
-                  'statements': int(stmts), 'statements_half': int(stmts_half),
-                  'statements_per_sec': stmts/median,
-                  'marginal_statements_per_sec': marginal,
-                  'docs_per_sec': n_docs/median}))
+print(json.dumps({'cores': cores, 'wall': wall, 'statements': int(stmts)}))
 spark.stop()
 '''
 
 
-def run_py(code, *args, pin_cores=None):
-    """Run a worker subprocess, optionally pinned to a CPU set with taskset
-    so the whole JVM (task threads + GC + IO threads + Python workers) is
-    confined to exactly the simulated cluster's core budget."""
-    cmd = [sys.executable, '-c', code, *[str(a) for a in args]]
-    if pin_cores is not None:
-        cmd = ['taskset', '-c', '0-{}'.format(pin_cores - 1)] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=REPO)
-    lines = out.stdout.strip().splitlines()
-    return json.loads(lines[-1]) if lines else None
+def run_pinned(worker, cores):
+    cmd = ['taskset', '-c', '0-{}'.format(cores - 1),
+           sys.executable, '-c', worker, str(cores)]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True,
+                         cwd=REPO)
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
-    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 
-    half_dir = CORPUS_DIR + '_half'
-    gen = GEN.replace('@REPO@', REPO).replace('@CORPUS_HALF@', half_dir) \
-        .replace('@CORPUS@', CORPUS_DIR)
-    worker = WORKER.replace('@REPO@', REPO).replace('@CORPUS_HALF@', half_dir) \
-        .replace('@CORPUS@', CORPUS_DIR)
-
+    gen = GEN.replace('@REPO@', REPO).replace('@CORPUS@', CORPUS_DIR)
+    worker = WORKER.replace('@REPO@', REPO).replace('@CORPUS@', CORPUS_DIR)
     subprocess.run([sys.executable, '-c', gen, str(n_docs)],
                    check=True, cwd=REPO, capture_output=True, text=True)
 
-    results = {}
-    for cores in (2, 8, 32):
-        # pin the JVM to exactly `cores` CPUs — a faithful stand-in for a
-        # cluster whose executors total that many cores
-        results[cores] = run_py(worker, cores, repeats, pin_cores=cores)
-        print('local[{}] pinned to {} cores:'.format(cores, cores), results[cores])
+    pair_rounds = []
+    extra_32 = []
+    stmts = None
+    for i in range(rounds):
+        r2 = run_pinned(worker, 2)
+        r8 = run_pinned(worker, 8)
+        stmts = r8['statements']
+        ratio = r2['wall'] / r8['wall']
+        pair_rounds.append({'round': i, 'wall2': r2['wall'],
+                            'wall8': r8['wall'], 'speedup': ratio})
+        print('round {}: local[2] {:.1f}s, local[8] {:.1f}s, speedup {:.2f}'
+              .format(i, r2['wall'], r8['wall'], ratio), flush=True)
+        r32 = run_pinned(worker, 32)
+        extra_32.append(r32['wall'])
 
-    eff_2_8 = (results[8]['marginal_statements_per_sec']
-               / results[2]['marginal_statements_per_sec']) / 4.0
-    eff_2_8_raw = (results[8]['statements_per_sec']
-                   / results[2]['statements_per_sec']) / 4.0
-    eff_8_32 = (results[32]['marginal_statements_per_sec']
-                / results[8]['marginal_statements_per_sec']) / 4.0
+    speedups = sorted(r['speedup'] for r in pair_rounds)
+    median_speedup = statistics.median(speedups)
+    efficiency = median_speedup / 4.0
+    wall2 = statistics.median(r['wall2'] for r in pair_rounds)
+    wall8 = statistics.median(r['wall8'] for r in pair_rounds)
+    wall32 = statistics.median(extra_32)
+
     report = {
         'n_docs': n_docs,
-        'repeats': repeats,
-        'results': {str(k): v for k, v in results.items()},
-        'scaling_efficiency_N_to_4N': round(eff_2_8, 3),
-        'scaling_efficiency_N_to_4N_incl_fixed_overhead': round(eff_2_8_raw, 3),
-        'scaling_efficiency_8_to_32_smt': round(eff_8_32, 3),
+        'rounds': pair_rounds,
+        'statements': stmts,
+        'median_wall_2': wall2,
+        'median_wall_8': wall8,
+        'median_wall_32': wall32,
+        'stmts_per_sec_2': stmts / wall2,
+        'stmts_per_sec_8': stmts / wall8,
+        'stmts_per_sec_32': stmts / wall32,
+        'speedups_per_round': speedups,
+        'scaling_efficiency_N_to_4N': round(efficiency, 3),
         'timestamp': datetime.now(timezone.utc).isoformat(),
     }
     print(json.dumps(report))
@@ -135,67 +119,48 @@ def main():
 
 
 def _render(r):
-    r2, r8, r32 = r['results']['2'], r['results']['8'], r['results']['32']
-
-    def row(label, d):
-        return '| {} | {:.2f} | {:,.0f} | {:,.0f} | {:,.0f} |'.format(
-            label, d['median_wall'], d['docs_per_sec'],
-            d['statements_per_sec'], d['marginal_statements_per_sec'])
-
     return '''# BENCH — measured performance & scaling
 
 Job (flagship triples extraction): parquet scan of a synthetic
 Common-Crawl-style corpus → ONE vectorized Arrow-batched parse stage
-(extract → detect → BEL parse → ground → canonicalize → triple conversion,
-emitting only the 3 triple columns) → distinct-triples dedup. Identical
-input at all parallelism levels; median of {repeats} timed runs, warm-up
-discarded.
-Input: {n_docs:,} documents, {stmts:,} BEL statement lines (plus a
-half-size corpus for the marginal-throughput slope).
+(extract → detect → BEL parse → ground → canonicalize → triple conversion)
+→ distinct-triples dedup. Input: {n_docs:,} documents, {stmts:,} BEL
+statement lines.
 
-| config | median wall (s) | docs/sec | statements/sec | marginal stmts/sec |
-|---|---|---|---|---|
-{row2}
-{row8}
-{row32}
+| config | median wall (s) | statements/sec |
+|---|---|---|
+| local[2], pinned 2 cores (N)   | {w2:.2f} | {s2:,.0f} |
+| local[8], pinned 8 cores (4N)  | {w8:.2f} | {s8:,.0f} |
+| local[32], all 32 cores        | {w32:.2f} | {s32:,.0f} |
 
-**Scaling efficiency N → 4N (pinned 2 cores → pinned 8 cores), marginal
-throughput = (thr_4N / thr_N) / 4 = {eff:.3f}** (north-rule target ≥ 0.8).
-Including fixed per-job startup it is {eff_raw:.3f}.
+**Scaling efficiency N → 4N = median per-round speedup / 4 = {eff:.3f}**
+(north-rule target ≥ 0.8). Per-round speedups: {speedups}.
 
-Methodology: each run is `taskset`-pinned to exactly its simulated cluster's
-core budget, so JVM helper threads and Python workers share the budget like
-real executors would. Throughput is measured as the slope between a
-half-size and full-size input, which cancels the constant per-job cost
-(session/stage startup, ~2-4 s) — a real N-vs-4N cluster comparison
-amortizes that constant over hours of input, and on this small sandbox
-input it would otherwise be charged disproportionately against the faster
-configuration. Raw (non-marginal) numbers are reported alongside. The 8→32
-step ({eff_smt:.3f} marginal) is additionally limited by this sandbox being
-a shared VM (CPU steal up to ~19% observed at full width); the 2→8 pair is
-the clean proxy. The parse stage is embarrassingly parallel by document (no
-shuffle before the final content-hash dedups); the pure-Python parse
-measured via multiprocessing scales at 0.94 (2→8 procs).
+Methodology: each configuration is `taskset`-pinned to exactly its simulated
+cluster's core budget, so JVM helper threads and Python workers compete
+within the budget like real executors. Because this sandbox is a shared VM
+with bursty CPU steal, the N and 4N runs are PAIRED back-to-back per round
+and the efficiency is the median of per-round wall ratios — host slowdowns
+hit both sides of a pair and cancel. Cross-check: the pure-Python parse
+measured standalone with multiprocessing scales at 0.94 (2→8 processes);
+the parse stage has no shuffle (embarrassingly parallel by document), so
+executor-count scaling on a real cluster tracks these core-count numbers.
 
 Reference single-core baseline: ~1,000 statements/sec (PyBEL prose,
 /root/reference/docs/source/meta/postmortem.rst:3-6). This engine:
-{s32:,.0f} statements/sec at local[32] ≈ {mult:,.0f}× the reference;
-even local[2] beats the reference by {mult2:,.0f}×.
+{s32:,.0f} statements/sec at local[32] ≈ {mult:,.0f}× the reference.
 
 Config: spark.sql.shuffle.partitions = 2×cores, AQE on (incl. skewJoin),
-Arrow batch 2048 rows, corpus parquet written with 128 partitions.
+Arrow batch 2048 rows, corpus parquet 128 partitions.
 Generated {ts} by scripts/bench_scaling.py.
 '''.format(
-        repeats=r['repeats'], n_docs=r['n_docs'], stmts=r2['statements'],
-        row2=row('local[2], pinned 2 cores (N)', r2),
-        row8=row('local[8], pinned 8 cores (4N)', r8),
-        row32=row('local[32], all 32 cores', r32),
+        n_docs=r['n_docs'], stmts=r['statements'],
+        w2=r['median_wall_2'], s2=r['stmts_per_sec_2'],
+        w8=r['median_wall_8'], s8=r['stmts_per_sec_8'],
+        w32=r['median_wall_32'], s32=r['stmts_per_sec_32'],
         eff=r['scaling_efficiency_N_to_4N'],
-        eff_raw=r['scaling_efficiency_N_to_4N_incl_fixed_overhead'],
-        eff_smt=r['scaling_efficiency_8_to_32_smt'],
-        s32=r32['statements_per_sec'],
-        mult=r32['statements_per_sec'] / 1000.0,
-        mult2=r2['statements_per_sec'] / 1000.0,
+        speedups=', '.join('{:.2f}'.format(s) for s in r['speedups_per_round']),
+        mult=r['stmts_per_sec_32'] / 1000.0,
         ts=r['timestamp'],
     )
 

@@ -52,6 +52,30 @@ def test_query_with_expansion(universe):
     assert expanded.edges.count() >= seeded_only.edges.count()
 
 
+def test_register_views_and_sql(spark, universe):
+    from pybel_spark.query import register_views
+    register_views(universe, spark)
+    rows = spark.sql("""
+        SELECT relation, count(*) AS n
+        FROM kg_edges
+        WHERE citation_db = 'PubMed'
+        GROUP BY relation ORDER BY n DESC LIMIT 3
+    """).collect()
+    assert rows and all(r['n'] > 0 for r in rows)
+    n_proteins = spark.sql(
+        "SELECT count(*) AS n FROM kg_nodes WHERE function = 'Protein'"
+    ).collect()[0]['n']
+    assert n_proteins > 0
+
+
+def test_query_edges_nodes(universe):
+    from pybel_spark.query import query_edges, query_nodes
+    increases = query_edges(universe, relation='increases')
+    assert increases.count() > 0
+    akt = query_nodes(universe, function='Protein', name_contains='akt')
+    assert akt.count() > 0
+
+
 def test_sample_seed_deterministic(universe):
     spec = [{'type': 'sample', 'data': {'fraction': 0.3, 'seed': 7}}]
     a = Query(seeding=Seeding(spec)).run(universe).edges.count()
