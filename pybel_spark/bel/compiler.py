@@ -12,7 +12,7 @@ import re
 
 from . import model
 from .constants import (
-    ACTIVITY, BINDS, CELL_SECRETION, CELL_SURFACE_EXPRESSION, COMPLEX,
+    ACTIVITY, BINDS, COMPLEX,
     DEGRADATION, DIRECTLY_INCREASES, DOCUMENT_KEYS, IS_A, PART_OF,
     HAS_PRODUCT, HAS_REACTANT, HAS_VARIANT, REACTION, REQUIRED_METADATA,
     TRANSLOCATION, TWO_WAY_RELATIONS,

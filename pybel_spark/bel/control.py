@@ -11,7 +11,7 @@ from .constants import (
     CITATION_TYPE_PUBMED,
 )
 from .exc import (
-    BELSyntaxError, CitationTooLongException, CitationTooShortException,
+    CitationTooLongException, CitationTooShortException,
     IllegalAnnotationValueWarning, InvalidCitationType,
     InvalidPubMedIdentifierWarning, MissingAnnotationKeyWarning,
     MissingAnnotationRegexWarning, MissingCitationException,

@@ -10,7 +10,7 @@ Returns None for edges the reference drops (unhandled conversions).
 from .constants import (
     ABUNDANCE, ACTIVITY, ASSOCIATION, BIOPROCESS, CAUSES_NO_CHANGE,
     COMPLEX, CORRELATIVE_RELATIONS, DECREASES, DEGRADATION,
-    DIRECTLY_DECREASES, DIRECTLY_INCREASES, EQUIVALENT_TO, GENE,
+    DIRECTLY_DECREASES, EQUIVALENT_TO, GENE,
     HAS_PRODUCT, HAS_REACTANT, HAS_VARIANT, INCREASES, IS_A, MIRNA,
     PART_OF, PATHOLOGY, PROTEIN, REACTION, REGULATES, RNA,
 )

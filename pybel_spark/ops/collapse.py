@@ -6,8 +6,6 @@ build a (victim → survivor) mapping DataFrame, left-join it onto both edge
 endpoints, drop self-loops, dedup by content hash. The mapping side is small
 relative to edges → broadcast it.
 """
-import json
-
 from pyspark.sql import DataFrame, functions as F
 
 from ..bel.constants import GENE, HAS_VARIANT, MIRNA, PROTEIN, RNA

@@ -9,7 +9,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..bel.constants import (
     ABUNDANCE, ACTIVITY, ASSOCIATION, BIOPROCESS, CAUSAL_POLAR_RELATIONS,
-    CAUSAL_RELATIONS, CELL_SECRETION, CELL_SURFACE_EXPRESSION, COMPLEX,
+    CAUSAL_RELATIONS, CELL_SECRETION, CELL_SURFACE_EXPRESSION,
     CORRELATIVE_RELATIONS, DEGRADATION, DIRECT_CAUSAL_RELATIONS, FRAGMENT,
     GENE, GMOD, HGVS, MIRNA, PATHOLOGY, PMOD, PROTEIN, RNA, TRANSLOCATION,
 )

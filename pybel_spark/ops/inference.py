@@ -6,7 +6,6 @@ struct/mutation/transfer.py:15-78 (infer_child_relations). Parent derivation
 is a column transform (protein concept → rna node is get_rna(),
 node_classes.py:652-665); the central-dogma edges are generated rows.
 """
-import hashlib
 import json
 
 from pyspark.sql import DataFrame, functions as F

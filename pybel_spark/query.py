@@ -6,7 +6,6 @@ selection.py:26. A query names its input tables, a list of seeds (each a
 unioned and the pipeline runs with the universe available for expansions.
 """
 import json
-import random
 
 from pyspark.sql import functions as F
 

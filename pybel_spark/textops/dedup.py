@@ -5,7 +5,7 @@ The near-dup paths follow the inverted-index pattern: only documents sharing
 a shingle (or an LSH band) are ever compared, so cost scales with true
 collision volume, not |docs|².
 """
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .tokenize import shingles
 
