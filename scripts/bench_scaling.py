@@ -101,7 +101,7 @@ def main():
     best2 = min(r['wall2'] for r in pair_rounds)
     best8 = min(r['wall8'] for r in pair_rounds)
     best32 = min(extra_32)
-    efficiency_best = (best2 / best8) / 4.0
+    efficiency_best = min((best2 / best8) / 4.0, 1.0)  # clamp: >1 is noise
     efficiency_median = median_speedup / 4.0
     wall2 = statistics.median(r['wall2'] for r in pair_rounds)
     wall8 = statistics.median(r['wall8'] for r in pair_rounds)
