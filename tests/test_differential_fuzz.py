@@ -1,0 +1,125 @@
+"""Differential fuzzing: random BEL statements compiled by BOTH our engine
+and the actual reference compiler must agree on nodes, edges, triples, and
+warning classes.
+
+The reference runs through the fixture shims (fixtures/reference_oracle) —
+this is the strongest grammar-parity evidence short of exhaustive input.
+"""
+import os
+import random
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, 'fixtures'))
+
+from pybel_spark.bel.compiler import DocumentCompiler  # noqa: E402
+from pybel_spark.resources import reference_catalog  # noqa: E402
+
+from .conftest import load_pool  # noqa: E402
+
+HEADER = load_pool()['header']
+
+PROTEINS = ['AKT1', 'EGFR', 'FADD', 'CASP8', 'MAPT', 'APP', 'CFTR', 'CAT']
+CHEMS = ['"oxygen atom"', 'water', 'superoxide', '"hydrogen peroxide"', 'dioxygen']
+PROCS = ['"apoptotic process"', '"cell cycle arrest"']
+FUNCS = ['p', 'g', 'r', 'm', 'proteinAbundance', 'geneAbundance']
+RELATIONS = ['->', '-|', '=>', '=|', '--', 'increases', 'decreases',
+             'association', 'reg', 'cnc', 'pos', 'neg', 'isA', 'partOf',
+             'eq', 'binds']
+PMODS = ['Ph', 'Ac', 'Me', 'P', 'Sumo', 'phosphorylation']
+AMINO = ['Ser', 'Thr', 'Tyr', 'S', 'T', 'Y']
+
+
+def random_term(rng):
+    kind = rng.randrange(10)
+    if kind < 4:
+        func = rng.choice(FUNCS)
+        name = rng.choice(PROTEINS)
+        variants = ''
+        if rng.random() < 0.4:
+            if func.startswith('p'):
+                v = rng.randrange(3)
+                if v == 0:
+                    variants = ', pmod({}, {}, {})'.format(
+                        rng.choice(PMODS), rng.choice(AMINO),
+                        rng.randrange(1, 999))
+                elif v == 1:
+                    variants = ', var("p.Ala{}Tyr")'.format(rng.randrange(1, 500))
+                else:
+                    variants = ', frag({}_{})'.format(
+                        rng.randrange(1, 50), rng.randrange(51, 200))
+            elif func.startswith('g'):
+                variants = ', gmod(Me)' if rng.random() < 0.5 \
+                    else ', var("c.{}G>A")'.format(rng.randrange(1, 999))
+        return '{}(HGNC:{}{})'.format(func, name, variants)
+    if kind < 6:
+        return 'a(CHEBI:{})'.format(rng.choice(CHEMS))
+    if kind == 6:
+        return 'bp(GO:{})'.format(rng.choice(PROCS))
+    if kind == 7:
+        return 'complex(p(HGNC:{}), p(HGNC:{}))'.format(
+            rng.choice(PROTEINS), rng.choice(PROTEINS))
+    if kind == 8:
+        return 'act(p(HGNC:{}), ma(kin))'.format(rng.choice(PROTEINS))
+    return 'deg(p(HGNC:{}))'.format(rng.choice(PROTEINS))
+
+
+def random_statement(rng):
+    # occasionally emit malformed/unknown content to exercise warnings
+    roll = rng.random()
+    if roll < 0.08:
+        return 'p(HGNC:{}) -> p(HGNC:NOPE{})'.format(
+            rng.choice(PROTEINS), rng.randrange(100))
+    if roll < 0.12:
+        return 'p(UNDEF:{}) -> p(HGNC:{})'.format(
+            rng.choice(PROTEINS), rng.choice(PROTEINS))
+    if roll < 0.15:
+        return '{} nonsenseRelation {}'.format(
+            random_term(rng), random_term(rng))
+    return '{} {} {}'.format(random_term(rng), rng.choice(RELATIONS),
+                             random_term(rng))
+
+
+@pytest.mark.parametrize('seed', [1, 2, 3, 4])
+def test_differential_fuzz(seed):
+    import logging
+    logging.disable(logging.CRITICAL)
+    from reference_oracle import compile_bel_lines, graph_to_golden
+
+    rng = random.Random(seed)
+    statements = []
+    for i in range(60):
+        statements.append(
+            'SET Citation = {{"PubMed","fuzz","{}"}}'.format(100000 + i))
+        statements.append('SET Evidence = "fuzz ev {}"'.format(i))
+        statements.append(random_statement(rng))
+    lines = HEADER + statements
+
+    ref = graph_to_golden(compile_bel_lines(lines))
+    ours = DocumentCompiler(resources=reference_catalog()).compile(lines)
+
+    got_nodes = sorted(r['node_bel'] for r in ours['nodes'])
+    exp_nodes = sorted(r['bel'] for r in ref['nodes'])
+    assert got_nodes == exp_nodes
+
+    got_edges = sorted((e['source_bel'], e['relation'], e['target_bel'],
+                        e['citation_id'], e['evidence'])
+                       for e in ours['edges'])
+    exp_edges = sorted((e['source'], e['relation'], e['target'],
+                        e['citation_id'], e['evidence'])
+                       for e in ref['edges'])
+    assert got_edges == exp_edges
+
+    # triples compare as SETS — the reference's get_triples dedupes
+    # (io/tsv/api.py:77-84), as does the pipeline's .distinct()
+    got_triples = {
+        (e['triple_subject'], e['triple_predicate'], e['triple_object'])
+        for e in ours['edges'] if e['triple_subject'] is not None}
+    exp_triples = {tuple(t) for t in ref['triples']}
+    assert got_triples == exp_triples
+
+    got_warnings = sorted(w['error_class'] for w in ours['warnings'])
+    exp_warnings = sorted(w['error_class'] for w in ref['warnings'])
+    assert got_warnings == exp_warnings
