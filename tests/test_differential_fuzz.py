@@ -33,7 +33,24 @@ AMINO = ['Ser', 'Thr', 'Tyr', 'S', 'T', 'Y']
 
 
 def random_term(rng):
-    kind = rng.randrange(10)
+    kind = rng.randrange(14)
+    if kind >= 10:
+        extra = kind - 10
+        if extra == 0:
+            return 'composite(a(CHEBI:{}), p(HGNC:{}))'.format(
+                rng.choice(CHEMS), rng.choice(PROTEINS))
+        if extra == 1:
+            return 'rxn(reactants(a(CHEBI:superoxide)), products(a(CHEBI:{})))' \
+                .format(rng.choice(['dioxygen', '"hydrogen peroxide"']))
+        if extra == 2:
+            return '{}(fus(HGNC:{}, "{}.1_79", HGNC:{}, ?))'.format(
+                rng.choice(['p', 'r', 'g']),
+                rng.choice(PROTEINS), rng.choice(['p', 'r', 'c']),
+                rng.choice(PROTEINS))
+        return rng.choice([
+            'tloc(p(HGNC:{}), fromLoc(GO:intracellular), toLoc(GO:endosome))',
+            'sec(p(HGNC:{}))', 'surf(p(HGNC:{}))',
+        ]).format(rng.choice(PROTEINS))
     if kind < 4:
         func = rng.choice(FUNCS)
         name = rng.choice(PROTEINS)
@@ -69,20 +86,31 @@ def random_term(rng):
 def random_statement(rng):
     # occasionally emit malformed/unknown content to exercise warnings
     roll = rng.random()
-    if roll < 0.08:
+    if roll < 0.06:
         return 'p(HGNC:{}) -> p(HGNC:NOPE{})'.format(
             rng.choice(PROTEINS), rng.randrange(100))
-    if roll < 0.12:
+    if roll < 0.10:
         return 'p(UNDEF:{}) -> p(HGNC:{})'.format(
             rng.choice(PROTEINS), rng.choice(PROTEINS))
-    if roll < 0.15:
+    if roll < 0.13:
         return '{} nonsenseRelation {}'.format(
             random_term(rng), random_term(rng))
+    if roll < 0.18:  # nested causal statement
+        return '{} {} ({} {} {})'.format(
+            random_term(rng), rng.choice(['->', '=>', '-|', '=|']),
+            random_term(rng), rng.choice(['->', '-|']), random_term(rng))
+    if roll < 0.22:  # list relations
+        return '{} {} list(p(HGNC:{}), p(HGNC:{}))'.format(
+            'p(HGNC:{})'.format(rng.choice(PROTEINS)),
+            rng.choice(['hasMembers', 'hasComponents']),
+            rng.choice(PROTEINS), rng.choice(PROTEINS))
+    if roll < 0.25:  # singleton term line
+        return random_term(rng)
     return '{} {} {}'.format(random_term(rng), rng.choice(RELATIONS),
                              random_term(rng))
 
 
-@pytest.mark.parametrize('seed', [1, 2, 3, 4])
+@pytest.mark.parametrize('seed', [1, 2, 3, 4, 5, 6, 7, 8])
 def test_differential_fuzz(seed):
     import logging
     logging.disable(logging.CRITICAL)
@@ -90,11 +118,16 @@ def test_differential_fuzz(seed):
 
     rng = random.Random(seed)
     statements = []
-    for i in range(60):
+    for i in range(100):
         statements.append(
             'SET Citation = {{"PubMed","fuzz","{}"}}'.format(100000 + i))
         statements.append('SET Evidence = "fuzz ev {}"'.format(i))
+        if rng.random() < 0.3:
+            statements.append('SET Species = "{}"'.format(
+                rng.choice(['9606', '10090', '10116'])))
         statements.append(random_statement(rng))
+        if rng.random() < 0.15:
+            statements.append('UNSET ALL')
     lines = HEADER + statements
 
     ref = graph_to_golden(compile_bel_lines(lines))
