@@ -172,6 +172,98 @@ def from_nodelink(spark, payload: dict):
     return nodes, edges
 
 
+def to_jgif(nodes: DataFrame, edges: DataFrame, metadata=None) -> dict:
+    """JGIF (JSON Graph Interchange Format) export, reference
+    io/jgif.py:317-397 shape: nodes keyed by md5 with BEL labels, edges
+    grouped by (source, target, relation) carrying their evidences."""
+    node_rows = nodes.orderBy('node_bel').collect()
+    nodes_entry = [
+        {'id': row['node_id'], 'label': row['node_bel'],
+         'bel_function_type': row['function']}
+        for row in node_rows
+    ]
+    grouped = {}
+    rendered = _statement_column(edges).collect()
+    for row in rendered:
+        key = (row['source_id'], row['target_id'], row['relation'])
+        entry = grouped.setdefault(key, {
+            'source': row['source_bel'],
+            'target': row['target_bel'],
+            'relation': row['relation'],
+            'label': row['statement'],
+            'metadata': {'evidences': []},
+        })
+        if row['citation_db'] is not None:
+            entry['metadata']['evidences'].append({
+                'citation': {'db': row['citation_db'],
+                             'db_id': row['citation_id']},
+                'summary_text': row['evidence'],
+                'annotations': dict(row['annotations'])
+                if row['annotations'] else {},
+            })
+    return {
+        'graph': {
+            'metadata': metadata or {},
+            'nodes': nodes_entry,
+            'edges': list(grouped.values()),
+        },
+    }
+
+
+def to_cx(nodes: DataFrame, edges: DataFrame, name='pybel-spark graph') -> list:
+    """CX aspect list for NDEx interchange (reference io/cx.py:95-352 shape):
+    nodes / nodeAttributes / edges / edgeAttributes / networkAttributes
+    aspects with integer ids."""
+    node_rows = nodes.orderBy('node_bel').collect()
+    index = {row['node_id']: i for i, row in enumerate(node_rows)}
+    nodes_aspect = []
+    node_attributes = []
+    for i, row in enumerate(node_rows):
+        entry = {'@id': i, 'n': row['node_bel']}
+        if row['namespace'] is not None:
+            value = row['identifier'] or row['name']
+            entry['r'] = '{}:{}'.format(row['namespace'], value)
+        nodes_aspect.append(entry)
+        node_attributes.append(
+            {'po': i, 'n': 'function', 'v': row['function']})
+
+    edges_aspect = []
+    edge_attributes = []
+    for j, row in enumerate(edges.collect()):
+        edges_aspect.append({
+            '@id': j,
+            's': index[row['source_id']],
+            't': index[row['target_id']],
+            'i': row['relation'],
+        })
+        if row['citation_db'] is not None:
+            edge_attributes.append({'po': j, 'n': 'citation',
+                                    'v': '{}:{}'.format(row['citation_db'],
+                                                        row['citation_id'])})
+        if row['evidence'] is not None:
+            edge_attributes.append({'po': j, 'n': 'evidence',
+                                    'v': row['evidence']})
+        for key, values in sorted((row['annotations'] or {}).items()):
+            edge_attributes.append({'po': j, 'n': key, 'v': list(values),
+                                    'd': 'list_of_string'})
+
+    return [
+        {'numberVerification': [{'longNumber': 281474976710655}]},
+        {'metaData': [
+            {'name': 'nodes', 'elementCount': len(nodes_aspect)},
+            {'name': 'edges', 'elementCount': len(edges_aspect)},
+            {'name': 'nodeAttributes', 'elementCount': len(node_attributes)},
+            {'name': 'edgeAttributes', 'elementCount': len(edge_attributes)},
+        ]},
+        {'networkAttributes': [{'n': 'name', 'v': name}]},
+        {'nodes': nodes_aspect},
+        {'nodeAttributes': node_attributes},
+        {'edges': edges_aspect},
+        {'edgeAttributes': edge_attributes},
+        {'status': [{'error': '', 'success': True}]},
+    ]
+
+
 def to_umbrella_nodelink(nodes: DataFrame, edges: DataFrame,
                          metadata=None) -> dict:
     """Node-link JSON where edge modifiers are folded into the node labels

@@ -87,6 +87,29 @@ def test_nodelink_round_trip(spark, result):
     assert got == expected
 
 
+def test_jgif(result):
+    payload = io_formats.to_jgif(result.nodes, result.edges)
+    graph = payload['graph']
+    assert len(graph['nodes']) == result.nodes.count()
+    assert graph['edges']
+    qualified = [e for e in graph['edges'] if e['metadata']['evidences']]
+    assert qualified
+    assert all('label' in e for e in graph['edges'])
+
+
+def test_cx(result):
+    aspects = io_formats.to_cx(result.nodes, result.edges)
+    by_name = {}
+    for aspect in aspects:
+        by_name.update(aspect)
+    assert len(by_name['nodes']) == result.nodes.count()
+    assert len(by_name['edges']) == result.edges.count()
+    n = len(by_name['nodes'])
+    for e in by_name['edges']:
+        assert 0 <= e['s'] < n and 0 <= e['t'] < n
+    assert by_name['status'][0]['success']
+
+
 def test_umbrella_nodelink(result):
     payload = io_formats.to_umbrella_nodelink(result.nodes, result.edges)
     labels = {n['bel'] for n in payload['nodes']}
