@@ -204,14 +204,15 @@ def build_graph(documents: DataFrame, catalog=None, compiler_options=None,
 
 def run_checkpointed(spark, documents: DataFrame, out_dir: str,
                      n_buckets: int = 64, catalog=None,
-                     compiler_options=None) -> dict:
+                     compiler_options=None, commit_groups: int = 8) -> dict:
     """Materialize the graph under ``out_dir`` with per-bucket lineage.
 
     Outputs (parquet, partitioned by bucket): nodes/ edges/ warnings/ and a
-    lineage/ table. A second invocation with the same ``out_dir`` skips
-    buckets whose lineage row says 'done' — kill-and-rerun resumes where it
-    left off, and content-hash keys make appends idempotent after dedup at
-    read time (``read_graph``).
+    lineage/ table. Buckets are processed in ``commit_groups`` commit units —
+    each unit's outputs AND lineage land together, so a kill mid-run loses at
+    most one unit of work; a re-invocation with the same ``out_dir`` skips
+    buckets whose lineage row says 'done'. Content-hash keys make appends
+    idempotent after dedup at read time (``read_graph``).
     """
     import os
 
@@ -227,47 +228,53 @@ def run_checkpointed(spark, documents: DataFrame, out_dir: str,
     except Exception:
         pass  # first run: no lineage yet
 
-    if done:
-        docs = docs.where(~F.col('bucket').isin(sorted(done)))
-
-    remaining = docs.persist()
-    if remaining.isEmpty():
-        remaining.unpersist()
+    todo = [b for b in range(n_buckets) if b not in done]
+    if not todo:
         return {'skipped_buckets': len(done), 'processed_buckets': 0}
 
-    result = build_graph(remaining.drop('bucket'), catalog=catalog,
-                         compiler_options=compiler_options, persist=False)
-    parsed = result.parsed.withColumn(
-        'bucket', F.pmod(F.xxhash64('url'), F.lit(n_buckets)).cast('int'))
-    parsed = parsed.persist()
+    docs = docs.persist()
+    group_size = max(1, (len(todo) + commit_groups - 1) // commit_groups)
+    n_processed = 0
+    for start in range(0, len(todo), group_size):
+        group = todo[start:start + group_size]
+        group_docs = docs.where(F.col('bucket').isin(group))
+        result = build_graph(group_docs.drop('bucket'), catalog=catalog,
+                             compiler_options=compiler_options, persist=False)
+        parsed = result.parsed.withColumn(
+            'bucket', F.pmod(F.xxhash64('url'), F.lit(n_buckets)).cast('int'))
+        parsed = parsed.persist()
 
-    (parsed.select('bucket', F.explode('nodes').alias('n')).select('bucket', 'n.*')
-     .write.mode('append').partitionBy('bucket')
-     .parquet(os.path.join(out_dir, 'nodes')))
-    (parsed.select('bucket', 'url', F.explode('edges').alias('e'))
-     .select('bucket', 'url', 'e.*')
-     .write.mode('append').partitionBy('bucket')
-     .parquet(os.path.join(out_dir, 'edges')))
-    (parsed.select('bucket', 'url', F.explode('warnings').alias('w'))
-     .select('bucket', 'url', 'w.*')
-     .write.mode('append').partitionBy('bucket')
-     .parquet(os.path.join(out_dir, 'warnings')))
+        (parsed.select('bucket', F.explode('nodes').alias('n'))
+         .select('bucket', 'n.*')
+         .write.mode('append').partitionBy('bucket')
+         .parquet(os.path.join(out_dir, 'nodes')))
+        (parsed.select('bucket', 'url', F.explode('edges').alias('e'))
+         .select('bucket', 'url', 'e.*')
+         .write.mode('append').partitionBy('bucket')
+         .parquet(os.path.join(out_dir, 'edges')))
+        (parsed.select('bucket', 'url', F.explode('warnings').alias('w'))
+         .select('bucket', 'url', 'w.*')
+         .write.mode('append').partitionBy('bucket')
+         .parquet(os.path.join(out_dir, 'warnings')))
 
-    lineage = (
-        parsed.groupBy('bucket').agg(
-            F.count('*').alias('n_docs'),
-            F.sum('n_statements').alias('n_statements'),
-            F.sum(F.size('edges')).alias('n_edges'),
-            F.sum(F.size('warnings')).alias('n_warnings'),
+        # lineage commits LAST within the unit: a kill before this point
+        # leaves the group marked not-done; the re-run reprocesses it and the
+        # content-hash dedup at read time absorbs the partial outputs
+        lineage = (
+            parsed.groupBy('bucket').agg(
+                F.count('*').alias('n_docs'),
+                F.sum('n_statements').alias('n_statements'),
+                F.sum(F.size('edges')).alias('n_edges'),
+                F.sum(F.size('warnings')).alias('n_warnings'),
+            )
+            .withColumn('status', F.lit('done'))
+            .select(*[f.name for f in LINEAGE_SCHEMA.fields])
         )
-        .withColumn('status', F.lit('done'))
-        .select(*[f.name for f in LINEAGE_SCHEMA.fields])
-    )
-    lineage.write.mode('append').parquet(lineage_path)
+        lineage.write.mode('append').parquet(lineage_path)
+        n_processed += parsed.select('bucket').distinct().count()
+        parsed.unpersist()
 
-    n_processed = parsed.select('bucket').distinct().count()
-    parsed.unpersist()
-    remaining.unpersist()
+    docs.unpersist()
     return {'skipped_buckets': len(done), 'processed_buckets': n_processed}
 
 
