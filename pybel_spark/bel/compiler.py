@@ -176,6 +176,10 @@ class DocumentCompiler:
         self.disallow_unqualified_translocations = disallow_unqualified_translocations
         self.required_annotations = required_annotations
         self.skip_validation = skip_validation
+        # web corpora repeat boilerplate headers across millions of pages —
+        # memoize parsed (metadata, definitions, term parser) per distinct
+        # header so each executor pays the definition cost once per header
+        self._header_cache = {}
 
     def compile(self, lines):
         """Compile raw lines → dict of row lists (nodes, edges, warnings,
@@ -183,10 +187,29 @@ class DocumentCompiler:
         sanitized = sanitize_lines(lines)
         documents, definitions, statements = split_sections(sanitized)
 
+        key = (tuple(line for _, line in documents),
+               tuple(line for _, line in definitions))
+        cached = self._header_cache.get(key)
+        if cached is None:
+            state = _CompileState(self)
+            state.parse_document_section(documents)
+            state.parse_definitions(definitions)
+            state.make_parsers()
+            cached = (state.metadata, state.namespaces,
+                      state.namespace_patterns, state.annotation_terms,
+                      state.annotation_patterns, state.annotation_locals,
+                      list(state.warnings), state.term_parser)
+            if len(self._header_cache) < 256:  # bound executor memory
+                self._header_cache[key] = cached
+            state.parse_statements(statements)
+            return state.result()
+
         state = _CompileState(self)
-        state.parse_document_section(documents)
-        state.parse_definitions(definitions)
-        state.make_parsers()
+        (state.metadata, state.namespaces, state.namespace_patterns,
+         state.annotation_terms, state.annotation_patterns,
+         state.annotation_locals, header_warnings, state.term_parser) = cached
+        state.warnings = list(header_warnings)
+        state.make_control()
         state.parse_statements(statements)
         return state.result()
 
@@ -271,6 +294,8 @@ class _CompileState:
                 self.annotation_locals[keyword] = set(values)
 
     def make_parsers(self):
+        # the term parser is stateless after construction → cacheable per
+        # header; ControlState is per-document (SET/UNSET state) → always fresh
         self.term_parser = BELTermParser(
             namespaces=self.namespaces,
             namespace_patterns=self.namespace_patterns,
@@ -279,6 +304,9 @@ class _CompileState:
             disallow_nested=self.config.disallow_nested,
             disallow_unqualified_translocations=self.config.disallow_unqualified_translocations,
         )
+        self.make_control()
+
+    def make_control(self):
         self.control = ControlState(
             annotation_to_term=self.annotation_terms,
             annotation_to_pattern=self.annotation_patterns,
