@@ -278,6 +278,36 @@ def run_checkpointed(spark, documents: DataFrame, out_dir: str,
     return {'skipped_buckets': len(done), 'processed_buckets': n_processed}
 
 
+def compact_output(spark, out_dir: str) -> dict:
+    """Compact a checkpointed output in place: apply the content-hash dedup
+    once and rewrite each table with one file per bucket.
+
+    This is the parquet stand-in for an Iceberg ``MERGE INTO`` + snapshot
+    expiration: repeated resume-appends accumulate duplicate rows (absorbed
+    at read time); compaction makes the on-disk state canonical and bounds
+    small-file growth.
+    """
+    import os
+    import shutil
+
+    stats = {}
+    for table, key in (('nodes', 'node_id'), ('edges', 'edge_id'),
+                       ('warnings', None)):
+        path = os.path.join(out_dir, table)
+        df = spark.read.parquet(path)
+        before = df.count()
+        if key is not None:
+            df = df.dropDuplicates([key])
+        after = df.count()
+        tmp = path + '_compacting'
+        (df.repartition('bucket').write.mode('overwrite')
+         .partitionBy('bucket').parquet(tmp))
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        stats[table] = {'rows_before': before, 'rows_after': after}
+    return stats
+
+
 def read_graph(spark, out_dir: str) -> dict:
     """Read back a checkpointed run with idempotent dedup applied."""
     import os

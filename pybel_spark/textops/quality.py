@@ -81,6 +81,37 @@ def quality_score(docs: DataFrame, id_col='doc_id', text_col='text',
     )
 
 
+def repetition_features(docs: DataFrame, id_col='doc_id',
+                        text_col='text') -> DataFrame:
+    """Gopher-style within-document repetition signals:
+
+    - dup_token_ratio: 1 − distinct tokens / total tokens
+    - top_bigram_ratio: share of the most frequent bigram among all bigrams
+
+    Boilerplate and spam pages score high on both. Pure column algebra.
+    """
+    tokens = whitespace_tokens(text_col)
+    n_tokens = F.size(tokens)
+    n_distinct = F.size(F.array_distinct(tokens))
+    bigrams = F.when(n_tokens >= 2, F.transform(
+        F.sequence(F.lit(0), n_tokens - 2),
+        lambda i: F.concat_ws(' ', F.slice(tokens, i + 1, 2)),
+    )).otherwise(F.array())
+    top_bigram_count = F.array_max(F.transform(
+        F.array_distinct(bigrams),
+        lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+    ))
+    n_bigrams = F.size(bigrams)
+    return docs.select(
+        F.col(id_col).alias('doc_id'),
+        (F.lit(1.0) - n_distinct.cast('double') / n_tokens)
+        .alias('dup_token_ratio'),
+        F.when(n_bigrams > 0,
+               top_bigram_count.cast('double') / n_bigrams)
+        .otherwise(F.lit(0.0)).alias('top_bigram_ratio'),
+    )
+
+
 def fingerprint(docs: DataFrame, id_col='doc_id', text_col='text') -> DataFrame:
     """Normalization-robust document fingerprint: md5 of lowercased,
     whitespace-collapsed text."""

@@ -120,5 +120,21 @@ def test_checkpoint_resume(spark, docs, spec):
         n_edges = graph['edges'].count()
         n_edge_ids = graph['edges'].select('edge_id').distinct().count()
         assert n_edges == n_edge_ids
+
+        # compaction makes the on-disk state canonical (MERGE stand-in)
+        from pybel_spark.pipeline import compact_output
+        stats = compact_output(spark, out_dir)
+        assert stats['edges']['rows_after'] < stats['edges']['rows_before']
+        graph2 = read_graph(spark, out_dir)
+        got2 = {
+            (r['triple_subject'], r['triple_predicate'], r['triple_object'])
+            for r in graph2['edges']
+            .where('triple_subject is not null')
+            .select('triple_subject', 'triple_predicate', 'triple_object')
+            .distinct().collect()
+        }
+        assert got2 == expected_triples(spec, N_DOCS)
+        raw_edges = spark.read.parquet(os.path.join(out_dir, 'edges'))
+        assert raw_edges.count() == raw_edges.select('edge_id').distinct().count()
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)

@@ -88,6 +88,20 @@ def test_quality_features_and_score(spark, docs):
     assert scores[7] < 0.75  # junk doc penalized
 
 
+def test_repetition_features(spark):
+    df = spark.createDataFrame([
+        (0, 'spam spam spam spam spam spam'),
+        (1, 'every word here is fully distinct today'),
+        (2, 'buy now buy now buy now buy now'),
+    ], ['doc_id', 'text'])
+    feats = {r['doc_id']: r for r in
+             quality.repetition_features(df).collect()}
+    assert feats[0]['dup_token_ratio'] > 0.8
+    assert feats[1]['dup_token_ratio'] == 0.0
+    assert feats[2]['top_bigram_ratio'] > 0.4
+    assert feats[1]['top_bigram_ratio'] < 0.3
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(
         [(0, 'Hello  World'), (1, 'hello world'), (2, ' HELLO\tWORLD ')],
