@@ -508,11 +508,13 @@ class _CompileState:
     # ---------------- output ----------------
 
     def _warning_row(self, exc, context):
+        extras = getattr(exc, 'extras', None)
         return {
             'line_number': exc.line_number,
             'line': exc.line,
             'position': getattr(exc, 'position', 0),
             'error_class': exc.__class__.__name__,
+            'detail': json.dumps(list(extras), default=str) if extras else None,
             'context': json.dumps(context, sort_keys=True, default=sorted)
             if context else None,
         }

@@ -14,6 +14,9 @@ class BELParserWarning(Exception):
         self.line_number = line_number
         self.line = line
         self.position = position
+        #: class-specific payload (namespace/name/key/value...), in the same
+        #: positional order the reference passes to its warning constructors
+        self.extras = args
 
 
 class BELSyntaxError(BELParserWarning):

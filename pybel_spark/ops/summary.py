@@ -188,6 +188,33 @@ def count_error_types(warnings: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias('n_warnings')).orderBy('error_class')
 
 
+def count_naked_names(warnings: DataFrame) -> DataFrame:
+    """Histogram of names used without a namespace (errors.py:count_naked_names);
+    the name is the first element of the warning's detail payload."""
+    return (
+        warnings
+        .where(F.col('error_class') == 'NakedNameWarning')
+        .select(F.get_json_object('detail', '$[0]').alias('name'))
+        .groupBy('name').agg(F.count(F.lit(1)).alias('n_warnings'))
+        .orderBy('name')
+    )
+
+
+def calculate_incorrect_names(warnings: DataFrame) -> DataFrame:
+    """{namespace → names that failed lookup}
+    (errors.py:calculate_incorrect_name_dict)."""
+    return (
+        warnings
+        .where(F.col('error_class').isin(
+            ['MissingNamespaceNameWarning', 'MissingNamespaceRegexWarning']))
+        .select(F.get_json_object('detail', '$[0]').alias('namespace'),
+                F.get_json_object('detail', '$[1]').alias('name'))
+        .groupBy('namespace')
+        .agg(F.sort_array(F.collect_set('name')).alias('names'))
+        .orderBy('namespace')
+    )
+
+
 def graph_summary(graph: KG, warnings: DataFrame = None) -> dict:
     """graph.py:770-796 summarize.
     Density = E / (V * (V - 1)) for a directed multigraph's simple projection."""

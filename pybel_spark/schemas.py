@@ -58,6 +58,7 @@ WARNING_STRUCT = StructType([
     StructField('line', StringType(), True),
     StructField('position', IntegerType(), True),
     StructField('error_class', StringType(), False),
+    StructField('detail', StringType(), True),
     StructField('context', StringType(), True),
 ])
 

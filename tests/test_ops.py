@@ -167,6 +167,23 @@ def test_enrich_rnas_with_genes(kg):
     assert rna_ids <= covered
 
 
+def test_error_analytics(spark):
+    """Naked-name and incorrect-name analytics read the warnings detail."""
+    from pybel_spark.corpus import generate_documents
+    from pybel_spark.pipeline import build_graph
+
+    result = build_graph(generate_documents(spark, 60, partitions=2))
+    warnings = result.warnings
+    types = summary.count_error_types(warnings).collect()
+    assert types
+    incorrect = summary.calculate_incorrect_names(warnings).collect()
+    # the slushy pool includes p(HGNC:missing)
+    by_ns = {r['namespace']: r['names'] for r in incorrect}
+    assert 'missing' in by_ns.get('HGNC', [])
+    naked = summary.count_naked_names(warnings).collect()
+    assert any(r['name'] == 'AKT1' for r in naked)
+
+
 def test_count_names_by_namespace_recursive(kg, spec):
     """Concept recursion covers fusion partners / variants / members."""
     got = {r['name'] for r in
