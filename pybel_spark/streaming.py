@@ -66,6 +66,70 @@ def start_edge_stream(spark, input_dir: str, out_dir: str, catalog=None,
     return writer.start()
 
 
+def start_citation_stats_stream(spark, input_dir: str, out_dir: str,
+                                catalog=None, compiler_options=None,
+                                trigger_available_now=True):
+    """Custom STATEFUL streaming operator: running per-citation statistics.
+
+    ``applyInPandasWithState`` keeps a (n_edges, n_evidences) accumulator per
+    (citation_db, citation_id) across micro-batches — the pattern for any
+    custom stateful rollup the built-in windowed aggregations can't express.
+    State is checkpointed with the query; a restart resumes the counts.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    parsed = parse_document_stream(
+        read_document_stream(spark, input_dir), catalog, compiler_options)
+    edges = (
+        parsed.select(F.explode('edges').alias('e'))
+        .select('e.citation_db', 'e.citation_id', 'e.evidence')
+        .where(F.col('citation_db').isNotNull())
+    )
+
+    output_schema = ('citation_db string, citation_id string, '
+                     'n_edges long, n_distinct_evidences long')
+    state_schema = 'n_edges long, evidence_hashes array<string>'
+
+    def update(key, pdfs, state):
+        n_new = 0
+        hashes = set()
+        for pdf in pdfs:
+            n_new += len(pdf)
+            hashes.update(pdf['evidence'].dropna().unique().tolist())
+        if state.exists:
+            n_edges, old_hashes = state.get
+            hashes.update(old_hashes or [])
+            n_edges += n_new
+        else:
+            n_edges = n_new
+        hashes = sorted(hashes)
+        state.update((n_edges, hashes))
+        yield pd.DataFrame([{
+            'citation_db': key[0],
+            'citation_id': key[1],
+            'n_edges': n_edges,
+            'n_distinct_evidences': len(hashes),
+        }])
+
+    # operator mode 'append' (emitting the running snapshot each batch) —
+    # the file sink only supports Append; downstream reads take max() per key
+    stats = edges.groupBy('citation_db', 'citation_id').applyInPandasWithState(
+        update, output_schema, state_schema, 'append',
+        GroupStateTimeout.NoTimeout)
+
+    writer = (
+        stats.writeStream
+        .format('parquet')
+        .option('path', os.path.join(out_dir, 'citation_stats'))
+        .option('checkpointLocation', os.path.join(out_dir, 'stats_checkpoint'))
+        .outputMode('append')
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def read_stream_output(spark, out_dir: str) -> dict:
     """Batch views over the streamed edge log with content-hash dedup."""
     edges = spark.read.parquet(os.path.join(out_dir, 'edges_log')) \

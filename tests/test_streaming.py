@@ -27,6 +27,43 @@ def expected_triples(n_docs):
     return out
 
 
+def test_stateful_citation_stats(spark, dirs):
+    """applyInPandasWithState accumulates per-citation counts across
+    micro-batches and survives a query restart (checkpointed state)."""
+    import os
+    from pybel_spark.streaming import start_citation_stats_stream
+
+    generate_documents(spark, 40, partitions=2) \
+        .write.mode('append').parquet(dirs['input'])
+    q = start_citation_stats_stream(spark, dirs['input'], dirs['out'])
+    q.awaitTermination(120)
+
+    stats_path = os.path.join(dirs['out'], 'citation_stats')
+    first = spark.read.parquet(stats_path)
+    latest1 = {(r['citation_db'], r['citation_id']): r['n_edges']
+               for r in first.groupBy('citation_db', 'citation_id')
+               .agg({'n_edges': 'max'})
+               .withColumnRenamed('max(n_edges)', 'n_edges').collect()}
+    assert latest1
+
+    # second batch: same units appear in more documents → counts grow for
+    # at least one citation after the restart picks up the new files
+    import pyspark.sql.functions as F
+    docs2 = generate_documents(spark, 80, partitions=2) \
+        .where(F.split(F.col('url'), '/').getItem(4).cast('int') >= 40)
+    docs2.write.mode('append').parquet(dirs['input'])
+    q2 = start_citation_stats_stream(spark, dirs['input'], dirs['out'])
+    q2.awaitTermination(120)
+
+    second = spark.read.parquet(stats_path)
+    latest2 = {(r['citation_db'], r['citation_id']): r['n_edges']
+               for r in second.groupBy('citation_db', 'citation_id')
+               .agg({'n_edges': 'max'})
+               .withColumnRenamed('max(n_edges)', 'n_edges').collect()}
+    assert any(latest2[k] > latest1.get(k, 0) for k in latest2)
+    assert all(latest2.get(k, 0) >= v for k, v in latest1.items())
+
+
 def test_streaming_incremental_parse(spark, dirs):
     # batch 1: docs 0..59 land
     generate_documents(spark, 60, partitions=2) \
