@@ -35,13 +35,15 @@ spark = (SparkSession.builder
     .config('spark.cores.max', str(cores_max))
     .config('spark.sql.shuffle.partitions', str(max(2 * cores_max, 16)))
     .config('spark.sql.adaptive.enabled', 'true')
+    .config('spark.sql.files.maxPartitionBytes', '524288')
+    .config('spark.sql.files.openCostInBytes', '65536')
     .config('spark.sql.execution.arrow.maxRecordsPerBatch', '2048')
     .config('spark.ui.enabled', 'false')
     .getOrCreate())
 spark.sparkContext.setLogLevel('ERROR')
 spark.sparkContext.addPyFile("@REPO@/dist/pybel_spark.zip")
 docs = spark.read.parquet("@CORPUS@")
-extract_triples(docs.limit(3000)).count()  # warm-up
+extract_triples(docs).count()  # full warm-up pass: touches every executor's Python workers
 walls = []
 for _ in range(2):
     t0 = time.time()
