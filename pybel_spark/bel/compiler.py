@@ -58,6 +58,10 @@ def sanitize_lines(lines):
     return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8192)  # header/boilerplate lines repeat per page
 def _trailing_comment_index(line):
     if '//' not in line:  # fast path: the vast majority of lines
         return None

@@ -60,25 +60,42 @@ class Scanner:
     def error(self, message='syntax error'):
         return BELSyntaxError(self.line_number, self.text, self.pos, message)
 
+    # NOTE: whitespace skipping is fused into each method (instead of a
+    # shared skip_ws call) — the tokenizer is the hottest code path and
+    # Python function-call overhead dominates it.
+
     def skip_ws(self):
         text, n = self.text, self.n
         i = self.pos
-        while i < n and text[i] in ' \t':
+        while i < n and (text[i] == ' ' or text[i] == '\t'):
             i += 1
         self.pos = i
 
     def eof(self):
-        self.skip_ws()
-        return self.pos >= self.n
+        text, n = self.text, self.n
+        i = self.pos
+        while i < n and (text[i] == ' ' or text[i] == '\t'):
+            i += 1
+        self.pos = i
+        return i >= n
 
     def peek(self):
-        self.skip_ws()
-        return self.text[self.pos] if self.pos < self.n else ''
+        text, n = self.text, self.n
+        i = self.pos
+        while i < n and (text[i] == ' ' or text[i] == '\t'):
+            i += 1
+        self.pos = i
+        return text[i] if i < n else ''
 
     def try_char(self, c):
-        if self.peek() == c:
-            self.pos += 1
+        text, n = self.text, self.n
+        i = self.pos
+        while i < n and (text[i] == ' ' or text[i] == '\t'):
+            i += 1
+        if i < n and text[i] == c:
+            self.pos = i + 1
             return True
+        self.pos = i
         return False
 
     def expect(self, c):
@@ -87,46 +104,60 @@ class Scanner:
 
     def read_word(self, charset=_WORD_CHARS):
         """Read a maximal run of charset characters (pyparsing Word)."""
-        self.skip_ws()
         text, n = self.text, self.n
         i = self.pos
+        while i < n and (text[i] == ' ' or text[i] == '\t'):
+            i += 1
+        start = i
         while i < n and text[i] in charset:
             i += 1
-        if i == self.pos:
+        if i == start:
+            self.pos = start
             raise self.error('expected word')
-        w = text[self.pos:i]
         self.pos = i
-        return w
+        return text[start:i]
 
     def try_word(self, charset=_WORD_CHARS):
-        try:
-            save = self.pos
-            return self.read_word(charset)
-        except BELSyntaxError:
-            self.pos = save
+        """read_word without exception overhead on mismatch (hot path)."""
+        text, n = self.text, self.n
+        i = self.pos
+        while i < n and (text[i] == ' ' or text[i] == '\t'):
+            i += 1
+        start = i
+        while i < n and text[i] in charset:
+            i += 1
+        if i == start:
             return None
+        self.pos = i
+        return text[start:i]
 
     def read_quoted(self):
         """Read a double-quoted string; escaped chars kept verbatim
-        (pyparsing dblQuotedString + removeQuotes)."""
-        self.skip_ws()
+        (pyparsing dblQuotedString + removeQuotes). Scans with str.find
+        (C-level) instead of per-char stepping."""
         text, n = self.text, self.n
-        if self.pos >= n or text[self.pos] != '"':
-            raise self.error('expected quoted string')
-        i = self.pos + 1
-        out = []
-        while i < n:
-            c = text[i]
-            if c == '\\' and i + 1 < n:
-                out.append(text[i:i + 2])
-                i += 2
-                continue
-            if c == '"':
-                self.pos = i + 1
-                return ''.join(out)
-            out.append(c)
+        i = self.pos
+        while i < n and (text[i] == ' ' or text[i] == '\t'):
             i += 1
-        raise self.error('unterminated quoted string')
+        if i >= n or text[i] != '"':
+            self.pos = i
+            raise self.error('expected quoted string')
+        k = i + 1
+        out = []
+        find = text.find
+        while True:
+            q = find('"', k)
+            if q == -1:
+                self.pos = i
+                raise self.error('unterminated quoted string')
+            b = find('\\', k, q)
+            if b == -1:
+                out.append(text[k:q])
+                self.pos = q + 1
+                return ''.join(out)
+            out.append(text[k:b])
+            out.append(text[b:b + 2])  # escape sequence kept verbatim
+            k = b + 2
 
     def read_word_or_quoted(self):
         if self.peek() == '"':
