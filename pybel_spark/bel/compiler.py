@@ -184,6 +184,9 @@ class DocumentCompiler:
         # memoize parsed (metadata, definitions, term parser) per distinct
         # header so each executor pays the definition cost once per header
         self._header_cache = {}
+        # node rows (md5 + flat columns + canonical JSON) are pure functions
+        # of the canonical BEL string — share them across documents
+        self._node_row_cache = {}
 
     def compile(self, lines):
         """Compile raw lines → dict of row lists (nodes, edges, warnings,
@@ -431,21 +434,32 @@ class _CompileState:
         bel = model.node_as_bel(node)
         if bel in self.nodes:
             return bel
-        variants = node.get('variants') or []
-        self.nodes[bel] = {
-            'node_bel': bel,
-            'node_id': model.node_md5(node),
-            'function': node['function'],
-            'namespace': (node.get('concept') or {}).get('namespace'),
-            'name': (node.get('concept') or {}).get('name'),
-            'identifier': (node.get('concept') or {}).get('identifier'),
-            'variant_kinds': sorted({v['kind'] for v in variants}) or None,
-            'n_members': len(node['members']) if node.get('members') is not None else None,
-            'n_reactants': len(node['reactants']) if node.get('reactants') else None,
-            'n_products': len(node['products']) if node.get('products') else None,
-            'has_fusion': bool(node.get('fusion')),
-            'node_json': json.dumps(node, sort_keys=True, separators=(',', ':')),
-        }
+        row_cache = self.config._node_row_cache
+        row = row_cache.get(bel)
+        if row is None:
+            variants = node.get('variants') or []
+            concept = node.get('concept') or {}
+            row = {
+                'node_bel': bel,
+                'node_id': model.node_md5(node),
+                'function': node['function'],
+                'namespace': concept.get('namespace'),
+                'name': concept.get('name'),
+                'identifier': concept.get('identifier'),
+                'variant_kinds': sorted({v['kind'] for v in variants}) or None,
+                'n_members': len(node['members'])
+                if node.get('members') is not None else None,
+                'n_reactants': len(node['reactants'])
+                if node.get('reactants') else None,
+                'n_products': len(node['products'])
+                if node.get('products') else None,
+                'has_fusion': bool(node.get('fusion')),
+                'node_json': json.dumps(node, sort_keys=True,
+                                        separators=(',', ':')),
+            }
+            if len(row_cache) < 65536:  # bound executor memory
+                row_cache[bel] = row
+        self.nodes[bel] = row
         self._node_cache_put(bel, node)
 
         if node.get('variants'):
