@@ -166,6 +166,27 @@ def iter_annotation_value_pairs(graph: KG) -> DataFrame:
     )
 
 
+def stratify_edges_by_annotation(graph: KG, key: str) -> DataFrame:
+    """Edges exploded per value of one annotation key, with a sentinel for
+    edges lacking it (reference struct/grouping/annotations.py:18-66).
+    Write with ``.write.partitionBy('annotation_value')`` to materialize one
+    subgraph per value — partition pruning then serves per-value reads."""
+    values = F.coalesce(
+        F.col('annotations').getItem(key),
+        F.array(F.lit('__missing__')),
+    )
+    return (
+        graph.edges
+        .withColumn('annotation_value', F.explode(values))
+    )
+
+
+def write_subgraphs_by_annotation(graph: KG, key: str, path: str) -> None:
+    """Materialize annotation-stratified subgraphs as a partitioned table."""
+    (stratify_edges_by_annotation(graph, key)
+     .write.mode('overwrite').partitionBy('annotation_value').parquet(path))
+
+
 def get_pubmed_identifiers(graph: KG) -> DataFrame:
     """distinct PMIDs (provenance.py:16-33)."""
     return (

@@ -167,6 +167,21 @@ def test_enrich_rnas_with_genes(kg):
     assert rna_ids <= covered
 
 
+def test_stratify_by_annotation(kg, tmp_path):
+    strat = summary.stratify_edges_by_annotation(kg, 'Species')
+    values = {r['annotation_value'] for r in
+              strat.select('annotation_value').distinct().collect()}
+    assert '9606' in values and '__missing__' in values
+    path = str(tmp_path / 'by_species')
+    summary.write_subgraphs_by_annotation(kg, 'Species', path)
+    spark = kg.edges.sparkSession
+    human = spark.read.parquet(path).where("annotation_value = '9606'")
+    assert human.count() > 0
+    # partition pruning: the filter appears as a partition filter in the scan
+    plan = human._jdf.queryExecution().executedPlan().toString()
+    assert 'annotation_value' in plan
+
+
 def test_error_analytics(spark):
     """Naked-name and incorrect-name analytics read the warnings detail."""
     from pybel_spark.corpus import generate_documents
