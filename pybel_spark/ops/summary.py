@@ -187,6 +187,30 @@ def write_subgraphs_by_annotation(graph: KG, key: str, path: str) -> None:
      .write.mode('overwrite').partitionBy('annotation_value').parquet(path))
 
 
+def stratify_edges_by_citation(graph: KG) -> DataFrame:
+    """Edges keyed by citation for per-citation subgraph writes
+    (struct/grouping/provenance.py:15)."""
+    return graph.edges.withColumn(
+        'citation_key',
+        F.coalesce(F.concat_ws(':', 'citation_db', 'citation_id'),
+                   F.lit('__unqualified__')))
+
+
+def count_metaedges(graph: KG) -> DataFrame:
+    """Edge histogram by canonical meta-edge: (relation, subject-modifier
+    kind, object-modifier kind) — reference edge_summary.py:155-170."""
+    return (
+        graph.edges
+        .groupBy('relation',
+                 F.coalesce('subject_modifier_kind', F.lit('-'))
+                 .alias('subject_modifier_kind'),
+                 F.coalesce('object_modifier_kind', F.lit('-'))
+                 .alias('object_modifier_kind'))
+        .agg(F.count(F.lit(1)).alias('n_edges'))
+        .orderBy('relation', 'subject_modifier_kind', 'object_modifier_kind')
+    )
+
+
 def get_pubmed_identifiers(graph: KG) -> DataFrame:
     """distinct PMIDs (provenance.py:16-33)."""
     return (

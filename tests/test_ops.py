@@ -167,6 +167,19 @@ def test_enrich_rnas_with_genes(kg):
     assert rna_ids <= covered
 
 
+def test_metaedges_and_citation_stratification(kg):
+    meta = summary.count_metaedges(kg).collect()
+    assert sum(r['n_edges'] for r in meta) == kg.edges.count()
+    kinds = {(r['relation'], r['subject_modifier_kind'],
+              r['object_modifier_kind']) for r in meta}
+    assert any(k[1] == 'Activity' or k[2] == 'Activity' for k in kinds)
+    strat = summary.stratify_edges_by_citation(kg)
+    keys = {r['citation_key'] for r in
+            strat.select('citation_key').distinct().collect()}
+    assert '__unqualified__' in keys
+    assert any(k.startswith('PubMed:') for k in keys)
+
+
 def test_stratify_by_annotation(kg, tmp_path):
     strat = summary.stratify_edges_by_annotation(kg, 'Species')
     values = {r['annotation_value'] for r in
