@@ -192,8 +192,8 @@ def stratify_edges_by_citation(graph: KG) -> DataFrame:
     (struct/grouping/provenance.py:15)."""
     return graph.edges.withColumn(
         'citation_key',
-        F.coalesce(F.concat_ws(':', 'citation_db', 'citation_id'),
-                   F.lit('__unqualified__')))
+        F.when(F.col('citation_db').isNull(), F.lit('__unqualified__'))
+        .otherwise(F.concat_ws(':', 'citation_db', 'citation_id')))
 
 
 def count_metaedges(graph: KG) -> DataFrame:
