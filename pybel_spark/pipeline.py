@@ -39,20 +39,27 @@ def mask_non_bel_lines(text):
     ]
 
 
-def make_parse_func(catalog, compiler_options=None):
+def make_parse_func(catalog, compiler_options=None, spark=None):
     """Build the Arrow-batched parse function for ``mapInPandas``.
 
-    ``catalog`` must be picklable (DictCatalog / ResourceCatalog); it ships to
-    executors once inside the task closure and is reused across batches.
+    ``catalog`` must be picklable (DictCatalog / ResourceCatalog). When a
+    SparkSession is provided, the catalog ships as a BROADCAST variable —
+    serialized once and cached per executor — instead of being pickled into
+    every task closure; at real namespace scale (HGNC/GO/CHEBI, tens of MB)
+    that is the difference between per-task and per-executor transfer.
     """
     import hashlib
 
     import pandas as pd
 
     options = compiler_options or {}
+    catalog_bc = None
+    if spark is not None:
+        catalog_bc = spark.sparkContext.broadcast(catalog)
 
     def parse(batches):
-        compiler = DocumentCompiler(resources=catalog, **options)
+        resources = catalog_bc.value if catalog_bc is not None else catalog
+        compiler = DocumentCompiler(resources=resources, **options)
         for pdf in batches:
             out = {k: [] for k in (
                 'url', 'lang', 'text_sha256', 'n_lines', 'n_statements',
@@ -98,9 +105,10 @@ def extract_triples(documents: DataFrame, catalog=None,
     if catalog is None:
         catalog = load_corpus_catalog()
     options = compiler_options or {}
+    catalog_bc = documents.sparkSession.sparkContext.broadcast(catalog)
 
     def parse(batches):
-        compiler = DocumentCompiler(resources=catalog, **options)
+        compiler = DocumentCompiler(resources=catalog_bc.value, **options)
         for pdf in batches:
             subjects, predicates, objects = [], [], []
             htmls = pdf['html'] if 'html' in pdf else [None] * len(pdf)
@@ -189,7 +197,8 @@ def build_graph(documents: DataFrame, catalog=None, compiler_options=None,
     """Run the parse pipeline over a documents DataFrame."""
     if catalog is None:
         catalog = load_corpus_catalog()
-    parse = make_parse_func(catalog, compiler_options)
+    parse = make_parse_func(catalog, compiler_options,
+                            spark=documents.sparkSession)
     # prune to the columns the UDF consumes (mapInPandas defeats automatic
     # column pruning): warc_ts never reaches the parser
     parsed = documents.select('url', 'html', 'text', 'lang') \

@@ -36,7 +36,8 @@ def parse_document_stream(documents: DataFrame, catalog=None,
     """The streaming parse: identical mapInPandas stage as the batch path."""
     if catalog is None:
         catalog = load_corpus_catalog()
-    parse = make_parse_func(catalog, compiler_options)
+    parse = make_parse_func(catalog, compiler_options,
+                            spark=documents.sparkSession)
     return documents.mapInPandas(parse, schema=PARSED_SCHEMA)
 
 
