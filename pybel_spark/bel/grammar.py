@@ -894,8 +894,6 @@ class BELTermParser:
 
         if relation in CAUSAL_POLAR_RELATIONS and s.peek() == '(':
             # nested statement: a -> (b -> c) (parse_bel.py:606-620)
-            if self.disallow_nested:
-                raise NestedRelationWarning(s.line_number, line, s.pos)
             s.expect('(')
             inner_subject = self.parse_term(s)
             inner_relation, _ = self.parse_relation_token(s)
@@ -903,6 +901,10 @@ class BELTermParser:
                 raise s.error('nested relation must be causal')
             inner_object = self.parse_term(s)
             s.expect(')')
+            if self.disallow_nested:
+                # the reference's handler fires AFTER the whole nested match,
+                # so inner-term warnings win over NestedRelationWarning
+                raise NestedRelationWarning(s.line_number, line, s.pos)
             return {
                 'type': 'nested', 'subject': subject, 'relation': relation,
                 'object': {'type': 'relation', 'subject': inner_subject,

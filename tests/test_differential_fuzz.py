@@ -106,12 +106,23 @@ def random_statement(rng):
             rng.choice(PROTEINS), rng.choice(PROTEINS))
     if roll < 0.25:  # singleton term line
         return random_term(rng)
+    if roll < 0.28:  # naked name (warning, or DIRTY node when allowed)
+        return 'p({}) -> p(HGNC:{})'.format(
+            rng.choice(PROTEINS), rng.choice(PROTEINS))
     return '{} {} {}'.format(random_term(rng), rng.choice(RELATIONS),
                              random_term(rng))
 
 
-@pytest.mark.parametrize('seed', [1, 2, 3, 4, 5, 6, 7, 8])
-def test_differential_fuzz(seed):
+@pytest.mark.parametrize('seed,options', [
+    (1, {}), (2, {}), (3, {}), (4, {}),
+    (5, {'allow_naked_names': True}),
+    (6, {'allow_naked_names': True}),
+    (7, {'citation_clearing': False}),
+    (8, {'citation_clearing': False}),
+    (9, {'disallow_nested': True}),
+    (10, {'allow_naked_names': True, 'citation_clearing': False}),
+])
+def test_differential_fuzz(seed, options):
     import logging
     logging.disable(logging.CRITICAL)
     from reference_oracle import compile_bel_lines, graph_to_golden
@@ -130,8 +141,8 @@ def test_differential_fuzz(seed):
             statements.append('UNSET ALL')
     lines = HEADER + statements
 
-    ref = graph_to_golden(compile_bel_lines(lines))
-    ours = DocumentCompiler(resources=reference_catalog()).compile(lines)
+    ref = graph_to_golden(compile_bel_lines(lines, **options))
+    ours = DocumentCompiler(resources=reference_catalog(), **options).compile(lines)
 
     got_nodes = sorted(r['node_bel'] for r in ours['nodes'])
     exp_nodes = sorted(r['bel'] for r in ref['nodes'])
