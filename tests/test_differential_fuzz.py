@@ -121,6 +121,10 @@ def random_statement(rng):
     (8, {'citation_clearing': False}),
     (9, {'disallow_nested': True}),
     (10, {'allow_naked_names': True, 'citation_clearing': False}),
+    (11, {'disallow_unqualified_translocations': True}),
+    (12, {'required_annotations': ['Species']}),
+    (13, {'disallow_nested': True, 'allow_naked_names': True}),
+    (14, {}), (15, {}), (16, {}),
 ])
 def test_differential_fuzz(seed, options):
     import logging
@@ -136,9 +140,16 @@ def test_differential_fuzz(seed, options):
         if rng.random() < 0.3:
             statements.append('SET Species = "{}"'.format(
                 rng.choice(['9606', '10090', '10116'])))
+        if rng.random() < 0.1:
+            statements.append('SET STATEMENT_GROUP = "g{}"'.format(i % 5))
         statements.append(random_statement(rng))
-        if rng.random() < 0.15:
+        roll = rng.random()
+        if roll < 0.1:
             statements.append('UNSET ALL')
+        elif roll < 0.18:
+            statements.append('UNSET Species')  # may warn if not set
+        elif roll < 0.22:
+            statements.append('UNSET {Species, Evidence}')
     lines = HEADER + statements
 
     ref = graph_to_golden(compile_bel_lines(lines, **options))
@@ -148,12 +159,16 @@ def test_differential_fuzz(seed, options):
     exp_nodes = sorted(r['bel'] for r in ref['nodes'])
     assert got_nodes == exp_nodes
 
-    got_edges = sorted((e['source_bel'], e['relation'], e['target_bel'],
-                        e['citation_id'], e['evidence'])
-                       for e in ours['edges'])
-    exp_edges = sorted((e['source'], e['relation'], e['target'],
-                        e['citation_id'], e['evidence'])
-                       for e in ref['edges'])
+    def norm(rows):
+        return sorted(tuple('' if v is None else v for v in row)
+                      for row in rows)
+
+    got_edges = norm((e['source_bel'], e['relation'], e['target_bel'],
+                      e['citation_id'], e['evidence'])
+                     for e in ours['edges'])
+    exp_edges = norm((e['source'], e['relation'], e['target'],
+                      e['citation_id'], e['evidence'])
+                     for e in ref['edges'])
     assert got_edges == exp_edges
 
     # triples compare as SETS — the reference's get_triples dedupes
