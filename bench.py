@@ -22,6 +22,18 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
+def _ship_package(spark):
+    """Make pybel_spark importable on executors from any working directory."""
+    try:
+        sys.path.insert(0, os.path.join(REPO, 'scripts'))
+        import make_pyfiles
+        make_pyfiles.main()
+        spark.sparkContext.addPyFile(
+            os.path.join(REPO, 'dist', 'pybel_spark.zip'))
+    except Exception:
+        pass  # repo-cwd local mode works via sys.path
+
+
 def main():
     sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
     cores = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
@@ -35,6 +47,7 @@ def main():
 
     spark = get_spark(app_name='pybel-spark-bench', cores=cores)
     spark.sparkContext.setLogLevel('ERROR')
+    _ship_package(spark)
 
     base_rows = spark.read.parquet(f'{sf_dir}/documents.parquet').count()
     n_docs = base_rows * mult
