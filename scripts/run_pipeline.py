@@ -41,6 +41,15 @@ def main():
 
     spark = get_spark(app_name='pybel-spark-pipeline', cores=args.cores)
     spark.sparkContext.setLogLevel('WARN')
+    # make pybel_spark importable on executors from any working directory
+    try:
+        import make_pyfiles
+        make_pyfiles.main()
+        spark.sparkContext.addPyFile(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            'dist', 'pybel_spark.zip'))
+    except Exception:
+        pass
 
     if args.synthetic:
         documents = generate_documents(spark, args.synthetic)
