@@ -241,7 +241,10 @@ def run_checkpointed(spark, documents: DataFrame, out_dir: str,
     if not todo:
         return {'skipped_buckets': len(done), 'processed_buckets': 0}
 
-    docs = docs.persist()
+    # NOTE: the raw documents table is deliberately NOT persisted — at design
+    # scale (100 TB of html/text) caching the input is impossible; the bucket
+    # column is a cheap xxhash64 recomputed per scan, and each commit group's
+    # scan is pruned by the bucket filter.
     group_size = max(1, (len(todo) + commit_groups - 1) // commit_groups)
     n_processed = 0
     for start in range(0, len(todo), group_size):
@@ -268,22 +271,30 @@ def run_checkpointed(spark, documents: DataFrame, out_dir: str,
 
         # lineage commits LAST within the unit: a kill before this point
         # leaves the group marked not-done; the re-run reprocesses it and the
-        # content-hash dedup at read time absorbs the partial outputs
+        # content-hash dedup at read time absorbs the partial outputs.
+        # Left join against the full group so buckets with zero documents
+        # still get a 'done' row (otherwise a resume would re-scan them
+        # forever), and n_processed comes from the group list — no extra job.
+        group_df = spark.createDataFrame([(b,) for b in group],
+                                         'bucket int')
         lineage = (
-            parsed.groupBy('bucket').agg(
-                F.count('*').alias('n_docs'),
-                F.sum('n_statements').alias('n_statements'),
-                F.sum(F.size('edges')).alias('n_edges'),
-                F.sum(F.size('warnings')).alias('n_warnings'),
-            )
+            group_df.join(
+                parsed.groupBy('bucket').agg(
+                    F.count('*').alias('n_docs'),
+                    F.sum('n_statements').alias('n_statements'),
+                    F.sum(F.size('edges')).alias('n_edges'),
+                    F.sum(F.size('warnings')).alias('n_warnings'),
+                ),
+                on='bucket', how='left')
+            .fillna(0, subset=['n_docs', 'n_statements', 'n_edges',
+                               'n_warnings'])
             .withColumn('status', F.lit('done'))
             .select(*[f.name for f in LINEAGE_SCHEMA.fields])
         )
         lineage.write.mode('append').parquet(lineage_path)
-        n_processed += parsed.select('bucket').distinct().count()
+        n_processed += len(group)
         parsed.unpersist()
 
-    docs.unpersist()
     return {'skipped_buckets': len(done), 'processed_buckets': n_processed}
 
 

@@ -29,6 +29,12 @@ def salted_count(df: DataFrame, key_col: str, salt_buckets: int = 32,
 
     phase 1 groups by (key, salt) — the hot key's rows split across
     salt_buckets reducers; phase 2 sums the (small) partials by key.
+
+    The salt is derived from the physical row position, so the phase-1
+    partial counts depend on partition layout; the FINAL counts are exact
+    regardless (partials sum commutatively). A content-derived salt would
+    NOT work here: duplicate rows of a hot key would hash to one salt
+    bucket and re-create the skew this exists to remove.
     """
     salted = df.withColumn(
         '_salt', F.pmod(F.xxhash64(F.monotonically_increasing_id()),
