@@ -243,6 +243,10 @@ def to_cx(nodes: DataFrame, edges: DataFrame, name='pybel-spark graph') -> list:
         if row['evidence'] is not None:
             edge_attributes.append({'po': j, 'n': 'evidence',
                                     'v': row['evidence']})
+        for side in ('subject_modifier', 'object_modifier'):
+            if row[side] is not None:
+                edge_attributes.append({'po': j, 'n': side, 'v': row[side],
+                                        'd': 'json'})
         for key, values in sorted((row['annotations'] or {}).items()):
             edge_attributes.append({'po': j, 'n': key, 'v': list(values),
                                     'd': 'list_of_string'})
@@ -453,3 +457,167 @@ def to_bel_script_lines(nodes: DataFrame, edges: DataFrame,
         lines.append('UNSET SupportingText')
         lines.append('UNSET Citation')
     return lines
+
+
+# ------------------------------ importers ------------------------------ #
+
+def compile_interchange(spark, statement_lines, header_lines,
+                        catalog=None, compiler_options=None):
+    """Compile reconstructed BEL lines → (nodes, edges) DataFrames.
+
+    Shared backend of :func:`from_cx` / :func:`from_jgif`: both formats are
+    re-parsed through the full BEL compiler — the same strategy as the
+    reference, whose ``from_jgif`` feeds node labels and statements back
+    through its parser (io/jgif.py:205-296). Driver-side compile: these are
+    small-subgraph interchange formats (mirror of the collect()-based
+    exports); the scale path for graphs is parquet/nodelink-lines.
+    """
+    from .bel.compiler import DocumentCompiler
+    from .corpus import load_corpus_catalog
+    from .schemas import EDGE_STRUCT, NODE_STRUCT
+
+    if catalog is None:
+        catalog = load_corpus_catalog()
+    compiler = DocumentCompiler(resources=catalog, **(compiler_options or {}))
+    result = compiler.compile(list(header_lines) + [''] + list(statement_lines))
+    nodes = spark.createDataFrame(result['nodes'], NODE_STRUCT)
+    edges = spark.createDataFrame(result['edges'], EDGE_STRUCT)
+    return nodes, edges
+
+
+def _set_block(citation_db, citation_id, evidence, annotations):
+    """SET lines for one qualified statement context + matching UNSETs."""
+    lines = ['SET Citation = {{"{}", "{}"}}'.format(citation_db, citation_id)]
+    if evidence is not None:
+        lines.append('SET SupportingText = "{}"'.format(evidence))
+    keys = sorted(annotations or {})
+    for key in keys:
+        values = sorted(annotations[key])
+        if len(values) == 1:
+            lines.append('SET {} = "{}"'.format(key, values[0]))
+        else:
+            lines.append('SET {} = {{{}}}'.format(
+                key, ', '.join('"{}"'.format(v) for v in values)))
+    unset = ['UNSET {}'.format(k) for k in reversed(keys)]
+    if evidence is not None:
+        unset.append('UNSET SupportingText')
+    unset.append('UNSET Citation')
+    return lines, unset
+
+
+def from_cx(spark, cx: list, header_lines, catalog=None,
+            compiler_options=None):
+    """Inverse of :func:`to_cx` (reference io/cx.py:365-560): rebuild the
+    graph by re-rendering each CX edge (+ its citation/evidence/annotation/
+    modifier attributes) as a BEL statement and compiling.
+
+    ``header_lines`` supplies the DEFINE NAMESPACE/ANNOTATION block (CX does
+    not carry resource definitions, same as the reference, which resolves
+    them out-of-band)."""
+    aspects = {}
+    for item in cx:
+        for key, value in item.items():
+            aspects.setdefault(key, []).extend(value)
+
+    labels = {n['@id']: n['n'] for n in aspects.get('nodes', [])}
+    edge_attrs = {}
+    for attr in aspects.get('edgeAttributes', []):
+        edge_attrs.setdefault(attr['po'], {})[attr['n']] = attr['v']
+
+    lines = []
+    used_nodes = set()
+    unqualified = []
+    for edge in aspects.get('edges', []):
+        attrs = edge_attrs.get(edge['@id'], {})
+        citation = attrs.get('citation')
+        used_nodes.add(edge['s'])
+        used_nodes.add(edge['t'])
+        if citation is None:
+            # unqualified edge: container edges (hasComponent/partOf)
+            # regenerate from the member terms, but explicit ones (isA,
+            # hasMembers distribution) must be restated in the footer —
+            # same treatment as to_bel_script_lines
+            unqualified.append('{} {} {}'.format(
+                labels[edge['s']], edge['i'], labels[edge['t']]))
+            continue
+        db, _, db_id = citation.partition(':')
+        annotations = {
+            k: v for k, v in attrs.items()
+            if k not in ('citation', 'evidence',
+                         'subject_modifier', 'object_modifier')}
+        sets, unsets = _set_block(db, db_id, attrs.get('evidence'),
+                                  annotations)
+        sm = attrs.get('subject_modifier')
+        om = attrs.get('object_modifier')
+        statement = edge_to_bel(
+            labels[edge['s']], labels[edge['t']], edge['i'],
+            json.loads(sm) if sm else None,
+            json.loads(om) if om else None)
+        lines.extend(sets)
+        lines.append(statement)
+        lines.extend(unsets)
+
+    isolated = [bel for nid, bel in sorted(labels.items())
+                if nid not in used_nodes]
+    if isolated or unqualified:
+        lines.append('SET Citation = {{"PubMed", "{}"}}'.format(AUTO_PMID))
+        lines.append('SET SupportingText = "{}"'.format(AUTO_EVIDENCE))
+        lines.extend(sorted(unqualified))
+        lines.extend(isolated)
+        lines.append('UNSET SupportingText')
+        lines.append('UNSET Citation')
+
+    return compile_interchange(spark, lines, header_lines, catalog,
+                               compiler_options)
+
+
+def from_jgif(spark, payload: dict, header_lines, catalog=None,
+              compiler_options=None):
+    """Inverse of :func:`to_jgif` (reference io/jgif.py:205-296): node
+    labels are parsed as bare terms; each qualified edge's label statement
+    is compiled once per evidence under that evidence's citation/annotation
+    context. Unqualified relations and evidence-less edges are skipped
+    exactly like the reference (they regenerate from the member terms)."""
+    root = payload['graph']
+    lines = []
+    for edge in root.get('edges', []):
+        relation = edge.get('relation')
+        statement = edge.get('label')
+        if relation is None or statement is None:
+            continue
+        evidences = (edge.get('metadata') or {}).get('evidences') or []
+        if relation in UNQUALIFIED_EDGES and not evidences:
+            # structural container edge — regenerates from the member terms
+            # (reference leaves ALL unqualified relations behind with a
+            # `pass  # FIXME`; we keep the ones that carry evidence, since
+            # isA/transcribedTo/equivalentTo also occur as qualified
+            # statements)
+            continue
+        for evidence in evidences:
+            citation = evidence.get('citation') or {}
+            db = citation.get('db') or citation.get('type')
+            db_id = citation.get('db_id') or citation.get('id')
+            if not db or not db_id:
+                continue
+            summary = (evidence.get('summary_text') or '').strip()
+            if not summary:
+                continue
+            sets, unsets = _set_block(
+                db.strip(), str(db_id).strip(), summary,
+                evidence.get('annotations')
+                or evidence.get('experiment_context') or {})
+            lines.extend(sets)
+            lines.append(statement)
+            lines.extend(unsets)
+
+    node_labels = sorted(
+        n['label'] for n in root.get('nodes', []) if n.get('label'))
+    if node_labels:
+        lines.append('SET Citation = {{"PubMed", "{}"}}'.format(AUTO_PMID))
+        lines.append('SET SupportingText = "{}"'.format(AUTO_EVIDENCE))
+        lines.extend(node_labels)
+        lines.append('UNSET SupportingText')
+        lines.append('UNSET Citation')
+
+    return compile_interchange(spark, lines, header_lines, catalog,
+                               compiler_options)

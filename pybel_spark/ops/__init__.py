@@ -8,5 +8,9 @@ unionByName + content-hash dedup. Every operation is registered in the
 JSON-serializable Pipeline registry (registry.py).
 """
 from .graph import KG, induce_by_nodes, left_full_join, node_intersection, union  # noqa: F401
-from . import filters, induction, collapse, inference, deletion, summary  # noqa: F401
+from .components import (  # noqa: F401
+    connected_components, count_components, get_largest_component,
+    left_outer_join,
+)
+from . import components, filters, induction, collapse, inference, deletion, summary  # noqa: F401
 from .registry import Pipeline, register, get_transform  # noqa: F401

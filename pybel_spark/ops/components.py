@@ -1,0 +1,120 @@
+"""Weakly connected components and component-aware graph joins.
+
+Reference: ``struct/operations.py:74-96`` (left_outer_join: keep only the
+components of ``h`` that touch ``g``) and ``struct/graph.py:770-796``
+(``Number of Components`` in the graph summary). The reference delegates to
+``networkx.weakly_connected_components``; here it is the distributed
+hash-min label propagation: every node starts labeled with its own id and
+repeatedly takes the minimum label over itself and its (undirected)
+neighbors. Convergence is one round per hop of component diameter — BEL
+knowledge graphs are hub-dominated with tiny diameters, so a handful of
+shuffle rounds suffices. Each round is a single equi-join + min-aggregate
+on uniformly-distributed md5 node ids (skew-free by construction); lineage
+is truncated per round with ``localCheckpoint`` so plans stay flat at any
+iteration count.
+"""
+from pyspark.sql import DataFrame, functions as F
+
+from .graph import KG, induce_by_nodes, left_full_join
+
+
+def connected_components(graph: KG, max_iterations: int = 50) -> DataFrame:
+    """(node_id, component) labeling of weakly connected components.
+
+    The component label is the lexicographic minimum node_id in the
+    component — deterministic and engine-independent (no hashing of ids,
+    so no collision risk at any scale).
+    """
+    edges = (
+        graph.edges
+        .select('source_id', 'target_id')
+        .where(F.col('source_id') != F.col('target_id'))
+        .distinct()
+    )
+    # symmetrize: weakly connected ignores direction
+    sym = edges.unionByName(
+        edges.select(F.col('target_id').alias('source_id'),
+                     F.col('source_id').alias('target_id'))
+    ).distinct().persist()
+
+    labels = graph.nodes.select(
+        'node_id', F.col('node_id').alias('component'))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed('node_id', 'source_id'),
+                     on='source_id')
+            .groupBy(F.col('target_id').alias('node_id'))
+            .agg(F.min('component').alias('neighbor_component'))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on='node_id', how='left')
+            .select(
+                'node_id',
+                F.least(
+                    F.col('component'),
+                    F.coalesce('neighbor_component', F.col('component')),
+                ).alias('component'))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        n_changed = (
+            new_labels.alias('n')
+            .join(labels.alias('o'), on='node_id')
+            .where(F.col('n.component') != F.col('o.component'))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def count_components(graph: KG) -> int:
+    """Number of weakly connected components (graph.py:780 summary row).
+    Isolated nodes each count as their own component."""
+    return connected_components(graph).select('component').distinct().count()
+
+
+def get_largest_component(graph: KG) -> KG:
+    """Induced subgraph over the biggest weakly connected component."""
+    labels = connected_components(graph).persist()
+    top = (
+        labels.groupBy('component').agg(F.count(F.lit(1)).alias('n'))
+        .orderBy(F.desc('n'), 'component').limit(1)
+        .select('component')
+    )
+    ids = labels.join(F.broadcast(top), on='component', how='leftsemi') \
+        .select('node_id')
+    out = induce_by_nodes(graph, ids)
+    labels.unpersist()
+    return out
+
+
+def left_outer_join(g: KG, h: KG) -> KG:
+    """g ∪ (components of h that touch g) — reference operations.py:74-96.
+
+    1. Label h's weakly connected components.
+    2. Keep the components whose node set intersects g (semi-join).
+    3. left_full_join g with the induced h-subgraph (edges never cross
+       components, so induction over the kept nodes keeps exactly the
+       kept components' edges).
+    """
+    comp = connected_components(h).persist()
+    touching = (
+        comp.join(g.nodes.select('node_id'), on='node_id', how='leftsemi')
+        .select('component').distinct()
+    )
+    keep_ids = comp.join(touching, on='component', how='leftsemi') \
+        .select('node_id')
+    h_sub = induce_by_nodes(h, keep_ids)
+    out = left_full_join(g, h_sub)
+    comp.unpersist()
+    return out
+
+
+def expand_by_touching_components(universe: KG, graph: KG) -> KG:
+    """Universe-transform shape of left_outer_join for the Pipeline
+    registry: pull in the universe components that touch the subgraph."""
+    return left_outer_join(graph, universe)

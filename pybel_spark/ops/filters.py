@@ -177,3 +177,54 @@ def pmid_inclusion(*pmids) -> Column:
 
 def filter_edges(edges: DataFrame, predicate: Column) -> DataFrame:
     return edges.where(predicate)
+
+
+# --------------------- degree-based node predicates --------------------- #
+# Reference node_predicates.py:192-269: these depend on a node's incident
+# edges, so they are id-set builders (one distinct-projection of the causal
+# edge set each) rather than Column expressions; apply with
+# ``select_nodes_by_ids`` / ``exclude_nodes_by_ids`` (semi-/anti-join).
+
+def _causal_edges(graph):
+    return graph.edges.where(
+        F.col('relation').isin(sorted(CAUSAL_RELATIONS)))
+
+
+def has_causal_in_edges_ids(graph) -> DataFrame:
+    """node_ids with ≥1 incoming causal edge (node_predicates.py:192-198)."""
+    return _causal_edges(graph) \
+        .select(F.col('target_id').alias('node_id')).distinct()
+
+
+def has_causal_out_edges_ids(graph) -> DataFrame:
+    """node_ids with ≥1 outgoing causal edge (node_predicates.py:201-207)."""
+    return _causal_edges(graph) \
+        .select(F.col('source_id').alias('node_id')).distinct()
+
+
+def is_causal_source_ids(graph) -> DataFrame:
+    """causal out-edges but NO causal in-edges (node_predicates.py:233-241)."""
+    return has_causal_out_edges_ids(graph) \
+        .exceptAll(has_causal_in_edges_ids(graph)).distinct()
+
+
+def is_causal_sink_ids(graph) -> DataFrame:
+    """causal in-edges but NO causal out-edges (node_predicates.py:244-251)."""
+    return has_causal_in_edges_ids(graph) \
+        .exceptAll(has_causal_out_edges_ids(graph)).distinct()
+
+
+def is_causal_central_ids(graph) -> DataFrame:
+    """both causal in- and out-edges (node_predicates.py:254-260)."""
+    return has_causal_in_edges_ids(graph) \
+        .intersect(has_causal_out_edges_ids(graph))
+
+
+def select_nodes_by_ids(nodes: DataFrame, ids: DataFrame) -> DataFrame:
+    """node_inclusion_predicate_builder as a semi-join."""
+    return nodes.join(ids.select('node_id'), on='node_id', how='leftsemi')
+
+
+def exclude_nodes_by_ids(nodes: DataFrame, ids: DataFrame) -> DataFrame:
+    """node_exclusion_predicate_builder as an anti-join."""
+    return nodes.join(ids.select('node_id'), on='node_id', how='leftanti')

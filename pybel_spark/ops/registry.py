@@ -65,7 +65,11 @@ class Pipeline:
 
 
 def _register_builtins():
-    from . import collapse, deletion, induction, inference
+    from . import collapse, components, deletion, induction, inference
+
+    register('get_largest_component')(components.get_largest_component)
+    register('expand_by_touching_components', universe=True)(
+        components.expand_by_touching_components)
 
     register('collapse_all_variants')(collapse.collapse_all_variants)
     register('collapse_to_genes')(collapse.collapse_to_genes)

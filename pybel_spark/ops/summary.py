@@ -263,6 +263,8 @@ def calculate_incorrect_names(warnings: DataFrame) -> DataFrame:
 def graph_summary(graph: KG, warnings: DataFrame = None) -> dict:
     """graph.py:770-796 summarize.
     Density = E / (V * (V - 1)) for a directed multigraph's simple projection."""
+    from .components import count_components
+
     n = graph.nodes.count()
     m = graph.edges.count()
     out = {
@@ -270,6 +272,7 @@ def graph_summary(graph: KG, warnings: DataFrame = None) -> dict:
         'edges': m,
         'density': (m / (n * (n - 1))) if n > 1 else 0.0,
         'citations': count_citations(graph),
+        'components': count_components(graph),
     }
     if warnings is not None:
         out['warnings'] = warnings.count()

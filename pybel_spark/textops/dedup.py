@@ -33,13 +33,29 @@ def doc_shingles(docs: DataFrame, id_col='doc_id', text_col='text',
 
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col='doc_id', text_col='text',
-                        n=3, threshold=0.5) -> DataFrame:
+                        n=3, threshold=0.5,
+                        max_shingle_df=10_000) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
     inverted-index self-join on the shingle key → intersection counts;
     sizes joined in → |A ∪ B| = |A| + |B| − |A ∩ B|.
+
+    Hot-shingle guardrail: the self-join is quadratic in per-shingle
+    document frequency, and web boilerplate guarantees mega-frequency
+    shingles (one shingle in 1M docs ⇒ 10¹² candidate pairs). Shingles
+    with df > ``max_shingle_df`` are dropped from BOTH the index and the
+    per-document sizes before the join — they carry ~zero Jaccard
+    information (present in "everything") while dominating the cost.
+    Set ``max_shingle_df=None`` to disable.
     """
-    sh = doc_shingles(docs, id_col, text_col, n).persist()
+    sh = doc_shingles(docs, id_col, text_col, n)
+    if max_shingle_df is not None:
+        df_counts = sh.groupBy('shingle') \
+            .agg(F.count(F.lit(1)).alias('_df')) \
+            .where(F.col('_df') <= max_shingle_df) \
+            .select('shingle')
+        sh = sh.join(df_counts, on='shingle', how='leftsemi')
+    sh = sh.persist()
     sizes = sh.groupBy('doc_id').agg(F.count(F.lit(1)).alias('n_shingles'))
     inter = (
         sh.alias('a').join(sh.alias('b'), on='shingle')
@@ -169,21 +185,75 @@ def simhash(docs: DataFrame, id_col='doc_id', text_col='text') -> DataFrame:
     return sums.select('doc_id', sig.alias('simhash'))
 
 
+def _simhash_block_bounds(n_blocks):
+    """Partition bit positions 0..63 into n_blocks contiguous blocks;
+    returns [(shift, width), ...]."""
+    bounds = [64 * i // n_blocks for i in range(n_blocks + 1)]
+    return [(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_blocks)]
+
+
+def simhash_band_keys(n_blocks, max_hamming):
+    """Block-combination band keys (the classic Hamming-LSH construction):
+    split the 64-bit signature into ``n_blocks`` blocks; for every
+    combination of ``n_blocks - max_hamming`` blocks, the concatenated
+    block values form one join key.
+
+    EXACTNESS: a pair within Hamming distance ``max_hamming`` has its
+    differing bits in at most ``max_hamming`` blocks, so at least
+    ``n_blocks - max_hamming`` blocks are bit-identical — the pair shares
+    at least one key. Requires ``n_blocks > max_hamming``.
+
+    SCALE: each key carries ``64 * (1 - max_hamming/n_blocks)`` bits of
+    signature, so bucket cardinality is ~2^that — raise ``n_blocks`` to
+    widen keys (e.g. max_hamming=3, n_blocks=8 → C(8,3)=56 keys of 40
+    bits ≈ 10¹² buckets, sub-quadratic at any web corpus size), at the
+    cost of C(n_blocks, max_hamming) index rows per document.
+    """
+    from itertools import combinations
+    from math import comb
+
+    if n_blocks <= max_hamming:
+        raise ValueError('n_blocks must exceed max_hamming for exactness')
+    n_combos = comb(n_blocks, max_hamming)
+    if n_combos > 512:
+        # each combo is one md5 Column expression AND one index row per
+        # document — beyond a few hundred the plan (and the index) explodes
+        raise ValueError(
+            'C({}, {}) = {} band keys: too many — lower n_blocks'
+            .format(n_blocks, max_hamming, n_combos))
+    blocks = _simhash_block_bounds(n_blocks)
+    keys = []
+    n_keep = n_blocks - max_hamming
+    for combo_id, combo in enumerate(combinations(range(n_blocks), n_keep)):
+        parts = [F.lit(combo_id).cast('string')]
+        for i in combo:
+            shift, width = blocks[i]
+            parts.append(F.shiftrightunsigned('simhash', shift)
+                         .bitwiseAND(F.lit((1 << width) - 1)).cast('string'))
+        # md5 uniformizes the key distribution → skew-free shuffle
+        keys.append(F.md5(F.concat_ws(':', *parts)))
+    return keys
+
+
 def simhash_near_duplicates(docs: DataFrame, id_col='doc_id',
                             text_col='text', max_hamming=3,
-                            band_bits=16) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit signature into 4 x 16-bit
-    chunks (pigeonhole: ≤3 differing bits → ≥1 identical chunk), join on
-    chunks, verify Hamming distance."""
+                            n_blocks=None) -> DataFrame:
+    """EXACT SimHash near-dup pairs: every pair with Hamming distance
+    ≤ ``max_hamming`` between 64-bit signatures, found without an all-pairs
+    join via block-combination banding (see :func:`simhash_band_keys`).
+
+    ``n_blocks`` defaults to ``max_hamming + 1`` (minimum index size:
+    n_blocks keys of all-but-one block each). For corpora where
+    2^(64·(1−h/b)) buckets is too few — i.e. expected bucket occupancy
+    ≫ 1 — pass a larger ``n_blocks``.
+    """
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
     sigs = simhash(docs, id_col, text_col)
     chunks = sigs.select(
         'doc_id', 'simhash',
-        F.explode(F.array(*[
-            F.concat_ws(':', F.lit(i),
-                        F.shiftright('simhash', i * band_bits)
-                        .bitwiseAND(F.lit((1 << band_bits) - 1)).cast('string'))
-            for i in range(64 // band_bits)
-        ])).alias('chunk'),
+        F.explode(F.array(*simhash_band_keys(n_blocks, max_hamming)))
+        .alias('chunk'),
     )
     pairs = (
         chunks.alias('a').join(chunks.alias('b'), on='chunk')

@@ -75,23 +75,55 @@ def lsh_signatures(vectors: DataFrame, n_planes=4, n_tables=8, seed=7,
     """Multi-table random-hyperplane signatures: per table t, bucket =
     (t, bits of sign(v · plane_{t,p})). Output is exploded to one row per
     (vector, table) — the standard multi-probe trade-off: more tables →
-    higher recall, more candidates."""
+    higher recall, more candidates.
+
+    All n_tables × n_planes dot products are ONE Arrow-batched numpy
+    matmul inside mapInPandas — at dim≈768 the earlier literal-column
+    formulation bloated the Catalyst plan with dim·planes·tables literals.
+    Sign stability across engines is guaranteed in practice: |v·plane| of
+    real embeddings is orders of magnitude above double rounding error.
+    """
+    import numpy as np
+    import pandas as pd
+
     sample = vectors.select(F.size(vec_col).alias('d')).first()
     dim = sample['d']
-    bucket_cols = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed=seed + 1000 * t)
-        sig = None
-        for p, plane in enumerate(planes):
-            plane_col = F.array(*[F.lit(x) for x in plane])
-            bit = (_dot(F.col(vec_col), plane_col) > 0).cast('long')
-            term = F.shiftleft(bit, p)
-            sig = term if sig is None else sig.bitwiseOR(term)
-        bucket_cols.append(
-            F.concat_ws(':', F.lit(t), sig.cast('string')))
-    return vectors.select(
-        F.col(id_col), F.col(vec_col),
-        F.explode(F.array(*bucket_cols)).alias('lsh_bucket'))
+    # (dim, n_tables*n_planes) weight matrix, deterministic from seed
+    planes = np.array([
+        _hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        for t in range(n_tables)
+    ], dtype=np.float64)
+    weights = planes.reshape(n_tables * n_planes, dim).T
+    pow2 = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def compute(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            emb = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (emb @ weights) > 0
+            sigs = (bits.reshape(n, n_tables, n_planes)
+                    * pow2).sum(axis=2)  # (n, n_tables)
+            ids = np.repeat(pdf[id_col].to_numpy(), n_tables)
+            vecs = pdf[vec_col].to_numpy().repeat(n_tables)
+            tables = np.tile(np.arange(n_tables), n)
+            buckets = [
+                '{}:{}'.format(t, s)
+                for t, s in zip(tables, sigs.reshape(-1))
+            ]
+            yield pd.DataFrame(
+                {id_col: ids, vec_col: vecs, 'lsh_bucket': buckets})
+
+    id_field = vectors.schema[id_col]
+    vec_field = vectors.schema[vec_col]
+    from pyspark.sql.types import StringType, StructField, StructType
+    schema = StructType([
+        StructField(id_col, id_field.dataType, id_field.nullable),
+        StructField(vec_col, vec_field.dataType, vec_field.nullable),
+        StructField('lsh_bucket', StringType(), False),
+    ])
+    return vectors.select(id_col, vec_col).mapInPandas(compute, schema=schema)
 
 
 def lsh_topk(vectors: DataFrame, k=5, n_planes=4, n_tables=8, seed=7,

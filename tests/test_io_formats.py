@@ -199,3 +199,67 @@ def test_bel_script_round_trip(result):
         for e in compiled['edges'] if e['triple_subject'] is not None
     }
     assert original_triples <= recompiled_triples
+
+
+def _corpus_header():
+    from pybel_spark.corpus import CorpusSpec
+    return CorpusSpec().header
+
+
+def _qualified_edge_keys(rows):
+    return {
+        (r['source_bel'], r['relation'], r['target_bel'],
+         r['citation_db'], r['citation_id'], r['evidence'])
+        for r in rows
+        if r['citation_db'] is not None
+        and r['citation_id'] != io_formats.AUTO_PMID
+    }
+
+
+def test_cx_round_trip(spark, result):
+    """to_cx → from_cx reproduces identical node-id and qualified-edge sets
+    (reference io/cx.py:365-560)."""
+    cx = io_formats.to_cx(result.nodes, result.edges)
+    nodes2, edges2 = io_formats.from_cx(
+        spark, cx, _corpus_header(), catalog=load_corpus_catalog())
+
+    assert {r['node_id'] for r in nodes2.collect()} \
+        == {r['node_id'] for r in result.nodes.collect()}
+    assert _qualified_edge_keys(edges2.collect()) \
+        == _qualified_edge_keys(result.edges.collect())
+    # structural edges re-derive from member terms
+    original_structural = {
+        (r['source_bel'], r['relation'], r['target_bel'])
+        for r in result.edges.collect() if r['citation_db'] is None
+    }
+    recompiled = {(r['source_bel'], r['relation'], r['target_bel'])
+                  for r in edges2.collect()}
+    assert original_structural <= recompiled
+
+
+def test_jgif_round_trip(spark, result):
+    """to_jgif → from_jgif reproduces identical node-id and qualified-edge
+    sets (reference io/jgif.py:205-296)."""
+    jgif = io_formats.to_jgif(result.nodes, result.edges)
+    nodes2, edges2 = io_formats.from_jgif(
+        spark, jgif, _corpus_header(), catalog=load_corpus_catalog())
+
+    assert {r['node_id'] for r in nodes2.collect()} \
+        == {r['node_id'] for r in result.nodes.collect()}
+    assert _qualified_edge_keys(edges2.collect()) \
+        == _qualified_edge_keys(result.edges.collect())
+
+
+def test_from_jgif_reference_citation_shape(spark, result):
+    """from_jgif also accepts the reference's citation key spelling
+    ({'type','id'} instead of our {'db','db_id'}) and skips evidence-less
+    edges like the reference."""
+    jgif = io_formats.to_jgif(result.nodes, result.edges)
+    for edge in jgif['graph']['edges']:
+        for ev in edge['metadata']['evidences']:
+            c = ev.pop('citation')
+            ev['citation'] = {'type': c['db'], 'id': c['db_id']}
+    nodes2, edges2 = io_formats.from_jgif(
+        spark, jgif, _corpus_header(), catalog=load_corpus_catalog())
+    assert _qualified_edge_keys(edges2.collect()) \
+        == _qualified_edge_keys(result.edges.collect())

@@ -249,3 +249,112 @@ def test_pipeline_registry_roundtrip(kg):
     result = p2.run(kg)
     assert result.edges.where("relation = 'association'").count() == 0
     assert result.nodes.where(filters.has_variant()).count() == 0
+
+
+# ------------------------- connected components ------------------------- #
+
+def _nx_digraph(kg_):
+    import networkx as nx
+    g = nx.DiGraph()
+    g.add_nodes_from(r['node_id'] for r in kg_.nodes.select('node_id').collect())
+    g.add_edges_from((r['source_id'], r['target_id'])
+                     for r in kg_.edges.select('source_id', 'target_id').collect())
+    return g
+
+
+def test_connected_components_networkx_parity(kg):
+    import networkx as nx
+    from pybel_spark.ops import components
+
+    nxg = _nx_digraph(kg)
+    expected = {frozenset(c) for c in nx.weakly_connected_components(nxg)}
+    labels = components.connected_components(kg).collect()
+    got = {}
+    for r in labels:
+        got.setdefault(r['component'], set()).add(r['node_id'])
+    assert {frozenset(v) for v in got.values()} == expected
+    # label is the lexicographic min of each component
+    assert all(comp == min(members) for comp, members in got.items())
+    assert components.count_components(kg) == len(expected)
+
+
+def test_largest_component(kg):
+    import networkx as nx
+    from pybel_spark.ops import components
+
+    nxg = _nx_digraph(kg)
+    biggest = max(nx.weakly_connected_components(nxg), key=len)
+    sub = components.get_largest_component(kg)
+    assert {r['node_id'] for r in sub.nodes.select('node_id').collect()} \
+        == biggest
+
+
+def test_left_outer_join_components(kg, spark):
+    """h-components touching g survive; untouched components are dropped
+    (reference operations.py:74-96)."""
+    import networkx as nx
+    from pybel_spark.ops import components
+
+    nxg = _nx_digraph(kg)
+    comps = sorted(nx.weakly_connected_components(nxg), key=len)
+    assert len(comps) >= 2, 'corpus graph must have >1 component for this test'
+    seed_comp = comps[-1]
+
+    # g = one edge from the largest component; h = the full graph
+    seed_nodes = spark.createDataFrame(
+        [(n,) for n in sorted(seed_comp)[:2]], ['node_id'])
+    from pybel_spark.ops.graph import induce_by_nodes
+    g = induce_by_nodes(kg, seed_nodes)
+
+    joined = components.left_outer_join(g, kg)
+    got_nodes = {r['node_id'] for r in joined.nodes.select('node_id').collect()}
+    assert got_nodes == set(seed_comp)
+    # edges: exactly the h-edges within the kept component
+    expected_edges = {
+        (r['source_id'], r['target_id'])
+        for r in kg.edges.select('source_id', 'target_id').collect()
+        if r['source_id'] in seed_comp and r['target_id'] in seed_comp
+    }
+    got_edges = {(r['source_id'], r['target_id'])
+                 for r in joined.edges.select('source_id', 'target_id').collect()}
+    assert got_edges == expected_edges
+
+
+def test_degree_based_node_predicates(kg):
+    """Same node sets as the reference predicates select
+    (node_predicates.py:192-260), recomputed via networkx."""
+    from pybel_spark.bel.constants import CAUSAL_RELATIONS
+
+    causal = [(r['source_id'], r['target_id'])
+              for r in kg.edges.where(
+                  F.col('relation').isin(sorted(CAUSAL_RELATIONS)))
+              .select('source_id', 'target_id').collect()]
+    has_in = {t for _, t in causal}
+    has_out = {s for s, _ in causal}
+
+    assert {r['node_id'] for r in filters.has_causal_in_edges_ids(kg).collect()} == has_in
+    assert {r['node_id'] for r in filters.has_causal_out_edges_ids(kg).collect()} == has_out
+    assert {r['node_id'] for r in filters.is_causal_source_ids(kg).collect()} \
+        == has_out - has_in
+    assert {r['node_id'] for r in filters.is_causal_sink_ids(kg).collect()} \
+        == has_in - has_out
+    assert {r['node_id'] for r in filters.is_causal_central_ids(kg).collect()} \
+        == has_in & has_out
+    assert has_out - has_in, 'expect at least one causal source in corpus'
+
+    # inclusion/exclusion builders
+    some = sorted(has_in)[:3]
+    ids_df = kg.nodes.sparkSession.createDataFrame([(i,) for i in some], ['node_id'])
+    sel = filters.select_nodes_by_ids(kg.nodes, ids_df)
+    assert {r['node_id'] for r in sel.select('node_id').collect()} == set(some)
+    exc = filters.exclude_nodes_by_ids(kg.nodes, ids_df)
+    assert {r['node_id'] for r in exc.select('node_id').collect()} \
+        == {r['node_id'] for r in kg.nodes.select('node_id').collect()} - set(some)
+
+
+def test_graph_summary_components(kg):
+    from pybel_spark.ops import components
+
+    s = summary.graph_summary(kg)
+    assert s['components'] == components.count_components(kg)
+    assert s['nodes'] > 0 and s['edges'] > 0

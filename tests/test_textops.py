@@ -55,6 +55,62 @@ def test_minhash_candidates_cover_near_dups(spark, docs):
     assert verified <= truth
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """Skewed corpus: one boilerplate shingle in 50% of docs. The df cap
+    drops it before the self-join, bounding candidates; true near-dup pairs
+    survive because they share informative (rare) shingles too."""
+    boiler = 'all rights reserved contact us'
+    rows = []
+    for i in range(100):
+        body = 'unique document {} with words alpha{} beta{} gamma{}'.format(
+            i, i, i, i)
+        text = body + (' ' + boiler if i % 2 == 0 else '')
+        rows.append((i, text))
+    # one true near-dup pair that also carries the boilerplate
+    rows.append((100, 'shared payload sentence tokens here ' + boiler))
+    rows.append((101, 'shared payload sentence tokens here also ' + boiler))
+    docs = spark.createDataFrame(rows, ['doc_id', 'text'])
+
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_df=10)
+    pairs = {(r['doc_a'], r['doc_b']) for r in capped.collect()}
+    assert (100, 101) in pairs
+    # the 50 boilerplate-only docs share nothing informative → no pair among
+    # doc_ids 0..99 (the hot shingles were dropped pre-join)
+    assert not any(a < 100 and b < 100 for a, b in pairs)
+
+    # candidate volume is bounded: the uncapped join would compare all
+    # C(51,2)=1275 boilerplate carriers; capped intersection counts only
+    # pairs sharing a rare shingle
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.0,
+                                         max_shingle_df=None).count()
+    capped_all = dedup.ngram_jaccard_pairs(docs, threshold=0.0,
+                                           max_shingle_df=10).count()
+    assert capped_all < uncapped
+
+
+def test_simhash_banding_is_exact(spark, docs):
+    """Block-combination banding finds EXACTLY the all-pairs Hamming ≤ h
+    set, for any n_blocks > h."""
+    sigs = {r['doc_id']: r['simhash'] for r in dedup.simhash(docs).collect()}
+    ids = sorted(sigs)
+    # n_blocks choices keep C(n_blocks, h) key combos small: 4, 56, 9, 45
+    for h, blocks in ((3, None), (3, 8), (8, None), (8, 10)):
+        truth = {
+            (a, b): bin(sigs[a] ^ sigs[b]).count('1')
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin(sigs[a] ^ sigs[b]).count('1') <= h
+        }
+        got = {(r['doc_a'], r['doc_b']): r['hamming']
+               for r in dedup.simhash_near_duplicates(
+                   docs, max_hamming=h, n_blocks=blocks).collect()}
+        assert got == truth, (h, blocks)
+
+
+def test_simhash_banding_rejects_too_few_blocks(spark, docs):
+    with pytest.raises(ValueError):
+        dedup.simhash_near_duplicates(docs, max_hamming=4, n_blocks=4).count()
+
+
 def test_simhash_near_duplicates(spark, docs):
     sigs = {r['doc_id']: r['simhash'] for r in dedup.simhash(docs).collect()}
     assert sigs[0] == sigs[1]  # identical text → identical signature
