@@ -521,6 +521,10 @@ class _CompileState:
             'triple_subject': triple[0] if triple else None,
             'triple_predicate': triple[1] if triple else None,
             'triple_object': triple[2] if triple else None,
+            # populated post-hoc by citations.enrich_pubmed_citations —
+            # the reference likewise only gets authors from enrichment
+            # (manager/citation_utils.py:137-244), never from parsing
+            'citation_authors': None,
         }
 
     # ---------------- output ----------------

@@ -114,7 +114,11 @@ def to_nodelink(nodes: DataFrame, edges: DataFrame, metadata=None) -> dict:
             'target': index[row['target_id']],
             'relation': row['relation'],
             'citation': (
-                {'db': row['citation_db'], 'db_id': row['citation_id']}
+                dict(
+                    {'db': row['citation_db'], 'db_id': row['citation_id']},
+                    **({'authors': list(row['citation_authors'])}
+                       if 'citation_authors' in row.__fields__
+                       and row['citation_authors'] else {}))
                 if row['citation_db'] else None),
             'evidence': row['evidence'],
             'annotations': dict(row['annotations']) if row['annotations'] else None,
@@ -166,6 +170,7 @@ def from_nodelink(spark, payload: dict):
             {k: list(v) for k, v in (link.get('annotations') or {}).items()}
             or None,
             None, None, None, None, None, None, None, None,
+            citation.get('authors'),
         ))
     nodes = spark.createDataFrame(node_rows, NODE_STRUCT)
     edges = spark.createDataFrame(edge_rows, EDGE_STRUCT)

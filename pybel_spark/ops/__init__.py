@@ -12,5 +12,8 @@ from .components import (  # noqa: F401
     connected_components, count_components, get_largest_component,
     left_outer_join,
 )
-from . import components, filters, induction, collapse, inference, deletion, summary  # noqa: F401
+from . import (  # noqa: F401
+    components, filters, induction, collapse, inference, deletion, sample,
+    summary,
+)
 from .registry import Pipeline, register, get_transform  # noqa: F401

@@ -175,6 +175,20 @@ def pmid_inclusion(*pmids) -> Column:
     return has_pubmed() & F.col('citation_id').isin(list(pmids))
 
 
+def has_authors() -> Column:
+    """edge_predicates.has_authors: enriched citation with ≥1 author."""
+    return F.col('citation_authors').isNotNull() \
+        & (F.size('citation_authors') > 0)
+
+
+def author_inclusion(*authors) -> Column:
+    """edge_predicate_builders.build_author_inclusion_filter: any of the
+    given authors appears in the edge's citation."""
+    return has_authors() & F.arrays_overlap(
+        F.col('citation_authors'),
+        F.array(*[F.lit(a) for a in authors]))
+
+
 def filter_edges(edges: DataFrame, predicate: Column) -> DataFrame:
     return edges.where(predicate)
 

@@ -91,9 +91,11 @@ def _unqualified_edge_rows(pairs: DataFrame, relation: str,
         .withColumn('triple_predicate', F.lit(None).cast('string'))
         .withColumn('triple_object', F.lit(None).cast('string'))
     )
+    template_types = dict(edges_template.dtypes)
     for col in edges_template.columns:
         if col not in generated.columns:
-            generated = generated.withColumn(col, F.lit(None).cast('string'))
+            generated = generated.withColumn(
+                col, F.lit(None).cast(template_types[col]))
     return generated.select(*edges_template.columns)
 
 

@@ -67,9 +67,13 @@ class Pipeline:
 def _register_builtins():
     from . import collapse, components, deletion, induction, inference
 
+    from . import sample
+
     register('get_largest_component')(components.get_largest_component)
     register('expand_by_touching_components', universe=True)(
         components.expand_by_touching_components)
+    register('get_random_subgraph')(sample.get_random_subgraph)
+    register('get_graph_with_random_edges')(sample.get_graph_with_random_edges)
 
     register('collapse_all_variants')(collapse.collapse_all_variants)
     register('collapse_to_genes')(collapse.collapse_to_genes)

@@ -274,6 +274,9 @@ def graph_summary(graph: KG, warnings: DataFrame = None) -> dict:
         'citations': count_citations(graph),
         'components': count_components(graph),
     }
+    if 'citation_authors' in graph.edges.columns:
+        from ..citations import number_of_authors
+        out['authors'] = number_of_authors(graph)
     if warnings is not None:
         out['warnings'] = warnings.count()
     return out

@@ -53,12 +53,22 @@ class Seeding:
         if seed_type == 'downstream':
             return induction.get_downstream_causal_subgraph(universe, data)
         if seed_type == 'sample':
-            # seeded random edge sample (reference induction/random_subgraph
-            # approximated with a deterministic-seed sample)
-            fraction = data.get('fraction', 0.1)
-            seed_value = data.get('seed', 42)
-            edges = universe.edges.sample(fraction=fraction, seed=seed_value)
-            return induce_by_edges(universe, edges)
+            from .ops.sample import get_random_subgraph
+
+            if data and 'fraction' in data:
+                # plain seeded edge sample (distributed)
+                edges = universe.edges.sample(
+                    fraction=data['fraction'], seed=data.get('seed', 42))
+                return induce_by_edges(universe, edges)
+            # reference semantics: inverse-degree weighted random walk
+            # (induction/random_subgraph.py:150-200)
+            data = data or {}
+            return get_random_subgraph(
+                universe,
+                number_edges=data.get('number_edges'),
+                number_seed_edges=data.get('number_seed_edges'),
+                seed=data.get('seed'),
+                invert_degrees=data.get('invert_degrees', True))
         raise ValueError(seed_type)
 
     def to_json(self):

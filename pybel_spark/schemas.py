@@ -51,6 +51,7 @@ EDGE_STRUCT = StructType([
     StructField('triple_subject', StringType(), True),
     StructField('triple_predicate', StringType(), True),
     StructField('triple_object', StringType(), True),
+    StructField('citation_authors', ArrayType(StringType()), True),
 ])
 
 WARNING_STRUCT = StructType([

@@ -1,12 +1,21 @@
 """Multimodal column plumbing: images/audio/video as opaque binary columns.
 
 The Spark-side machinery (schemas, Arrow batching through mapInPandas,
-partition sizing) is real and tested; the actual media decoding is stubbed
-behind ``DECODERS`` because no image/audio libraries exist in this
-environment — drop in a real decoder (PIL/librosa/av) per modality without
-touching the pipeline.
+partition sizing) is format-agnostic. Decoding is dispatched per modality
+through ``DECODERS``:
+
+- **image**: real pure-Python decoder for binary PPM (P6) — header parse,
+  pixel decode, block-average downsample, 8-dim color/luminance feature.
+- **audio**: real pure-Python decoder for RIFF/WAVE PCM16 — chunk walk,
+  sample decode, 8-dim RMS/zero-crossing/band-energy feature.
+- **video**: stub (frame sampling genuinely requires av/ffmpeg, not in this
+  environment); raises NotImplementedError by design.
+
+Compressed formats (JPEG/PNG/MP3/H.264) need external codecs — in
+production swap the decoder per modality without touching the pipeline.
 """
 import hashlib
+import struct
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
@@ -33,20 +42,155 @@ FEATURE_SCHEMA = StructType([
 ])
 
 
+# ------------------------------ PPM (image) ------------------------------ #
+
+def encode_ppm(width, height, pixels):
+    """Binary PPM (P6) encoder. ``pixels`` is a flat list of (r, g, b)
+    byte triples, row-major."""
+    header = 'P6\n{} {}\n255\n'.format(width, height).encode('ascii')
+    body = bytes(c for px in pixels for c in px)
+    return header + body
+
+
+def decode_ppm(payload: bytes):
+    """Binary PPM (P6) decoder → (width, height, [(r, g, b), ...])."""
+    if not payload.startswith(b'P6'):
+        raise ValueError('not a binary PPM (P6) payload')
+    # header: magic, width, height, maxval — whitespace/comment separated
+    tokens, i, n = [], 2, len(payload)
+    while len(tokens) < 3 and i < n:
+        c = payload[i:i + 1]
+        if c == b'#':
+            while i < n and payload[i:i + 1] != b'\n':
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not payload[j:j + 1].isspace():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+    i += 1  # single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError('only 8-bit PPM supported')
+    body = payload[i:i + 3 * width * height]
+    if len(body) != 3 * width * height:
+        raise ValueError('truncated PPM body')
+    pixels = [(body[k], body[k + 1], body[k + 2])
+              for k in range(0, len(body), 3)]
+    return width, height, pixels
+
+
+def resize_image_block_mean(width, height, pixels, out_w=8, out_h=8):
+    """Nearest-block-average downsample — the resize step of the pipeline,
+    pure arithmetic."""
+    out = []
+    for oy in range(out_h):
+        y0, y1 = height * oy // out_h, max(height * (oy + 1) // out_h, height * oy // out_h + 1)
+        for ox in range(out_w):
+            x0, x1 = width * ox // out_w, max(width * (ox + 1) // out_w, width * ox // out_w + 1)
+            acc = [0, 0, 0]
+            cnt = 0
+            for y in range(y0, min(y1, height)):
+                for x in range(x0, min(x1, width)):
+                    px = pixels[y * width + x]
+                    acc[0] += px[0]
+                    acc[1] += px[1]
+                    acc[2] += px[2]
+                    cnt += 1
+            out.append(tuple(c / cnt for c in acc))
+    return out
+
+
 def _decode_image(payload: bytes):
-    """Real implementation would decode + resize + embed; no image libs here."""
-    raise NotImplementedError('image decoding requires PIL/opencv — not in env')
+    """PPM decode → 8-dim feature: mean R/G/B, luminance std, 4-bin
+    luminance histogram (all in [0, 1])."""
+    width, height, pixels = decode_ppm(payload)
+    n = len(pixels)
+    mean_r = sum(p[0] for p in pixels) / n / 255.0
+    mean_g = sum(p[1] for p in pixels) / n / 255.0
+    mean_b = sum(p[2] for p in pixels) / n / 255.0
+    lum = [(0.299 * p[0] + 0.587 * p[1] + 0.114 * p[2]) / 255.0
+           for p in pixels]
+    mean_l = sum(lum) / n
+    std_l = (sum((v - mean_l) ** 2 for v in lum) / n) ** 0.5
+    hist = [0, 0, 0, 0]
+    for v in lum:
+        hist[min(int(v * 4), 3)] += 1
+    return [mean_r, mean_g, mean_b, std_l] + [h / n for h in hist]
+
+
+# ------------------------------ WAV (audio) ------------------------------ #
+
+def encode_wav(samples, sample_rate=8000):
+    """RIFF/WAVE PCM16 mono encoder. ``samples`` are ints in [-32768, 32767]."""
+    body = struct.pack('<{}h'.format(len(samples)), *samples)
+    fmt = struct.pack('<HHIIHH', 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = (b'WAVE'
+              + b'fmt ' + struct.pack('<I', len(fmt)) + fmt
+              + b'data' + struct.pack('<I', len(body)) + body)
+    return b'RIFF' + struct.pack('<I', len(chunks)) + chunks
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE PCM16 decoder → (sample_rate, [mono samples]). Walks the
+    chunk list; stereo is averaged to mono."""
+    if payload[:4] != b'RIFF' or payload[8:12] != b'WAVE':
+        raise ValueError('not a RIFF/WAVE payload')
+    i, n = 12, len(payload)
+    sample_rate = None
+    channels = None
+    samples = None
+    while i + 8 <= n:
+        chunk_id = payload[i:i + 4]
+        (size,) = struct.unpack('<I', payload[i + 4:i + 8])
+        data = payload[i + 8:i + 8 + size]
+        if chunk_id == b'fmt ':
+            audio_format, channels, sample_rate = struct.unpack('<HHI', data[:8])
+            bits = struct.unpack('<H', data[14:16])[0]
+            if audio_format != 1 or bits != 16:
+                raise ValueError('only PCM16 WAV supported')
+        elif chunk_id == b'data':
+            raw = struct.unpack('<{}h'.format(len(data) // 2), data)
+            if channels and channels > 1:
+                raw = [sum(raw[k:k + channels]) // channels
+                       for k in range(0, len(raw) - channels + 1, channels)]
+            samples = list(raw)
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or samples is None:
+        raise ValueError('missing fmt/data chunk')
+    return sample_rate, samples
 
 
 def _decode_audio(payload: bytes):
-    raise NotImplementedError('audio decoding requires librosa/soundfile — not in env')
+    """WAV decode → 8-dim feature: duration (s), RMS, peak, zero-crossing
+    rate, 4-band windowed RMS."""
+    sample_rate, samples = decode_wav(payload)
+    n = len(samples)
+    if n == 0:
+        return [0.0] * 8
+    norm = [s / 32768.0 for s in samples]
+    rms = (sum(v * v for v in norm) / n) ** 0.5
+    peak = max(abs(v) for v in norm)
+    zcr = sum(1 for a, b in zip(norm, norm[1:]) if (a < 0) != (b < 0)) \
+        / max(n - 1, 1)
+    bands = []
+    for b in range(4):
+        seg = norm[n * b // 4:n * (b + 1) // 4] or [0.0]
+        bands.append((sum(v * v for v in seg) / len(seg)) ** 0.5)
+    return [n / sample_rate, rms, peak, zcr] + bands
 
 
 def _decode_video(payload: bytes):
+    """Real implementation would frame-sample then image-decode; container
+    demuxing requires av/ffmpeg — not in this environment."""
     raise NotImplementedError('video frame sampling requires av/ffmpeg — not in env')
 
 
-#: modality → decoder; swap the stubs for real ones in production
+#: modality → decoder; image (PPM) and audio (WAV) are REAL pure-Python
+#: paths, video is a documented stub
 DECODERS = {
     'image': _decode_image,
     'audio': _decode_audio,
@@ -55,8 +199,8 @@ DECODERS = {
 
 
 def deterministic_fake_feature(payload: bytes, dim=8):
-    """Deterministic stand-in feature so the distributed plumbing is testable:
-    dim floats derived from the payload sha256."""
+    """Deterministic stand-in feature (payload sha256 → dim floats) for
+    modalities/formats without an in-environment decoder."""
     digest = hashlib.sha256(payload).digest()
     return [
         int.from_bytes(digest[4 * i:4 * i + 4], 'little') / float(2 ** 32)
@@ -64,13 +208,13 @@ def deterministic_fake_feature(payload: bytes, dim=8):
     ]
 
 
-def extract_features(media: DataFrame, use_fake_decoder=True,
+def extract_features(media: DataFrame, use_fake_decoder=False,
                      feature_dim=8) -> DataFrame:
     """Arrow-batched feature extraction over a media table.
 
     One mapInPandas stage; per-batch the decoder runs on raw bytes. With
-    use_fake_decoder=False it dispatches to DECODERS (NotImplementedError in
-    this environment — by design)."""
+    ``use_fake_decoder=True`` every modality uses the sha256-derived fake
+    (useful when payloads are in formats without in-environment codecs)."""
     import pandas as pd
 
     def extract(batches):
@@ -95,8 +239,12 @@ def extract_features(media: DataFrame, use_fake_decoder=True,
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
-def synthetic_media(spark, n_rows=100, partitions=4) -> DataFrame:
-    """Deterministic synthetic media table for tests (payload = seeded bytes)."""
+def synthetic_media(spark, n_rows=100, partitions=4,
+                    decodable=True) -> DataFrame:
+    """Deterministic synthetic media table: image rows carry real PPM
+    payloads, audio rows real WAV payloads (both decodable end-to-end);
+    video rows (and everything when ``decodable=False``) carry seeded raw
+    bytes."""
     import pandas as pd
 
     def build(batches):
@@ -105,15 +253,33 @@ def synthetic_media(spark, n_rows=100, partitions=4) -> DataFrame:
             rows = []
             for i in pdf['id']:
                 i = int(i)
-                payload = hashlib.sha256(str(i).encode()).digest() * (1 + i % 5)
+                modality = modalities[i % 3]
+                width = height = duration = None
+                if not decodable or modality == 'video':
+                    payload = hashlib.sha256(str(i).encode()).digest() * (1 + i % 5)
+                    mime = None
+                elif modality == 'image':
+                    width = height = 8 + (i % 3) * 4
+                    pixels = [((x * 37 + i) % 256, (y * 11 + i) % 256,
+                               (x * y + i) % 256)
+                              for y in range(height) for x in range(width)]
+                    payload = encode_ppm(width, height, pixels)
+                    mime = 'image/x-portable-pixmap'
+                else:
+                    n_samples = 800 + (i % 5) * 80
+                    samples = [int(20000 * ((k * (i + 3)) % 97 / 97.0 - 0.5))
+                               for k in range(n_samples)]
+                    payload = encode_wav(samples)
+                    duration = 1000 * n_samples // 8000
+                    mime = 'audio/wav'
                 rows.append({
                     'media_id': 'media-{}'.format(i),
-                    'modality': modalities[i % 3],
-                    'mime_type': None,
+                    'modality': modality,
+                    'mime_type': mime,
                     'payload': payload,
-                    'width': 64 if i % 3 == 0 else None,
-                    'height': 64 if i % 3 == 0 else None,
-                    'duration_ms': 1000 * (i % 30) if i % 3 else None,
+                    'width': width,
+                    'height': height,
+                    'duration_ms': duration,
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 

@@ -358,3 +358,40 @@ def test_graph_summary_components(kg):
     s = summary.graph_summary(kg)
     assert s['components'] == components.count_components(kg)
     assert s['nodes'] > 0 and s['edges'] > 0
+
+
+def test_random_subgraph_weighted_walk(kg):
+    """Reference random_subgraph semantics: seeded, deterministic, edge
+    count honored, result is edge-induced, connected growth from seeds."""
+    from pybel_spark.ops import sample
+
+    total = kg.edges.count()
+    sub = sample.get_random_subgraph(kg, number_edges=20,
+                                     number_seed_edges=3, seed=7)
+    n = sub.edges.count()
+    assert n <= 20
+    # determinism: same seed → same edge set
+    sub2 = sample.get_random_subgraph(kg, number_edges=20,
+                                      number_seed_edges=3, seed=7)
+    assert {r['edge_id'] for r in sub.edges.collect()} \
+        == {r['edge_id'] for r in sub2.edges.collect()}
+    # different seed → (almost surely) different set
+    sub3 = sample.get_random_subgraph(kg, number_edges=20,
+                                      number_seed_edges=3, seed=8)
+    assert {r['edge_id'] for r in sub.edges.collect()} \
+        != {r['edge_id'] for r in sub3.edges.collect()}
+    # nodes are exactly the endpoints
+    endpoints = {r['source_id'] for r in sub.edges.collect()} \
+        | {r['target_id'] for r in sub.edges.collect()}
+    assert {r['node_id'] for r in sub.nodes.collect()} == endpoints
+    # asking for more edges than exist returns the whole graph
+    assert sample.get_random_subgraph(
+        kg, number_edges=total + 10).edges.count() == total
+
+
+def test_random_subgraph_via_seeding(kg):
+    from pybel_spark.query import Seeding
+
+    seeded = Seeding().append('sample', {'number_edges': 15, 'seed': 3}) \
+        .run(kg)
+    assert seeded.edges.count() <= 15

@@ -210,8 +210,8 @@ def test_lsh_topk_recall(spark):
 
 
 def test_multimodal_feature_plumbing(spark):
-    media = multimodal.synthetic_media(spark, n_rows=30)
-    feats = multimodal.extract_features(media).collect()
+    media = multimodal.synthetic_media(spark, n_rows=30, decodable=False)
+    feats = multimodal.extract_features(media, use_fake_decoder=True).collect()
     assert len(feats) == 30
     by_id = {r['media_id']: r for r in feats}
     assert all(len(r['feature']) == 8 for r in feats)
@@ -223,7 +223,47 @@ def test_multimodal_feature_plumbing(spark):
     assert all(abs(a - b) < 1e-6 for a, b in zip(got, expected))
 
 
-def test_real_decoders_are_stubbed(spark):
-    media = multimodal.synthetic_media(spark, n_rows=3)
+def test_ppm_codec_roundtrip():
+    pixels = [(x % 256, (x * 7) % 256, (x * 13) % 256) for x in range(12 * 5)]
+    payload = multimodal.encode_ppm(12, 5, pixels)
+    w, h, decoded = multimodal.decode_ppm(payload)
+    assert (w, h) == (12, 5)
+    assert decoded == pixels
+    small = multimodal.resize_image_block_mean(w, h, decoded, out_w=4, out_h=2)
+    assert len(small) == 8
+
+
+def test_wav_codec_roundtrip():
+    samples = [int(10000 * (k % 17 / 17.0 - 0.5)) for k in range(400)]
+    payload = multimodal.encode_wav(samples, sample_rate=8000)
+    rate, decoded = multimodal.decode_wav(payload)
+    assert rate == 8000
+    assert decoded == samples
+
+
+def test_real_image_audio_decode_through_arrow_stage(spark):
+    """PPM + WAV payloads decode to REAL features through mapInPandas —
+    the non-fake path end-to-end (video stays a documented stub)."""
+    media = multimodal.synthetic_media(spark, n_rows=30).where(
+        F.col('modality') != 'video')
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 20
+    by_id = {r['media_id']: r for r in feats}
+    # recompute one image feature on the driver from the same payload
+    row = media.where(F.col('media_id') == 'media-0').first()
+    expected = multimodal.DECODERS['image'](bytes(row['payload']))
+    got = by_id['media-0']['feature']
+    assert all(abs(a - b) < 1e-6 for a, b in zip(got, expected))
+    # audio features are physically plausible: duration > 0, rms <= peak <= 1
+    audio = [r for r in feats if r['modality'] == 'audio']
+    assert audio
+    for r in audio:
+        duration, rms, peak, zcr = r['feature'][:4]
+        assert duration > 0 and 0 <= rms <= peak <= 1 and 0 <= zcr <= 1
+
+
+def test_video_decoder_is_stubbed(spark):
+    media = multimodal.synthetic_media(spark, n_rows=3).where(
+        F.col('modality') == 'video')
     with pytest.raises(Exception):
-        multimodal.extract_features(media, use_fake_decoder=False).collect()
+        multimodal.extract_features(media).collect()
