@@ -69,18 +69,22 @@ def main():
     extract_triples(docs.limit(2000)).count()
 
     t_total0 = time.time()
-    # NOTE: each query re-runs the parse as an independent streaming pass —
-    # re-parsing is cheaper than caching the full nested rows (persist() of
-    # array<struct> columns costs more in GC + storage than the parse itself).
-    result = build_graph(docs, persist=False)
-    parsed = result.parsed
 
     # q1: full pipeline → distinct triples (the north-star output, fast path:
-    # the UDF ships only the 3 triple columns)
+    # the UDF ships only the 3 triple columns — the single-answer job shape)
     t0 = time.time()
     n_triples_distinct = extract_triples(docs).count()
     queries['kg_triples'] = round(time.time() - t0, 3)
     t_parse = queries['kg_triples']
+
+    # multi-query job shape: parse ONCE into a persisted DF, then run the
+    # analytics against the cache (measured: at 100k docs, persist+3 queries
+    # ≈ 5 s vs ≈ 10 s re-parsing per query)
+    t0 = time.time()
+    result = build_graph(docs, persist=True)
+    parsed = result.parsed
+    parsed.count()
+    queries['kg_parse_materialize'] = round(time.time() - t0, 3)
 
     # q2: per-doc stats + emitted (pre-dedup) triple count, one pass
     t0 = time.time()
@@ -117,6 +121,7 @@ def main():
     queries['text_token_counts'] = round(time.time() - t0, 3)
 
     total = round(time.time() - t_total0, 3)
+    parsed.unpersist()
     shutil.rmtree(corpus_dir, ignore_errors=True)
 
     out = {

@@ -97,10 +97,24 @@ def repetition_features(docs: DataFrame, id_col='doc_id',
         F.sequence(F.lit(0), n_tokens - 2),
         lambda i: F.concat_ws(' ', F.slice(tokens, i + 1, 2)),
     )).otherwise(F.array())
-    top_bigram_count = F.array_max(F.transform(
-        F.array_distinct(bigrams),
-        lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
-    ))
+    # most-frequent-bigram count as the longest run in the SORTED bigram
+    # array — O(n log n) per doc and fully in codegen (the naive
+    # distinct×filter formulation is O(n²) per doc: fatal on long pages)
+    top_bigram_count = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(F.lit(0).alias('best'), F.lit(0).alias('cur'),
+                 F.lit(None).cast('string').alias('prev')),
+        lambda acc, x: F.struct(
+            F.greatest(
+                acc['best'],
+                F.when(x == acc['prev'], acc['cur'] + 1).otherwise(F.lit(1)),
+            ).alias('best'),
+            F.when(x == acc['prev'], acc['cur'] + 1).otherwise(F.lit(1))
+            .alias('cur'),
+            x.alias('prev'),
+        ),
+        lambda acc: acc['best'],
+    )
     n_bigrams = F.size(bigrams)
     return docs.select(
         F.col(id_col).alias('doc_id'),
