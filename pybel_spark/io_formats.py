@@ -626,3 +626,93 @@ def from_jgif(spark, payload: dict, header_lines, catalog=None,
 
     return compile_interchange(spark, lines, header_lines, catalog,
                                compiler_options)
+
+
+# ----------------------- GraphDati / Neo4j sinks ----------------------- #
+
+GRAPHDATI_SCHEMA_URI = \
+    'https://github.com/belbio/schemas/blob/master/schemas/nanopub_bel-1.0.0.yaml'
+
+
+def to_graphdati_lines(edges: DataFrame, creator=None,
+                       version='1.0.0') -> DataFrame:
+    """GraphDati nanopub JSONL (reference io/graphdati.py:60-135) as a
+    DISTRIBUTED text-line DataFrame — one nanopub per edge, written with
+    ``df.write.text`` at any scale (the reference's jsonl variant is the
+    same shape, rendered driver-side).
+
+    Spark omits null struct fields in to_json (ignoreNullFields default),
+    which reproduces the reference's conditional citation shape.
+    """
+    rendered = _statement_column(edges, sep='\t')
+    parts = F.split('statement', '\t')
+    citation = F.struct(
+        F.when(F.col('citation_db').isNull(),
+               F.lit('Not Available')).alias('reference'),
+        F.when(F.col('citation_db').isNotNull(), F.struct(
+            F.col('citation_db').alias('name'),
+            F.col('citation_id').alias('id'),
+        )).alias('database'),
+    )
+    nanopub = F.struct(
+        F.lit(GRAPHDATI_SCHEMA_URI).alias('schema_uri'),
+        F.struct(F.lit('BEL').alias('name'),
+                 F.lit('2.1.0').alias('version')).alias('type'),
+        F.array().cast('array<string>').alias('annotations'),
+        citation.alias('citation'),
+        F.array(F.struct(
+            parts.getItem(0).alias('subject'),
+            parts.getItem(1).alias('relation'),
+            parts.getItem(2).alias('object'),
+        )).alias('assertions'),
+        F.coalesce('evidence', F.lit('Not Available')).alias('evidence'),
+        F.struct(F.lit(creator).alias('gd_creator'),
+                 F.lit(version).alias('version')).alias('metadata'),
+        F.concat(F.lit('pybel_'), F.col('edge_id')).alias('id'),
+    )
+    return rendered.select(
+        F.to_json(F.struct(nanopub.alias('nanopub'))).alias('value'))
+
+
+def to_graphdati(edges: DataFrame, creator=None, version='1.0.0') -> list:
+    """Driver-side GraphDati nanopub list (io/graphdati.py:75-101)."""
+    return [json.loads(r['value'])
+            for r in to_graphdati_lines(edges, creator, version).collect()]
+
+
+def to_neo4j_admin_csv(nodes: DataFrame, edges: DataFrame,
+                       out_dir: str) -> dict:
+    """Neo4j bulk-load export: ``neo4j-admin database import``-shaped CSV
+    directories (nodes/ with ``:ID``/``:LABEL``, relationships/ with
+    ``:START_ID``/``:END_ID``/``:TYPE``).
+
+    This re-expresses the reference's ``to_neo4j`` (io/neo4j.py — a py2neo
+    per-node/per-edge upload) as the bulk path a real deployment uses at
+    scale: distributed CSV write, no driver round-trips.
+    """
+    import os
+
+    node_out = (
+        nodes.select(
+            F.col('node_id').alias('node_id:ID'),
+            'node_bel', 'namespace', 'name',
+            F.col('function').alias(':LABEL'),
+        )
+    )
+    edge_out = (
+        edges.select(
+            F.col('source_id').alias(':START_ID'),
+            F.col('target_id').alias(':END_ID'),
+            F.col('relation').alias(':TYPE'),
+            'citation_db', 'citation_id', 'evidence',
+        )
+    )
+    node_path = os.path.join(out_dir, 'nodes')
+    edge_path = os.path.join(out_dir, 'relationships')
+    node_out.write.mode('overwrite').option('header', True).csv(node_path)
+    edge_out.write.mode('overwrite').option('header', True).csv(edge_path)
+    return {'nodes': node_path, 'relationships': edge_path,
+            'import_command':
+                'neo4j-admin database import full'
+                ' --nodes={}/part-*.csv --relationships={}/part-*.csv'
+                .format(node_path, edge_path)}

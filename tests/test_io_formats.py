@@ -263,3 +263,40 @@ def test_from_jgif_reference_citation_shape(spark, result):
         spark, jgif, _corpus_header(), catalog=load_corpus_catalog())
     assert _qualified_edge_keys(edges2.collect()) \
         == _qualified_edge_keys(result.edges.collect())
+
+
+def test_graphdati_nanopubs(result):
+    """GraphDati nanopub shape parity (io/graphdati.py:89-135): one nanopub
+    per edge, conditional citation, evidence default."""
+    pubs = io_formats.to_graphdati(result.edges, creator='tester')
+    assert len(pubs) == result.edges.count()
+    for pub in pubs:
+        np_ = pub['nanopub']
+        assert np_['schema_uri'] == io_formats.GRAPHDATI_SCHEMA_URI
+        assert np_['type'] == {'name': 'BEL', 'version': '2.1.0'}
+        assert np_['id'].startswith('pybel_')
+        (assertion,) = np_['assertions']
+        assert set(assertion) == {'subject', 'relation', 'object'}
+        citation = np_['citation']
+        assert ('database' in citation) != ('reference' in citation)
+        assert np_['evidence']
+    qualified = {p['nanopub']['citation'].get('database', {}).get('id')
+                 for p in pubs if 'database' in p['nanopub']['citation']}
+    expected = {r['citation_id'] for r in result.edges
+                .where(F.col('citation_db').isNotNull()).collect()}
+    assert qualified == expected
+
+
+def test_neo4j_admin_csv(result, tmp_path, spark):
+    out = io_formats.to_neo4j_admin_csv(result.nodes, result.edges,
+                                        str(tmp_path / 'neo'))
+    nodes = spark.read.option('header', True).csv(out['nodes'])
+    rels = spark.read.option('header', True).csv(out['relationships'])
+    assert nodes.count() == result.nodes.count()
+    assert rels.count() == result.edges.count()
+    assert 'node_id:ID' in nodes.columns and ':LABEL' in nodes.columns
+    assert {':START_ID', ':END_ID', ':TYPE'} <= set(rels.columns)
+    # referential integrity: every endpoint id resolves to a node row
+    ids = {r['node_id:ID'] for r in nodes.collect()}
+    for row in rels.collect():
+        assert row[':START_ID'] in ids and row[':END_ID'] in ids
