@@ -139,14 +139,18 @@ def lsh_topk(vectors: DataFrame, k=5, n_planes=4, n_tables=8, seed=7,
                           F.col(vec_col).alias('q_vec'), 'lsh_bucket')
     if query_ids is not None:
         queries = queries.where(F.col('q_id').isin(list(query_ids)))
+    # similarity is computed BEFORE the pair dedup: a (q, n) pair sharing
+    # k buckets computes cosine k times (cheap, codegen) but the dedup
+    # shuffle then carries only (ids, double) — deduping first would
+    # shuffle the full embedding vectors (dim×8 bytes per row)
     candidates = (
         sigs.select(F.col(id_col).alias('neighbor_id'),
                     F.col(vec_col).alias('n_vec'), 'lsh_bucket')
         .join(F.broadcast(queries), on='lsh_bucket')
         .where(F.col('neighbor_id') != F.col('q_id'))
-        .select('q_id', 'q_vec', 'neighbor_id', 'n_vec')
-        .dropDuplicates(['q_id', 'neighbor_id'])
         .withColumn('similarity', cosine(F.col('q_vec'), F.col('n_vec')))
+        .groupBy('q_id', 'neighbor_id')
+        .agg(F.first('similarity').alias('similarity'))
     )
     w = Window.partitionBy('q_id').orderBy(F.desc('similarity'), 'neighbor_id')
     return (
