@@ -1,0 +1,78 @@
+"""Join-based entity grounding — the scale path for namespace dictionaries
+too large to broadcast.
+
+The pipeline's default grounding is a per-executor broadcast dict probe
+inside the parse UDF (pipeline.make_parse_func) — right for HGNC/GO/CHEBI
+at tens of MB. When the combined dictionaries outgrow executor memory
+(cross-species, full synonym tables), grounding becomes a DataFrame join:
+
+1. explode every concept mention out of the node table
+   (ops.summary.iter_node_concepts — recursing into variants, fusions,
+   members, reactions);
+2. **salted-hash repartition on the namespace key** before the join — a
+   handful of namespaces (HGNC, GO, CHEBI) dominate mentions, so a plain
+   hash partition on namespace sends most rows to 3 reducers; salting
+   spreads each hot namespace over ``salt_buckets`` partitions (the
+   north-star's "salted-hash repartition to defuse hot-namespace skew"),
+   with AQE skew-join as the runtime backstop;
+3. equi-join on (namespace, lowercased name) against the terms table —
+   broadcast when it fits, shuffle otherwise.
+
+Reference: the lookups in parser/parse_concept.py + the namespace manager
+(manager/), re-expressed as relational joins.
+"""
+from pyspark.sql import DataFrame, functions as F
+
+from .ops.summary import iter_node_concepts
+from .skew import repartition_salted
+
+
+def namespace_terms_table(spark, catalog, namespace_urls) -> DataFrame:
+    """(namespace_keyword, name, encoding) rows from .belns resources —
+    the dictionary side of the grounding join. At real scale this table
+    is a parquet/Iceberg dimension maintained out-of-band."""
+    rows = []
+    for keyword, url in sorted(namespace_urls.items()):
+        for name, encoding in catalog.namespace(url).items():
+            rows.append((keyword, name, encoding))
+    return spark.createDataFrame(
+        rows, 'namespace string, name string, encoding string')
+
+
+def ground_concepts_join(nodes: DataFrame, terms: DataFrame,
+                         broadcast_terms=True,
+                         salt_buckets=None) -> DataFrame:
+    """Ground every concept mention via a relational join.
+
+    Output: (node_id, namespace, name, identifier, encoding, is_grounded).
+    ``broadcast_terms=False`` + ``salt_buckets`` is the
+    larger-than-memory-dictionary path: shuffle join with the mention side
+    salted so hot namespaces cannot pin a reducer.
+    """
+    concepts = iter_node_concepts(nodes)
+    if salt_buckets:
+        concepts = repartition_salted(concepts, 'namespace', salt_buckets)
+    terms_side = F.broadcast(terms) if broadcast_terms else terms
+    joined = concepts.join(
+        terms_side.withColumnRenamed('name', '_term_name')
+        .withColumnRenamed('namespace', '_term_ns'),
+        on=[concepts['namespace'] == F.col('_term_ns'),
+            concepts['name'] == F.col('_term_name')],
+        how='left')
+    return joined.select(
+        'node_id', 'namespace', 'name', 'identifier', 'encoding',
+        F.col('encoding').isNotNull().alias('is_grounded'))
+
+
+def grounding_report(nodes: DataFrame, terms: DataFrame, **kwargs) -> DataFrame:
+    """Per-namespace hit/miss counts — the dataset-quality view a curator
+    reads after a run."""
+    grounded = ground_concepts_join(nodes, terms, **kwargs)
+    return (
+        grounded.groupBy('namespace')
+        .agg(F.count(F.lit(1)).alias('n_mentions'),
+             F.sum(F.col('is_grounded').cast('long')).alias('n_grounded'))
+        .withColumn('hit_rate',
+                    F.col('n_grounded') / F.col('n_mentions'))
+        .orderBy('namespace')
+    )

@@ -85,3 +85,43 @@ def test_graph_summary_authors(result):
     s = summary.graph_summary(KG(result.nodes, enriched))
     assert s['authors'] == citations.number_of_authors(enriched)
     assert s['authors'] > 0
+
+
+# ------------------------- join-based grounding ------------------------- #
+
+def test_ground_concepts_join(spark, result):
+    """Join grounding agrees with the in-parser broadcast-dict grounding:
+    every concept the compiler grounded resolves; broadcast and salted
+    shuffle paths give identical results."""
+    from pybel_spark import grounding
+    from pybel_spark.corpus import CorpusSpec, load_corpus_catalog
+
+    header = CorpusSpec().header
+    urls = {}
+    for line in header:
+        if line.startswith('DEFINE NAMESPACE') and ' AS URL ' in line:
+            kw = line.split()[2]
+            urls[kw] = line.split('"')[1]
+    terms = grounding.namespace_terms_table(
+        spark, load_corpus_catalog(), urls)
+
+    broadcast = grounding.ground_concepts_join(
+        result.nodes, terms, broadcast_terms=True)
+    shuffled = grounding.ground_concepts_join(
+        result.nodes, terms, broadcast_terms=False, salt_buckets=8)
+
+    rows_b = sorted(map(tuple, broadcast.collect()))
+    rows_s = sorted(map(tuple, shuffled.collect()))
+    assert rows_b == rows_s
+
+    # the compiler only emits URL-namespace concepts it grounded (regex
+    # namespaces like dbSNP aren't in the terms table)
+    url_ns = broadcast.where(F.col('namespace').isin(list(urls)))
+    assert url_ns.where(~F.col('is_grounded')).count() == 0
+    assert url_ns.count() > 0
+
+    report = grounding.grounding_report(result.nodes, terms)
+    by_ns = {r['namespace']: r for r in report.collect()}
+    for ns, row in by_ns.items():
+        if ns in urls:
+            assert row['hit_rate'] == 1.0
