@@ -128,8 +128,19 @@ def main():
     print(json.dumps(report))
 
     os.makedirs(os.path.join(REPO, 'BENCH'), exist_ok=True)
-    with open(os.path.join(REPO, 'BENCH', 'BASELINE.md'), 'w') as f:
+    out_path = os.path.join(REPO, 'BENCH', 'BASELINE.md')
+    # carry over the manually-maintained section (true-cluster measurements
+    # from scripts/bench_cluster.py, scale-headroom notes) across regens
+    extra = ''
+    marker = '<!-- manual-section -->'
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        if marker in prev:
+            extra = marker + prev.split(marker, 1)[1]
+    with open(out_path, 'w') as f:
         f.write(_render(report))
+        if extra:
+            f.write('\n' + extra)
     print('wrote BENCH/BASELINE.md')
 
 
