@@ -4,8 +4,11 @@ The reference is strictly batch (SURVEY.md §2.9); this is the Spark-native
 add-on the north rule anticipates: new web-page files/snapshots land in the
 input directory, the SAME vectorized parse stage processes them incrementally,
 and outputs append with exactly-once file-sink semantics via the stream
-checkpoint. Because parsing is stateless per document, no watermarks or
-stateful operators are needed — state lives entirely in the sink + checkpoint.
+checkpoint. Parsing itself is stateless per document (state lives in the
+sink + checkpoint); on top of it sit a watermarked event-time windowed
+aggregation (start_crawl_window_stream — late-data policy for crawl
+timestamps) and a custom stateful operator (start_citation_stats_stream —
+applyInPandasWithState running rollup).
 
 Downstream dedup (distinct triples / nodes) is a batch view over the streamed
 edge log: read_stream_output() applies the same content-hash dropDuplicates
@@ -124,6 +127,43 @@ def start_citation_stats_stream(spark, input_dir: str, out_dir: str,
         .format('parquet')
         .option('path', os.path.join(out_dir, 'citation_stats'))
         .option('checkpointLocation', os.path.join(out_dir, 'stats_checkpoint'))
+        .outputMode('append')
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_crawl_window_stream(spark, input_dir: str, out_dir: str,
+                              window='1 hour', watermark='2 hours',
+                              max_files_per_trigger=16,
+                              trigger_available_now=True):
+    """Watermarked event-time windowed aggregation over the crawl stream:
+    documents-per-(window, lang) keyed by ``warc_ts`` (the crawl event
+    time). The watermark bounds state and defines late-data policy: a window
+    is emitted exactly once (append mode) when the watermark passes its
+    end and its state is evicted; a page arriving behind the watermark
+    is guaranteed-dropped once its window's state is gone (Spark may
+    still absorb late-but-within-state rows - the documented
+    conservative bound). This is the built-in windowed path; custom
+    state that windows can't express lives in start_citation_stats_stream.
+    """
+    docs = read_document_stream(spark, input_dir, max_files_per_trigger)
+    counts = (
+        docs.withWatermark('warc_ts', watermark)
+        .groupBy(F.window('warc_ts', window), 'lang')
+        .agg(F.count(F.lit(1)).alias('n_docs'),
+             F.sum(F.length('text')).alias('n_chars'))
+        .select(F.col('window.start').alias('window_start'),
+                F.col('window.end').alias('window_end'),
+                'lang', 'n_docs', 'n_chars')
+    )
+    writer = (
+        counts.writeStream
+        .format('parquet')
+        .option('path', os.path.join(out_dir, 'crawl_windows'))
+        .option('checkpointLocation',
+                os.path.join(out_dir, 'windows_checkpoint'))
         .outputMode('append')
     )
     if trigger_available_now:

@@ -97,3 +97,65 @@ def test_streaming_incremental_parse(spark, dirs):
     n_edges_after = spark.read.parquet(
         os.path.join(dirs['out'], 'edges_log')).count()
     assert n_edges_before == n_edges_after
+
+
+def test_watermarked_window_stream(spark, tmp_path):
+    """Event-time windows close when the watermark passes; a document
+    arriving later than the watermark allows is dropped."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from pybel_spark.schemas import DOCUMENTS_SCHEMA
+    from pybel_spark.streaming import start_crawl_window_stream
+
+    in_dir = str(tmp_path / 'in')
+    out_dir = str(tmp_path / 'out')
+    os.makedirs(in_dir)
+
+    def doc(i, hour, lang='en'):
+        return Row(url='https://x.test/{}'.format(i),
+                   warc_ts=dt.datetime(2026, 1, 1, hour, 30),
+                   html=None, text='word ' * 5, lang=lang)
+
+    def write_wave(name, rows):
+        spark.createDataFrame(rows, DOCUMENTS_SCHEMA) \
+            .coalesce(1).write.mode('overwrite') \
+            .parquet(os.path.join(in_dir, name))
+
+    # Watermark timeline (wm applied in batch k comes from batch k-1's max
+    # event time): A (hours 0-3) -> B (frontier hour 6) -> C runs with
+    # wm=4:30, emitting + EVICTING the hour 0-3 windows -> D's late hour-1
+    # page hits evicted state and a 4:30 watermark: guaranteed drop.
+    # The file source orders batches by modification time — force distinct
+    # mtimes so the waves become ordered micro-batches.
+    import time
+
+    write_wave('a', [doc(i, hour=i % 4) for i in range(8)])
+    time.sleep(1.2)
+    write_wave('b', [doc(100, hour=6)])
+    time.sleep(1.2)
+    write_wave('c', [doc(101, hour=7)])
+    time.sleep(1.2)
+    write_wave('d', [doc(200, hour=1)])
+
+    # one file-batch per trigger so the watermark advances between waves
+    q = start_crawl_window_stream(
+        spark, in_dir + '/*', out_dir, window='1 hour', watermark='2 hours',
+        max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(os.path.join(out_dir, 'crawl_windows')).collect()
+    rows = {}
+    for r in got:
+        rows.setdefault(r['window_start'].hour, []).append(r['n_docs'])
+    # hours 0-3 windows closed once the frontier hit hour 6; each emitted
+    # exactly once with wave A's two docs
+    for h in (0, 1, 2, 3):
+        assert rows[h] == [2], rows
+    # the late hour-1 page (wave D, behind the evicted state + watermark)
+    # was dropped: no re-emission of the hour-1 window
+    assert len(rows[1]) == 1
+    # the hour-7 window never closed (no later frontier) -> not emitted
+    assert 7 not in rows
