@@ -161,6 +161,50 @@ def lsh_topk(vectors: DataFrame, k=5, n_planes=4, n_tables=8, seed=7,
     )
 
 
+def embedding_near_duplicates(vectors: DataFrame, threshold=0.95,
+                              n_planes=4, n_tables=8, seed=7,
+                              id_col='vec_id', vec_col='embedding',
+                              exact=False) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, similarity)
+    with cosine ≥ threshold and vec_a < vec_b.
+
+    Default path: LSH-bucketed candidates (equi-join on random-hyperplane
+    signatures — cost scales with bucket collision volume, the 100-TB
+    shape) verified by exact cosine. ``exact=True`` switches to the
+    brute-force all-pairs baseline (quadratic; for evaluation at small
+    scale). LSH recall is tunable via (n_planes, n_tables); near-identical
+    vectors agree on ~all hyperplane signs, so recall at high thresholds
+    is near 1.
+    """
+    if exact:
+        left = vectors.select(F.col(id_col).alias('vec_a'),
+                              F.col(vec_col).alias('a_vec'))
+        right = vectors.select(F.col(id_col).alias('vec_b'),
+                               F.col(vec_col).alias('b_vec'))
+        pairs = (
+            left.join(right, F.col('vec_a') < F.col('vec_b'))
+            .withColumn('similarity', cosine(F.col('a_vec'), F.col('b_vec')))
+        )
+    else:
+        sigs = lsh_signatures(vectors, n_planes, n_tables, seed,
+                              id_col, vec_col)
+        pairs = (
+            sigs.alias('x').join(sigs.alias('y'), on='lsh_bucket')
+            .where(F.col('x.{}'.format(id_col)) < F.col('y.{}'.format(id_col)))
+            .select(F.col('x.{}'.format(id_col)).alias('vec_a'),
+                    F.col('y.{}'.format(id_col)).alias('vec_b'),
+                    F.col('x.{}'.format(vec_col)).alias('a_vec'),
+                    F.col('y.{}'.format(vec_col)).alias('b_vec'))
+            .withColumn('similarity', cosine(F.col('a_vec'), F.col('b_vec')))
+            .groupBy('vec_a', 'vec_b')
+            .agg(F.first('similarity').alias('similarity'))
+        )
+    return (
+        pairs.where(F.col('similarity') >= threshold)
+        .select('vec_a', 'vec_b', 'similarity')
+    )
+
+
 def knn_recall(exact: DataFrame, approx: DataFrame) -> float:
     """Recall of an approximate ANN result vs the exact top-k."""
     e = exact.select('vec_id', 'neighbor_id')

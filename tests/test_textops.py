@@ -267,3 +267,28 @@ def test_video_decoder_is_stubbed(spark):
         F.col('modality') == 'video')
     with pytest.raises(Exception):
         multimodal.extract_features(media).collect()
+
+
+def test_embedding_near_duplicates(spark):
+    """LSH path finds exact-duplicate vectors with recall 1 (identical
+    vectors share every bucket); exact path agrees; sub-threshold pairs
+    excluded."""
+    import math
+    rows = []
+    for i in range(40):
+        base = [math.sin(i * 17.0 + d) for d in range(16)]
+        rows.append((i, base))
+        if i % 4 == 0:
+            rows.append((100 + i, list(base)))  # exact duplicate
+    vectors = spark.createDataFrame(rows, 'vec_id long, embedding array<float>')
+
+    approx = {(r['vec_a'], r['vec_b'])
+              for r in similarity.embedding_near_duplicates(
+                  vectors, threshold=0.99).collect()}
+    exact = {(r['vec_a'], r['vec_b'])
+             for r in similarity.embedding_near_duplicates(
+                 vectors, threshold=0.99, exact=True).collect()}
+    expected = {(i, 100 + i) for i in range(0, 40, 4)}
+    assert expected <= approx
+    assert approx <= exact
+    assert expected <= exact
