@@ -134,6 +134,94 @@ def extract_triples(documents: DataFrame, catalog=None,
     return triples.distinct() if distinct else triples
 
 
+def extract_triples_deduped(documents: DataFrame, catalog=None,
+                            compiler_options=None) -> DataFrame:
+    """Distinct triples via statement-level pre-parse dedup.
+
+    Web corpora are syndication/boilerplate heavy: the same BEL statement
+    under the same definition header appears on many pages. Since a
+    (subject, predicate, object) triple is a pure function of (definition
+    header, statement line) — control context (citation/evidence) never
+    reaches the triple — the pipeline can parse each DISTINCT
+    (header, statement) pair ONCE:
+
+    stage 1 (cheap, map-only): split each page into header + candidate
+    statement lines; stage 2: shuffle-distinct on md5(header)+statement
+    (short strings, uniform keys); stage 3: parse the survivors. Parse
+    cost scales with UNIQUE content, not corpus size — on duplication-
+    heavy corpora this is the dominant win; on all-unique corpora it adds
+    one small shuffle. Use :func:`extract_triples` when per-document
+    context (warnings, metrics, edges) is needed.
+    """
+    import pandas as pd
+
+    from .bel.compiler import sanitize_lines, split_sections
+    from .bel.control import is_control_line
+    from .schemas import TRIPLES_SCHEMA
+
+    if catalog is None:
+        catalog = load_corpus_catalog()
+    options = compiler_options or {}
+    catalog_bc = documents.sparkSession.sparkContext.broadcast(catalog)
+
+    def split(batches):
+        import hashlib as _hashlib
+        for pdf in batches:
+            headers, stmts = [], []
+            htmls = pdf['html'] if 'html' in pdf else [None] * len(pdf)
+            for html, text in zip(htmls, pdf['text']):
+                if text is None and html is not None:
+                    text = extract_text(bytes(html))
+                if text is None:
+                    continue
+                lines = mask_non_bel_lines(text)
+                sanitized = sanitize_lines(lines)
+                documents_s, definitions, statements = \
+                    split_sections(sanitized)
+                header = '\n'.join(
+                    line for _, line in list(documents_s) + list(definitions))
+                header_md5 = _hashlib.md5(header.encode('utf8')).hexdigest()
+                for _, line in statements:
+                    if not line or is_control_line(line):
+                        # control lines don't influence triples; skip them
+                        # so the dedup key is the bare statement
+                        continue
+                    headers.append(header_md5 + '\n' + header)
+                    stmts.append(line)
+            yield pd.DataFrame({'header': headers, 'statement': stmts})
+
+    unique = (
+        documents.select('html', 'text')
+        .mapInPandas(split, schema='header string, statement string')
+        .distinct()
+    )
+
+    def parse(batches):
+        compiler = DocumentCompiler(resources=catalog_bc.value, **options)
+        for pdf in batches:
+            subjects, predicates, objects = [], [], []
+            for header, stmt in zip(pdf['header'], pdf['statement']):
+                header_lines = header.split('\n')[1:]  # drop the md5 prefix
+                # minimal context: definitions + a dummy citation/evidence
+                # so the statement parses as qualified
+                doc_lines = header_lines + [
+                    'SET Citation = {"PubMed", "1"}',
+                    'SET SupportingText = "-"',
+                    stmt,
+                ]
+                result = compiler.compile(doc_lines)
+                for e in result['edges']:
+                    if e['triple_subject'] is not None:
+                        subjects.append(e['triple_subject'])
+                        predicates.append(e['triple_predicate'])
+                        objects.append(e['triple_object'])
+            yield pd.DataFrame({
+                'subject': subjects, 'predicate': predicates,
+                'object': objects})
+
+    return unique.mapInPandas(parse, schema=TRIPLES_SCHEMA).distinct()
+
+
 class GraphResult:
     """Handles to the pipeline's output DataFrames."""
 

@@ -138,3 +138,15 @@ def test_checkpoint_resume(spark, docs, spec):
         assert raw_edges.count() == raw_edges.select('edge_id').distinct().count()
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_extract_triples_deduped_equivalence(spark):
+    """The statement-level pre-parse dedup path emits exactly the same
+    distinct triples as the per-document parse."""
+    from pybel_spark.corpus import generate_documents
+    from pybel_spark.pipeline import extract_triples, extract_triples_deduped
+
+    docs = generate_documents(spark, 300, partitions=4)
+    a = {tuple(r) for r in extract_triples(docs).collect()}
+    b = {tuple(r) for r in extract_triples_deduped(docs).collect()}
+    assert a == b and a
