@@ -212,3 +212,127 @@ def knn_recall(exact: DataFrame, approx: DataFrame) -> float:
     hit = e.join(a, on=['vec_id', 'neighbor_id'], how='leftsemi').count()
     total = e.count()
     return hit / total if total else 1.0
+
+
+# ------------------------------- IVF ANN ------------------------------- #
+
+def ivf_assignments(vectors: DataFrame, n_lists=16, seed=7,
+                    id_col='vec_id', vec_col='embedding',
+                    refine_iterations=1):
+    """IVF coarse quantizer: deterministic seeded centroids (+ optional
+    Lloyd refinement steps computed distributed), then per-vector nearest-
+    centroid assignment in one numpy mapInPandas stage.
+
+    Returns (assignments DataFrame with a ``list_id`` column, centroids
+    ndarray). Centroid init: the n_lists vectors with the smallest
+    md5(vec_id) — content-independent, reproducible in any engine.
+    """
+    import numpy as np
+
+    assert refine_iterations >= 0
+
+    seeds = (
+        vectors.select(id_col, vec_col)
+        .withColumn('_h', F.md5(F.concat_ws(':', F.lit(seed),
+                                            F.col(id_col).cast('string'))))
+        .orderBy('_h')
+        .limit(n_lists)
+        .collect()
+    )
+    centroids = np.array([list(r[vec_col]) for r in seeds], dtype=np.float64)
+
+    def assign_factory(cents):
+        normed = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+        def assign(batches):
+            import pandas as pd
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                emb = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+                lists = np.argmax(emb_n @ normed.T, axis=1)
+                yield pd.DataFrame({
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    'list_id': lists.astype('int32'),
+                })
+        return assign
+
+    schema = '{} long, {} array<float>, list_id int'.format(id_col, vec_col)
+    assignments = vectors.select(id_col, vec_col) \
+        .mapInPandas(assign_factory(centroids), schema=schema)
+    for _ in range(refine_iterations):
+        # distributed Lloyd step: mean vector per list (2 shuffles of
+        # dim-length sums), then re-assign
+        agg = (
+            assignments
+            .select('list_id', F.col(vec_col).alias('v'))
+            .groupBy('list_id')
+            .agg(F.aggregate(
+                F.collect_list('v'),
+                F.array(*[F.lit(0.0)] * len(centroids[0])),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias('vsum'), F.count(F.lit(1)).alias('n'))
+            .collect()
+        )
+        for row in agg:
+            centroids[row['list_id']] = \
+                np.array(row['vsum']) / row['n']
+        assignments = vectors.select(id_col, vec_col) \
+            .mapInPandas(assign_factory(centroids.copy()), schema=schema)
+    return assignments, centroids
+
+
+def ivf_topk(vectors: DataFrame, k=5, n_lists=16, n_probe=4, seed=7,
+             query_ids=None, id_col='vec_id', vec_col='embedding',
+             refine_iterations=1) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` nearest inverted lists
+    per query, rank candidates by exact cosine.
+
+    The scale shape: the corpus is partitioned into n_lists buckets ONCE
+    (write ``assignments`` partitioned by list_id for reuse); a query
+    touches n_probe/n_lists of the data via a broadcast semi-join on
+    list_id — no all-pairs work. Recall rises with n_probe (= brute force
+    at n_probe = n_lists).
+    """
+    import numpy as np
+
+    assignments, centroids = ivf_assignments(
+        vectors, n_lists, seed, id_col, vec_col, refine_iterations)
+    assignments = assignments.persist()
+
+    queries = assignments.select(F.col(id_col).alias('q_id'),
+                                 F.col(vec_col).alias('q_vec'))
+    if query_ids is not None:
+        queries = queries.where(F.col('q_id').isin(list(query_ids)))
+    q_rows = queries.collect()
+
+    normed = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(list(r['q_vec']), dtype=np.float64)
+        qv /= np.linalg.norm(qv)
+        order = np.argsort(-(normed @ qv))[:n_probe]
+        for list_id in order:
+            probe_rows.append((r['q_id'], list(r['q_vec']), int(list_id)))
+    spark = vectors.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, 'q_id long, q_vec array<float>, list_id int')
+
+    candidates = (
+        assignments
+        .join(F.broadcast(probes), on='list_id')
+        .where(F.col(id_col) != F.col('q_id'))
+        .withColumn('similarity', cosine(F.col('q_vec'), F.col(vec_col)))
+        .groupBy('q_id', F.col(id_col).alias('neighbor_id'))
+        .agg(F.first('similarity').alias('similarity'))
+    )
+    w = Window.partitionBy('q_id').orderBy(F.desc('similarity'), 'neighbor_id')
+    out = (
+        candidates.withColumn('rank', F.row_number().over(w))
+        .where(F.col('rank') <= k)
+        .select(F.col('q_id').alias('vec_id'), 'neighbor_id', 'rank',
+                'similarity')
+    )
+    return out

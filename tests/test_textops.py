@@ -292,3 +292,34 @@ def test_embedding_near_duplicates(spark):
     assert expected <= approx
     assert approx <= exact
     assert expected <= exact
+
+
+def test_ivf_topk_recall_and_probe_scaling(spark):
+    """IVF probes the nearest inverted lists: recall grows with n_probe
+    and reaches 1.0 at n_probe == n_lists (brute force)."""
+    vectors = spark.read.parquet(f'{SF_DIR}/embeddings.parquet').persist()
+    qids = list(range(10))
+    exact = similarity.cosine_topk(vectors, k=5, query_ids=qids)
+
+    full = similarity.ivf_topk(vectors, k=5, n_lists=8, n_probe=8,
+                               query_ids=qids)
+    assert similarity.knn_recall(exact, full) == 1.0
+
+    lo = similarity.knn_recall(
+        exact, similarity.ivf_topk(vectors, k=5, n_lists=8, n_probe=1,
+                                   query_ids=qids))
+    hi = similarity.knn_recall(
+        exact, similarity.ivf_topk(vectors, k=5, n_lists=8, n_probe=4,
+                                   query_ids=qids))
+    assert lo <= hi <= 1.0
+    assert hi > 0.5
+    vectors.unpersist()
+
+
+def test_ivf_assignments_partition_everything(spark):
+    vectors = spark.read.parquet(f'{SF_DIR}/embeddings.parquet')
+    assignments, centroids = similarity.ivf_assignments(vectors, n_lists=8)
+    rows = assignments.collect()
+    assert len(rows) == vectors.count()
+    assert {r['list_id'] for r in rows} <= set(range(8))
+    assert centroids.shape[0] == 8
