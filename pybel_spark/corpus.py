@@ -117,8 +117,13 @@ def wrap_html(text, title='page'):
 
 
 def extract_text(html_bytes):
-    """Byte-identical inverse of wrap_html: one text line per <p> element."""
-    page = html_bytes.decode('utf-8')
+    """Byte-identical inverse of wrap_html: one text line per <p> element.
+
+    Invalid UTF-8 decodes with replacement characters instead of raising —
+    at web scale a single mojibake page must not fail a task (and its four
+    retries). The byte-identity invariant applies to well-formed pages.
+    """
+    page = html_bytes.decode('utf-8', errors='replace')
     lines = []
     pos = 0
     while True:

@@ -150,3 +150,33 @@ def test_extract_triples_deduped_equivalence(spark):
     a = {tuple(r) for r in extract_triples(docs).collect()}
     b = {tuple(r) for r in extract_triples_deduped(docs).collect()}
     assert a == b and a
+
+
+def test_malformed_web_inputs_survive(spark):
+    """Hostile pages — invalid UTF-8, binary junk, truncated markup, empty
+    payloads — must not fail the job; they contribute zero or partial
+    statements and the rest of the corpus compiles normally."""
+    from pybel_spark.corpus import CorpusSpec, wrap_html
+    from pybel_spark.pipeline import build_graph, extract_triples
+    from pybel_spark.schemas import DOCUMENTS_SCHEMA
+
+    spec = CorpusSpec()
+    good_text = spec.doc_text(1)
+    rows = [
+        ('https://ok.test/1', None, wrap_html(good_text), None, 'en'),
+        ('https://bad.test/utf8', None,
+         b'<html><p>\xff\xfe\x80 SET DOCUMENT</p></html>', None, 'en'),
+        ('https://bad.test/binary', None, bytes(range(256)), None, 'en'),
+        ('https://bad.test/truncated', None, b'<html><p>unclosed', None, 'en'),
+        ('https://bad.test/empty', None, b'', None, 'en'),
+        ('https://bad.test/nulls', None, None, None, 'en'),
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    result = build_graph(docs, persist=True)
+    metrics = {r['url']: r for r in result.doc_metrics.collect()}
+    assert len(metrics) == 6
+    assert metrics['https://ok.test/1']['n_statements'] > 0
+    triples = {tuple(r) for r in extract_triples(docs).collect()}
+    expected = {tuple(t) for idx in spec.unit_indices(1)
+                for t in spec.units[idx]['golden']['triples']}
+    assert triples == expected
