@@ -8,8 +8,9 @@ through ``DECODERS``:
   pixel decode, block-average downsample, 8-dim color/luminance feature.
 - **audio**: real pure-Python decoder for RIFF/WAVE PCM16 — chunk walk,
   sample decode, 8-dim RMS/zero-crossing/band-energy feature.
-- **video**: stub (frame sampling genuinely requires av/ffmpeg, not in this
-  environment); raises NotImplementedError by design.
+- **video**: real pure-Python decoder for YUV4MPEG2 (Y4M, C444) — header
+  parse, FRAME walk, uniform frame sampling, 8-dim luminance/motion
+  feature.
 
 Compressed formats (JPEG/PNG/MP3/H.264) need external codecs — in
 production swap the decoder per modality without touching the pipeline.
@@ -183,14 +184,89 @@ def _decode_audio(payload: bytes):
     return [n / sample_rate, rms, peak, zcr] + bands
 
 
+# ------------------------------ Y4M (video) ------------------------------ #
+
+def encode_y4m(width, height, frames, fps=25):
+    """YUV4MPEG2 encoder (C420jpeg-less: 4:4:4 planar). ``frames`` is a
+    list of per-frame flat Y/U/V byte triples-planes: (y_bytes, u_bytes,
+    v_bytes), each of length width*height."""
+    header = 'YUV4MPEG2 W{} H{} F{}:1 Ip A1:1 C444\n'.format(
+        width, height, fps).encode('ascii')
+    body = b''.join(
+        b'FRAME\n' + y + u + v for y, u, v in frames)
+    return header + body
+
+
+def decode_y4m(payload: bytes):
+    """YUV4MPEG2 (C444) decoder → (width, height, fps, [y_plane bytes per
+    frame]). Pure stream walk: header line, then FRAME-delimited raw
+    planes."""
+    nl = payload.index(b'\n')
+    header = payload[:nl].decode('ascii', errors='replace').split()
+    if not header or header[0] != 'YUV4MPEG2':
+        raise ValueError('not a YUV4MPEG2 payload')
+    width = height = fps = None
+    colorspace = 'C420'
+    for token in header[1:]:
+        if token.startswith('W'):
+            width = int(token[1:])
+        elif token.startswith('H'):
+            height = int(token[1:])
+        elif token.startswith('F'):
+            fps = int(token[1:].split(':')[0])
+        elif token.startswith('C'):
+            colorspace = token
+    if width is None or height is None:
+        raise ValueError('missing W/H in Y4M header')
+    if not colorspace.startswith('C444'):
+        raise ValueError('only C444 Y4M supported (got {})'.format(colorspace))
+    plane = width * height
+    frame_size = 3 * plane
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b'\n', pos)
+        if not payload[pos:fnl].startswith(b'FRAME'):
+            raise ValueError('missing FRAME marker')
+        start = fnl + 1
+        if start + frame_size > len(payload):
+            raise ValueError('truncated Y4M frame')
+        frames.append(payload[start:start + plane])  # luma plane only
+        pos = start + frame_size
+    return width, height, fps or 25, frames
+
+
+def sample_frames(frames, n_samples=4):
+    """Uniform frame sampling — the decode/frame-sample step of a video
+    feature pipeline."""
+    if not frames:
+        return []
+    n = len(frames)
+    idx = sorted({min(n - 1, (n * i) // n_samples) for i in range(n_samples)})
+    return [frames[i] for i in idx]
+
+
 def _decode_video(payload: bytes):
-    """Real implementation would frame-sample then image-decode; container
-    demuxing requires av/ffmpeg — not in this environment."""
-    raise NotImplementedError('video frame sampling requires av/ffmpeg — not in env')
+    """Y4M decode → 8-dim feature: n_frames, duration (s), then mean
+    luminance of up to 4 uniformly sampled frames, then inter-frame motion
+    proxy (mean |Δluma| between first and last sample), padded with 0."""
+    width, height, fps, lumas = decode_y4m(payload)
+    n = len(lumas)
+    sampled = sample_frames(lumas, 4)
+    means = [sum(p) / len(p) / 255.0 for p in sampled]
+    means += [0.0] * (4 - len(means))
+    if len(sampled) >= 2:
+        first, last = sampled[0], sampled[-1]
+        motion = sum(abs(a - b) for a, b in zip(first, last)) \
+            / len(first) / 255.0
+    else:
+        motion = 0.0
+    return [float(n), n / fps, motion] + means + [0.0]
 
 
-#: modality → decoder; image (PPM) and audio (WAV) are REAL pure-Python
-#: paths, video is a documented stub
+#: modality → decoder; ALL THREE are real pure-Python paths for codec-free
+#: formats (PPM, WAV-PCM16, Y4M); compressed formats (JPEG/MP3/H.264) need
+#: external codecs — swap per modality in production
 DECODERS = {
     'image': _decode_image,
     'audio': _decode_audio,
@@ -242,9 +318,9 @@ def extract_features(media: DataFrame, use_fake_decoder=False,
 def synthetic_media(spark, n_rows=100, partitions=4,
                     decodable=True) -> DataFrame:
     """Deterministic synthetic media table: image rows carry real PPM
-    payloads, audio rows real WAV payloads (both decodable end-to-end);
-    video rows (and everything when ``decodable=False``) carry seeded raw
-    bytes."""
+    payloads, audio rows real WAV payloads, video rows real Y4M payloads
+    (all decodable end-to-end); with ``decodable=False`` every row carries
+    seeded raw bytes (the fake-decoder plumbing path)."""
     import pandas as pd
 
     def build(batches):
@@ -255,9 +331,20 @@ def synthetic_media(spark, n_rows=100, partitions=4,
                 i = int(i)
                 modality = modalities[i % 3]
                 width = height = duration = None
-                if not decodable or modality == 'video':
+                if not decodable:
                     payload = hashlib.sha256(str(i).encode()).digest() * (1 + i % 5)
                     mime = None
+                elif modality == 'video':
+                    width = height = 8
+                    frames = []
+                    for f in range(2 + i % 3):
+                        y = bytes(((x + f * 11 + i) % 256)
+                                  for x in range(width * height))
+                        u = v = bytes(width * height)
+                        frames.append((y, u, v))
+                    payload = encode_y4m(width, height, frames)
+                    duration = 1000 * len(frames) // 25
+                    mime = 'video/x-yuv4mpeg'
                 elif modality == 'image':
                     width = height = 8 + (i % 3) * 4
                     pixels = [((x * 37 + i) % 256, (y * 11 + i) % 256,

@@ -241,13 +241,12 @@ def test_wav_codec_roundtrip():
     assert decoded == samples
 
 
-def test_real_image_audio_decode_through_arrow_stage(spark):
-    """PPM + WAV payloads decode to REAL features through mapInPandas —
-    the non-fake path end-to-end (video stays a documented stub)."""
-    media = multimodal.synthetic_media(spark, n_rows=30).where(
-        F.col('modality') != 'video')
+def test_real_decode_through_arrow_stage(spark):
+    """PPM + WAV + Y4M payloads all decode to REAL features through
+    mapInPandas — the non-fake path end-to-end for every modality."""
+    media = multimodal.synthetic_media(spark, n_rows=30)
     feats = multimodal.extract_features(media).collect()
-    assert len(feats) == 20
+    assert len(feats) == 30
     by_id = {r['media_id']: r for r in feats}
     # recompute one image feature on the driver from the same payload
     row = media.where(F.col('media_id') == 'media-0').first()
@@ -260,13 +259,28 @@ def test_real_image_audio_decode_through_arrow_stage(spark):
     for r in audio:
         duration, rms, peak, zcr = r['feature'][:4]
         assert duration > 0 and 0 <= rms <= peak <= 1 and 0 <= zcr <= 1
+    # video features: n_frames >= 2, duration > 0, luma means in [0, 1]
+    video = [r for r in feats if r['modality'] == 'video']
+    assert video
+    for r in video:
+        n_frames, duration, motion = r['feature'][:3]
+        assert n_frames >= 2 and duration > 0 and 0 <= motion <= 1
+        assert all(0 <= m <= 1 for m in r['feature'][3:7])
 
 
-def test_video_decoder_is_stubbed(spark):
-    media = multimodal.synthetic_media(spark, n_rows=3).where(
-        F.col('modality') == 'video')
-    with pytest.raises(Exception):
-        multimodal.extract_features(media).collect()
+def test_y4m_codec_roundtrip():
+    frames = []
+    for f in range(3):
+        y = bytes((x * 7 + f) % 256 for x in range(6 * 4))
+        u = v = bytes(6 * 4)
+        frames.append((y, u, v))
+    payload = multimodal.encode_y4m(6, 4, frames, fps=10)
+    w, h, fps, lumas = multimodal.decode_y4m(payload)
+    assert (w, h, fps) == (6, 4, 10)
+    assert lumas == [f[0] for f in frames]
+    assert multimodal.sample_frames(lumas, 2) == [lumas[0], lumas[1]]
+    with pytest.raises(ValueError):
+        multimodal.decode_y4m(payload[:20])  # truncated frame
 
 
 def test_embedding_near_duplicates(spark):
