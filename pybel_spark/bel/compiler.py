@@ -343,7 +343,30 @@ class _CompileState:
                 self.control.handle_unset(s, line, number)
             return
 
-        stmt = self.term_parser.parse_statement(line, number)
+        # per-header statement-parse memo: web corpora repeat statements
+        # (boilerplate/syndication) massively, and a parse outcome — the
+        # result dict (never mutated downstream; all node construction is
+        # copy-on-build in bel.model) or the raised warning — is a pure
+        # function of (definition header, line). The cache lives on the
+        # term_parser, which the header cache already shares across
+        # documents on an executor. Warning replays re-stamp the current
+        # occurrence's line number.
+        cache = getattr(self.term_parser, '_stmt_cache', None)
+        if cache is None:
+            cache = self.term_parser._stmt_cache = {}
+        entry = cache.get(line)
+        if entry is None:
+            try:
+                entry = ('ok', self.term_parser.parse_statement(line, number))
+            except BELParserWarning as exc:
+                entry = ('err', exc)
+            if len(cache) < 65536:  # bound executor memory
+                cache[line] = entry
+        if entry[0] == 'err':
+            exc = entry[1]
+            exc.line_number = number
+            raise exc
+        stmt = entry[1]
         kind = stmt['type']
 
         if kind == 'term':
