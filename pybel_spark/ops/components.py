@@ -5,13 +5,18 @@ components of ``h`` that touch ``g``) and ``struct/graph.py:770-796``
 (``Number of Components`` in the graph summary). The reference delegates to
 ``networkx.weakly_connected_components``; here it is the distributed
 hash-min label propagation: every node starts labeled with its own id and
-repeatedly takes the minimum label over itself and its (undirected)
-neighbors. Convergence is one round per hop of component diameter — BEL
-knowledge graphs are hub-dominated with tiny diameters, so a handful of
-shuffle rounds suffices. Each round is a single equi-join + min-aggregate
-on uniformly-distributed md5 node ids (skew-free by construction); lineage
-is truncated per round with ``localCheckpoint`` so plans stay flat at any
-iteration count.
+repeatedly takes the minimum label over itself, its (undirected) neighbors,
+AND its current label's label (pointer doubling / path shortcutting, as in
+Pegasus-style HCC): labels chase min-pointers two hops per round, so
+convergence is O(log diameter) rounds rather than O(diameter) — a
+10^6-hop chain (pathological web-graph shape) converges in ~20 rounds.
+Each round is an equi-join + min-aggregate plus one self-join, all on
+uniformly-distributed md5 node ids (skew-free by construction); lineage is
+truncated per round with ``localCheckpoint`` so plans stay flat at any
+iteration count. If the iteration budget is ever exhausted before the
+fixed point, the function RAISES instead of returning silently wrong
+labels (downstream count_components / left_outer_join / component-size
+rollups would all be corrupted).
 """
 from pyspark.sql import DataFrame, functions as F
 
@@ -41,6 +46,7 @@ def connected_components(graph: KG, max_iterations: int = 50) -> DataFrame:
         'node_id', F.col('node_id').alias('component'))
     labels = labels.localCheckpoint(eager=True)
 
+    n_changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels.withColumnRenamed('node_id', 'source_id'),
@@ -48,13 +54,25 @@ def connected_components(graph: KG, max_iterations: int = 50) -> DataFrame:
             .groupBy(F.col('target_id').alias('node_id'))
             .agg(F.min('component').alias('neighbor_component'))
         )
+        # pointer doubling: label(label(u)) — labels are themselves node
+        # ids, so one self-join compresses min-pointer paths by half per
+        # round (O(log diameter) total rounds)
+        shortcut = (
+            labels.alias('a')
+            .join(labels.alias('b'),
+                  F.col('a.component') == F.col('b.node_id'))
+            .select(F.col('a.node_id').alias('node_id'),
+                    F.col('b.component').alias('grand_component'))
+        )
         new_labels = (
             labels.join(neighbor_min, on='node_id', how='left')
+            .join(shortcut, on='node_id', how='left')
             .select(
                 'node_id',
                 F.least(
                     F.col('component'),
                     F.coalesce('neighbor_component', F.col('component')),
+                    F.coalesce('grand_component', F.col('component')),
                 ).alias('component'))
         )
         new_labels = new_labels.localCheckpoint(eager=True)
@@ -68,6 +86,11 @@ def connected_components(graph: KG, max_iterations: int = 50) -> DataFrame:
         if n_changed == 0:
             break
     sym.unpersist()
+    if n_changed != 0:
+        raise RuntimeError(
+            'connected_components did not converge within {} iterations '
+            '({} labels still changing) — raise max_iterations'.format(
+                max_iterations, n_changed))
     return labels
 
 

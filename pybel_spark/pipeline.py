@@ -139,35 +139,95 @@ def extract_triples_deduped(documents: DataFrame, catalog=None,
     """Distinct triples via statement-level pre-parse dedup.
 
     Web corpora are syndication/boilerplate heavy: the same BEL statement
-    under the same definition header appears on many pages. Since a
-    (subject, predicate, object) triple is a pure function of (definition
-    header, statement line) — control context (citation/evidence) never
-    reaches the triple — the pipeline can parse each DISTINCT
-    (header, statement) pair ONCE:
+    under the same definition header appears on many pages. A (subject,
+    predicate, object) triple is a pure function of (definition header,
+    statement line, *was-the-statement-in-a-qualified-context*): the
+    citation/evidence TEXT never reaches the triple, but its PRESENCE
+    gates whether a qualified relation emits one at all
+    (compiler._handle_qualified raises MissingCitationException /
+    MissingSupportWarning / MissingAnnotationWarning otherwise), while
+    structural statements (hasMembers, hasComponent, hasVariant, term-only
+    lines) emit their triples regardless of context. So the pipeline can
+    parse each DISTINCT (header, statement, qualified-flag) triple ONCE:
 
     stage 1 (cheap, map-only): split each page into header + candidate
-    statement lines; stage 2: shuffle-distinct on md5(header)+statement
-    (short strings, uniform keys); stage 3: parse the survivors. Parse
-    cost scales with UNIQUE content, not corpus size — on duplication-
-    heavy corpora this is the dominant win; on all-unique corpora it adds
-    one small shuffle. Use :func:`extract_triples` when per-document
-    context (warnings, metrics, edges) is needed.
+    statement lines, running the SAME ``ControlState`` machine the full
+    compiler runs (same annotation definitions, same warning-on-mutation
+    semantics) to tag each statement with its in-situ qualified flag;
+    stage 2: shuffle-distinct on md5(header)+statement+flag (short
+    strings, uniform keys); stage 3: parse the survivors — qualified ones
+    under a dummy citation/evidence, unqualified ones bare (so qualified
+    relations are rejected exactly as they were in situ). Parse cost
+    scales with UNIQUE content, not corpus size. The output equals
+    :func:`extract_triples` on ANY corpus, including hostile pages with
+    statements outside citation context and under ``required_annotations``
+    (see tests). Use :func:`extract_triples` when per-document context
+    (warnings, metrics, edges) is needed.
     """
     import pandas as pd
 
-    from .bel.compiler import sanitize_lines, split_sections
-    from .bel.control import is_control_line
+    from .bel.compiler import _DEFINE_RE, _unquote, sanitize_lines, \
+        split_sections
+    from .bel.control import ControlState, is_control_line
     from .schemas import TRIPLES_SCHEMA
 
     if catalog is None:
         catalog = load_corpus_catalog()
-    options = compiler_options or {}
+    options = dict(compiler_options or {})
+    citation_clearing = options.get('citation_clearing', True)
+    required_annotations = options.get('required_annotations')
+    # the qualified-context gate (incl. required_annotations) is applied in
+    # stage 1 against the real per-document state; the stage-3 re-parse runs
+    # under a dummy context that deliberately can't satisfy annotation
+    # requirements, so drop them there
+    parse_options = dict(options)
+    parse_options.pop('required_annotations', None)
     catalog_bc = documents.sparkSession.sparkContext.broadcast(catalog)
 
     def split(batches):
         import hashlib as _hashlib
+
+        from .bel.grammar import Scanner
+
+        resources = catalog_bc.value
+        header_defs_cache = {}
+
+        def annotation_defs(header_md5, definitions):
+            """Annotation definitions exactly as _CompileState.parse_definitions
+            resolves them (first definition wins; failed defines leave the
+            keyword undefined). Memoized per distinct header."""
+            cached = header_defs_cache.get(header_md5)
+            if cached is not None:
+                return cached
+            terms, patterns, locals_ = {}, {}, {}
+            for _n, line in definitions:
+                m = _DEFINE_RE.match(line)
+                if m is None:
+                    continue
+                kind, keyword, how, rest = m.groups()
+                if kind != 'ANNOTATION':
+                    continue
+                if keyword in terms or keyword in patterns \
+                        or keyword in locals_:
+                    continue  # redefinition raises in compile → first wins
+                try:
+                    rest = rest.strip()
+                    if how == 'URL':
+                        terms[keyword] = resources.annotation(_unquote(rest))
+                    elif how == 'PATTERN':
+                        patterns[keyword] = re.compile(_unquote(rest))
+                    else:
+                        locals_[keyword] = set(
+                            re.findall(r'"((?:[^"\\]|\\.)*)"', rest))
+                except Exception:
+                    pass  # failed define → keyword stays undefined
+            cached = (terms, patterns, locals_)
+            if len(header_defs_cache) < 256:  # bound executor memory
+                header_defs_cache[header_md5] = cached
+            return cached
+
         for pdf in batches:
-            headers, stmts = [], []
+            headers, stmts, quals = [], [], []
             htmls = pdf['html'] if 'html' in pdf else [None] * len(pdf)
             for html, text in zip(htmls, pdf['text']):
                 if text is None and html is not None:
@@ -181,34 +241,65 @@ def extract_triples_deduped(documents: DataFrame, catalog=None,
                 header = '\n'.join(
                     line for _, line in list(documents_s) + list(definitions))
                 header_md5 = _hashlib.md5(header.encode('utf8')).hexdigest()
-                for _, line in statements:
-                    if not line or is_control_line(line):
-                        # control lines don't influence triples; skip them
-                        # so the dedup key is the bare statement
+                terms, patterns, locals_ = \
+                    annotation_defs(header_md5, definitions)
+                control = ControlState(
+                    annotation_to_term=terms,
+                    annotation_to_pattern=patterns,
+                    annotation_to_local=locals_,
+                    citation_clearing=citation_clearing,
+                    required_annotations=required_annotations,
+                )
+                for number, line in statements:
+                    if is_control_line(line):
+                        # identical handling to compiler.parse_statements:
+                        # warnings abort the line but keep prior mutations
+                        s = Scanner(line, number)
+                        try:
+                            keyword = s.read_word()
+                            if keyword == 'SET':
+                                control.handle_set(s, line, number)
+                            else:
+                                control.handle_unset(s, line, number)
+                        except Exception:
+                            pass
                         continue
+                    qualified = bool(
+                        control.citation_is_set and control.evidence
+                        and not control.get_missing_required_annotations())
                     headers.append(header_md5 + '\n' + header)
                     stmts.append(line)
-            yield pd.DataFrame({'header': headers, 'statement': stmts})
+                    quals.append(qualified)
+            yield pd.DataFrame({'header': headers, 'statement': stmts,
+                                'qualified': quals})
 
     unique = (
         documents.select('html', 'text')
-        .mapInPandas(split, schema='header string, statement string')
+        .mapInPandas(
+            split, schema='header string, statement string, qualified boolean')
         .distinct()
     )
 
     def parse(batches):
-        compiler = DocumentCompiler(resources=catalog_bc.value, **options)
+        compiler = DocumentCompiler(resources=catalog_bc.value,
+                                    **parse_options)
         for pdf in batches:
             subjects, predicates, objects = [], [], []
-            for header, stmt in zip(pdf['header'], pdf['statement']):
+            for header, stmt, qualified in zip(
+                    pdf['header'], pdf['statement'], pdf['qualified']):
                 header_lines = header.split('\n')[1:]  # drop the md5 prefix
-                # minimal context: definitions + a dummy citation/evidence
-                # so the statement parses as qualified
-                doc_lines = header_lines + [
-                    'SET Citation = {"PubMed", "1"}',
-                    'SET SupportingText = "-"',
-                    stmt,
-                ]
+                if qualified:
+                    # the in-situ context had citation+evidence(+required
+                    # annotations); a dummy context reproduces the gate
+                    doc_lines = header_lines + [
+                        'SET Citation = {"PubMed", "1"}',
+                        'SET SupportingText = "-"',
+                        stmt,
+                    ]
+                else:
+                    # bare context: qualified relations raise exactly as
+                    # they did in situ; structural triples still emit
+                    doc_lines = header_lines + [stmt]
                 result = compiler.compile(doc_lines)
                 for e in result['edges']:
                     if e['triple_subject'] is not None:

@@ -395,3 +395,26 @@ def test_random_subgraph_via_seeding(kg):
     seeded = Seeding().append('sample', {'number_edges': 15, 'seed': 3}) \
         .run(kg)
     assert seeded.edges.count() <= 15
+
+
+def test_connected_components_long_chain_converges(spark):
+    """ADVICE r2: pointer doubling must converge a diameter-300 chain well
+    inside the 50-round budget (plain hash-min would need ~300 rounds), and
+    exhaustion must RAISE instead of returning wrong labels."""
+    import pytest as _pytest
+    from pybel_spark.ops import components
+    from pybel_spark.ops.graph import KG
+
+    n = 300
+    ids = ['n{:04d}'.format(i) for i in range(n)]
+    nodes = spark.createDataFrame([(i,) for i in ids], ['node_id'])
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)],
+        ['source_id', 'target_id'])
+    kg_ = KG(nodes, edges)
+    labels = components.connected_components(kg_, max_iterations=15)
+    got = {r['component'] for r in labels.collect()}
+    assert got == {'n0000'}
+
+    with _pytest.raises(RuntimeError, match='did not converge'):
+        components.connected_components(kg_, max_iterations=2)

@@ -180,3 +180,79 @@ def test_malformed_web_inputs_survive(spark):
     expected = {tuple(t) for idx in spec.unit_indices(1)
                 for t in spec.units[idx]['golden']['triples']}
     assert triples == expected
+
+
+def test_deduped_hostile_context_equivalence(spark):
+    """ADVICE r2: a statement OUTSIDE a valid citation/evidence context must
+    not leak triples through the pre-parse dedup path — while structural
+    statements (no context needed) still emit theirs. The dedup path must
+    equal the per-document path on exactly this hostile-page shape."""
+    from pybel_spark.corpus import CorpusSpec, wrap_html
+    from pybel_spark.pipeline import extract_triples, extract_triples_deduped
+    from pybel_spark.schemas import DOCUMENTS_SCHEMA
+
+    spec = CorpusSpec()
+    header = '\n'.join(spec.header)
+    stmt = 'p(HGNC:AKT1) increases p(HGNC:EGFR)'
+    structural = 'complex(p(HGNC:AKT1), p(HGNC:EGFR))'
+    cite = 'SET Citation = {"PubMed", "j", "123"}'
+    ev = 'SET Evidence = "e"'
+    pages = [
+        # qualified statement BEFORE any citation; structural out of context
+        header + '\n' + stmt + '\n' + structural + '\n',
+        # qualified statement after UNSET Citation
+        '\n'.join([header, cite, ev, 'UNSET Citation', stmt, '']),
+        # citation set but evidence missing
+        '\n'.join([header, cite, stmt, '']),
+        # valid context: same statement text — the dedup key must separate
+        # this occurrence from the unqualified ones above
+        '\n'.join([header, cite, ev, stmt, '']),
+    ]
+    rows = [('https://ctx.test/{}'.format(i), None, wrap_html(t), None, 'en')
+            for i, t in enumerate(pages)]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    full = {tuple(r) for r in extract_triples(docs).collect()}
+    dedup = {tuple(r) for r in extract_triples_deduped(docs).collect()}
+    assert dedup == full
+    # the qualified triple comes only from the valid page
+    assert ('HGNC:AKT1', 'increasesAmountOf', 'HGNC:EGFR') in full
+    # dropping the valid page removes it — proving pages 0-2 don't leak
+    docs_hostile = spark.createDataFrame(rows[:3], DOCUMENTS_SCHEMA)
+    full_h = {tuple(r) for r in extract_triples(docs_hostile).collect()}
+    dedup_h = {tuple(r) for r in extract_triples_deduped(docs_hostile).collect()}
+    assert dedup_h == full_h
+    assert ('HGNC:AKT1', 'increasesAmountOf', 'HGNC:EGFR') not in full_h
+    # structural triples from the complex() term survive
+    assert any(t[1] == 'partOf' for t in full_h)
+
+
+def test_deduped_required_annotations_equivalence(spark):
+    """ADVICE r2: under required_annotations, only statements whose in-situ
+    context carries the annotation emit triples — through both paths."""
+    from pybel_spark.corpus import CorpusSpec, wrap_html
+    from pybel_spark.pipeline import extract_triples, extract_triples_deduped
+    from pybel_spark.schemas import DOCUMENTS_SCHEMA
+
+    spec = CorpusSpec()
+    header = '\n'.join(spec.header)
+    cite = 'SET Citation = {"PubMed", "j", "123"}'
+    ev = 'SET Evidence = "e"'
+    with_ann = '\n'.join([
+        header, cite, ev, 'SET Species = "9606"',
+        'p(HGNC:AKT1) increases p(HGNC:EGFR)', ''])
+    without_ann = '\n'.join([
+        header, cite, ev,
+        'p(HGNC:AKT1) decreases p(HGNC:EGFR)', ''])
+    rows = [
+        ('https://ann.test/0', None, wrap_html(with_ann), None, 'en'),
+        ('https://ann.test/1', None, wrap_html(without_ann), None, 'en'),
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    opts = {'required_annotations': ['Species']}
+    full = {tuple(r) for r in extract_triples(
+        docs, compiler_options=opts).collect()}
+    dedup = {tuple(r) for r in extract_triples_deduped(
+        docs, compiler_options=opts).collect()}
+    assert dedup == full
+    assert any(t[1] == 'increasesAmountOf' for t in full)
+    assert not any(t[1] == 'decreasesAmountOf' for t in full)
