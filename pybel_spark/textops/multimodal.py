@@ -53,8 +53,12 @@ def encode_ppm(width, height, pixels):
     return header + body
 
 
-def decode_ppm(payload: bytes):
-    """Binary PPM (P6) decoder → (width, height, [(r, g, b), ...])."""
+def _decode_ppm_array(payload: bytes):
+    """Binary PPM (P6) decoder → (width, height, uint8 ndarray of shape
+    (height*width, 3)) — one ``np.frombuffer`` over the body, no per-pixel
+    Python."""
+    import numpy as np
+
     if not payload.startswith(b'P6'):
         raise ValueError('not a binary PPM (P6) payload')
     # header: magic, width, height, maxval — whitespace/comment separated
@@ -79,48 +83,53 @@ def decode_ppm(payload: bytes):
     body = payload[i:i + 3 * width * height]
     if len(body) != 3 * width * height:
         raise ValueError('truncated PPM body')
-    pixels = [(body[k], body[k + 1], body[k + 2])
-              for k in range(0, len(body), 3)]
-    return width, height, pixels
+    return width, height, np.frombuffer(body, np.uint8).reshape(-1, 3)
+
+
+def decode_ppm(payload: bytes):
+    """Binary PPM (P6) decoder → (width, height, [(r, g, b), ...])."""
+    width, height, arr = _decode_ppm_array(payload)
+    return width, height, [tuple(px) for px in arr.tolist()]
 
 
 def resize_image_block_mean(width, height, pixels, out_w=8, out_h=8):
-    """Nearest-block-average downsample — the resize step of the pipeline,
-    pure arithmetic."""
+    """Nearest-block-average downsample — the resize step of the pipeline.
+    Per OUTPUT cell one numpy block mean (out_w × out_h slices, never a
+    per-pixel Python loop)."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.int64).reshape(height, width, 3)
     out = []
     for oy in range(out_h):
-        y0, y1 = height * oy // out_h, max(height * (oy + 1) // out_h, height * oy // out_h + 1)
+        y0 = height * oy // out_h
+        y1 = max(height * (oy + 1) // out_h, y0 + 1)
         for ox in range(out_w):
-            x0, x1 = width * ox // out_w, max(width * (ox + 1) // out_w, width * ox // out_w + 1)
-            acc = [0, 0, 0]
-            cnt = 0
-            for y in range(y0, min(y1, height)):
-                for x in range(x0, min(x1, width)):
-                    px = pixels[y * width + x]
-                    acc[0] += px[0]
-                    acc[1] += px[1]
-                    acc[2] += px[2]
-                    cnt += 1
-            out.append(tuple(c / cnt for c in acc))
+            x0 = width * ox // out_w
+            x1 = max(width * (ox + 1) // out_w, x0 + 1)
+            block = arr[y0:min(y1, height), x0:min(x1, width)]
+            cnt = block.shape[0] * block.shape[1]
+            sums = block.sum(axis=(0, 1))
+            out.append(tuple(float(s) / cnt for s in sums))
     return out
 
 
 def _decode_image(payload: bytes):
     """PPM decode → 8-dim feature: mean R/G/B, luminance std, 4-bin
-    luminance histogram (all in [0, 1])."""
-    width, height, pixels = decode_ppm(payload)
-    n = len(pixels)
-    mean_r = sum(p[0] for p in pixels) / n / 255.0
-    mean_g = sum(p[1] for p in pixels) / n / 255.0
-    mean_b = sum(p[2] for p in pixels) / n / 255.0
-    lum = [(0.299 * p[0] + 0.587 * p[1] + 0.114 * p[2]) / 255.0
-           for p in pixels]
-    mean_l = sum(lum) / n
-    std_l = (sum((v - mean_l) ** 2 for v in lum) / n) ** 0.5
-    hist = [0, 0, 0, 0]
-    for v in lum:
-        hist[min(int(v * 4), 3)] += 1
-    return [mean_r, mean_g, mean_b, std_l] + [h / n for h in hist]
+    luminance histogram (all in [0, 1]). Pure numpy arithmetic on the
+    decoded byte array (integer sums are exact in float64, so values match
+    the scalar formulation)."""
+    import numpy as np
+
+    _w, _h, arr = _decode_ppm_array(payload)
+    n = arr.shape[0]
+    rgb = arr.astype(np.float64)
+    mean_r, mean_g, mean_b = (rgb.sum(axis=0) / n / 255.0).tolist()
+    lum = (rgb @ np.array([0.299, 0.587, 0.114])) / 255.0
+    mean_l = lum.sum() / n
+    std_l = float(np.sqrt(((lum - mean_l) ** 2).sum() / n))
+    bins = np.minimum((lum * 4).astype(np.int64), 3)
+    hist = np.bincount(bins, minlength=4)
+    return [mean_r, mean_g, mean_b, std_l] + (hist / n).tolist()
 
 
 # ------------------------------ WAV (audio) ------------------------------ #
@@ -135,10 +144,17 @@ def encode_wav(samples, sample_rate=8000):
     return b'RIFF' + struct.pack('<I', len(chunks)) + chunks
 
 
-def decode_wav(payload: bytes):
-    """RIFF/WAVE PCM16 decoder → (sample_rate, [mono samples]). Walks the
-    chunk list; stereo is averaged to mono."""
-    if payload[:4] != b'RIFF' or payload[8:12] != b'WAVE':
+def _decode_wav_array(payload: bytes):
+    """RIFF/WAVE PCM16 decoder → (sample_rate, int32 ndarray of mono
+    samples). Walks the chunk list; stereo is averaged to mono (floor
+    division, matching integer ``//``). All chunk sizes are validated
+    BEFORE unpacking — a truncated or hostile payload raises ValueError,
+    never struct.error (so per-row handlers can catch decode failures
+    uniformly)."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b'RIFF' \
+            or payload[8:12] != b'WAVE':
         raise ValueError('not a RIFF/WAVE payload')
     i, n = 12, len(payload)
     sample_rate = None
@@ -147,40 +163,62 @@ def decode_wav(payload: bytes):
     while i + 8 <= n:
         chunk_id = payload[i:i + 4]
         (size,) = struct.unpack('<I', payload[i + 4:i + 8])
+        if i + 8 + size > n:
+            raise ValueError('truncated WAV chunk {!r}'.format(chunk_id))
         data = payload[i + 8:i + 8 + size]
         if chunk_id == b'fmt ':
-            audio_format, channels, sample_rate = struct.unpack('<HHI', data[:8])
+            if len(data) < 16:
+                raise ValueError('fmt chunk too short')
+            audio_format, channels, sample_rate = \
+                struct.unpack('<HHI', data[:8])
             bits = struct.unpack('<H', data[14:16])[0]
             if audio_format != 1 or bits != 16:
                 raise ValueError('only PCM16 WAV supported')
+            if channels < 1:
+                raise ValueError('invalid channel count')
         elif chunk_id == b'data':
-            raw = struct.unpack('<{}h'.format(len(data) // 2), data)
+            raw = np.frombuffer(data[:(len(data) // 2) * 2], '<i2') \
+                .astype(np.int32)
             if channels and channels > 1:
-                raw = [sum(raw[k:k + channels]) // channels
-                       for k in range(0, len(raw) - channels + 1, channels)]
-            samples = list(raw)
+                n_frames = len(raw) // channels
+                raw = raw[:n_frames * channels] \
+                    .reshape(n_frames, channels).sum(axis=1) // channels
+            samples = raw
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if sample_rate is None or samples is None:
         raise ValueError('missing fmt/data chunk')
+    if sample_rate <= 0:
+        raise ValueError('invalid sample rate')
     return sample_rate, samples
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE PCM16 decoder → (sample_rate, [mono samples])."""
+    sample_rate, samples = _decode_wav_array(payload)
+    return sample_rate, samples.tolist()
 
 
 def _decode_audio(payload: bytes):
     """WAV decode → 8-dim feature: duration (s), RMS, peak, zero-crossing
-    rate, 4-band windowed RMS."""
-    sample_rate, samples = decode_wav(payload)
+    rate, 4-band windowed RMS — numpy reductions over the sample array."""
+    import numpy as np
+
+    sample_rate, samples = _decode_wav_array(payload)
     n = len(samples)
     if n == 0:
         return [0.0] * 8
-    norm = [s / 32768.0 for s in samples]
-    rms = (sum(v * v for v in norm) / n) ** 0.5
-    peak = max(abs(v) for v in norm)
-    zcr = sum(1 for a, b in zip(norm, norm[1:]) if (a < 0) != (b < 0)) \
+    norm = samples.astype(np.float64) / 32768.0
+    rms = float(np.sqrt((norm * norm).sum() / n))
+    peak = float(np.abs(norm).max())
+    zcr = int(np.count_nonzero((norm[:-1] < 0) != (norm[1:] < 0))) \
         / max(n - 1, 1)
     bands = []
     for b in range(4):
-        seg = norm[n * b // 4:n * (b + 1) // 4] or [0.0]
-        bands.append((sum(v * v for v in seg) / len(seg)) ** 0.5)
+        seg = norm[n * b // 4:n * (b + 1) // 4]
+        if len(seg) == 0:
+            bands.append(0.0)
+        else:
+            bands.append(float(np.sqrt((seg * seg).sum() / len(seg))))
     return [n / sample_rate, rms, peak, zcr] + bands
 
 
@@ -249,16 +287,20 @@ def sample_frames(frames, n_samples=4):
 def _decode_video(payload: bytes):
     """Y4M decode → 8-dim feature: n_frames, duration (s), then mean
     luminance of up to 4 uniformly sampled frames, then inter-frame motion
-    proxy (mean |Δluma| between first and last sample), padded with 0."""
+    proxy (mean |Δluma| between first and last sample), padded with 0.
+    Per-frame numpy reductions — never a per-pixel Python loop."""
+    import numpy as np
+
     width, height, fps, lumas = decode_y4m(payload)
     n = len(lumas)
     sampled = sample_frames(lumas, 4)
-    means = [sum(p) / len(p) / 255.0 for p in sampled]
+    planes = [np.frombuffer(p, np.uint8) for p in sampled]
+    means = [float(p.astype(np.int64).sum()) / len(p) / 255.0
+             for p in planes]
     means += [0.0] * (4 - len(means))
-    if len(sampled) >= 2:
-        first, last = sampled[0], sampled[-1]
-        motion = sum(abs(a - b) for a, b in zip(first, last)) \
-            / len(first) / 255.0
+    if len(planes) >= 2:
+        first, last = planes[0].astype(np.int64), planes[-1].astype(np.int64)
+        motion = float(np.abs(first - last).sum()) / len(first) / 255.0
     else:
         motion = 0.0
     return [float(n), n / fps, motion] + means + [0.0]
@@ -290,7 +332,12 @@ def extract_features(media: DataFrame, use_fake_decoder=False,
 
     One mapInPandas stage; per-batch the decoder runs on raw bytes. With
     ``use_fake_decoder=True`` every modality uses the sha256-derived fake
-    (useful when payloads are in formats without in-environment codecs)."""
+    (useful when payloads are in formats without in-environment codecs).
+
+    Hostile-web-input policy (same as text extraction): a corrupt or
+    truncated payload must NOT fail the Spark task (and its retries) — the
+    per-row decode is wrapped, and failures emit ``feature = NULL`` so
+    downstream filters can drop or count them."""
     import pandas as pd
 
     def extract(batches):
@@ -299,10 +346,15 @@ def extract_features(media: DataFrame, use_fake_decoder=False,
             for media_id, modality, payload in zip(
                     pdf['media_id'], pdf['modality'], pdf['payload']):
                 payload = bytes(payload) if payload is not None else b''
-                if use_fake_decoder:
-                    feature = deterministic_fake_feature(payload, feature_dim)
-                else:
-                    feature = DECODERS[modality](payload)
+                try:
+                    if use_fake_decoder:
+                        feature = deterministic_fake_feature(
+                            payload, feature_dim)
+                    else:
+                        feature = DECODERS[modality](payload)
+                except Exception:
+                    feature = None  # corrupt payload: null sentinel, not a
+                    #                 task failure
                 rows.append({
                     'media_id': media_id,
                     'modality': modality,

@@ -225,7 +225,15 @@ def ivf_assignments(vectors: DataFrame, n_lists=16, seed=7,
 
     Returns (assignments DataFrame with a ``list_id`` column, centroids
     ndarray). Centroid init: the n_lists vectors with the smallest
-    md5(vec_id) — content-independent, reproducible in any engine.
+    md5(seed:vec_id) — content-independent, reproducible in any engine.
+
+    Scale shape of the Lloyd step: the per-list mean is a posexplode →
+    partial-aggregated sum per (list_id, dimension) — every aggregation
+    buffer holds ONE double, map-side combine shrinks the shuffle to
+    n_partitions × n_lists × dim scalar rows, and only the n_lists × dim
+    sums (a few KB) ever reach the driver. A skewed assignment (90% of
+    the corpus in one list) costs nothing extra: the sums for the hot
+    list accumulate across partitions like any other key.
     """
     import numpy as np
 
@@ -263,22 +271,22 @@ def ivf_assignments(vectors: DataFrame, n_lists=16, seed=7,
     assignments = vectors.select(id_col, vec_col) \
         .mapInPandas(assign_factory(centroids), schema=schema)
     for _ in range(refine_iterations):
-        # distributed Lloyd step: mean vector per list (2 shuffles of
-        # dim-length sums), then re-assign
+        # distributed Lloyd step: scalar sums per (list_id, dim) — never a
+        # whole inverted list in one buffer; empty lists keep their seed
         agg = (
             assignments
-            .select('list_id', F.col(vec_col).alias('v'))
-            .groupBy('list_id')
-            .agg(F.aggregate(
-                F.collect_list('v'),
-                F.array(*[F.lit(0.0)] * len(centroids[0])),
-                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-            ).alias('vsum'), F.count(F.lit(1)).alias('n'))
+            .select('list_id', F.posexplode(vec_col).alias('pos', 'val'))
+            .groupBy('list_id', 'pos')
+            .agg(F.sum('val').alias('s'), F.count(F.lit(1)).alias('n'))
             .collect()
         )
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
         for row in agg:
-            centroids[row['list_id']] = \
-                np.array(row['vsum']) / row['n']
+            sums[row['list_id'], row['pos']] = row['s']
+            counts[row['list_id']] = row['n']
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
         assignments = vectors.select(id_col, vec_col) \
             .mapInPandas(assign_factory(centroids.copy()), schema=schema)
     return assignments, centroids
@@ -292,8 +300,12 @@ def ivf_topk(vectors: DataFrame, k=5, n_lists=16, n_probe=4, seed=7,
 
     The scale shape: the corpus is partitioned into n_lists buckets ONCE
     (write ``assignments`` partitioned by list_id for reuse); a query
-    touches n_probe/n_lists of the data via a broadcast semi-join on
-    list_id — no all-pairs work. Recall rises with n_probe (= brute force
+    touches n_probe/n_lists of the data via a join on list_id — no
+    all-pairs work. Probe selection is DISTRIBUTED: the n_lists × dim
+    centroid matrix (a few KB) is closed over into a mapInPandas stage
+    that emits (q_id, q_vec, list_id) probe rows — query vectors never
+    visit the driver, so an unrestricted ``query_ids=None`` all-pairs run
+    is safe at any corpus size. Recall rises with n_probe (= brute force
     at n_probe = n_lists).
     """
     import numpy as np
@@ -306,23 +318,34 @@ def ivf_topk(vectors: DataFrame, k=5, n_lists=16, n_probe=4, seed=7,
                                  F.col(vec_col).alias('q_vec'))
     if query_ids is not None:
         queries = queries.where(F.col('q_id').isin(list(query_ids)))
-    q_rows = queries.collect()
 
     normed = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    probe_rows = []
-    for r in q_rows:
-        qv = np.array(list(r['q_vec']), dtype=np.float64)
-        qv /= np.linalg.norm(qv)
-        order = np.argsort(-(normed @ qv))[:n_probe]
-        for list_id in order:
-            probe_rows.append((r['q_id'], list(r['q_vec']), int(list_id)))
-    spark = vectors.sparkSession
-    probes = spark.createDataFrame(
-        probe_rows, 'q_id long, q_vec array<float>, list_id int')
+    n_probe_eff = min(n_probe, len(centroids))
+
+    def probe(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.array(pdf['q_vec'].tolist(), dtype=np.float64)
+            emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            sims = emb_n @ normed.T
+            # stable sort: ties probe the lower list_id, deterministically
+            order = np.argsort(-sims, axis=1, kind='stable')[:, :n_probe_eff]
+            yield pd.DataFrame({
+                'q_id': np.repeat(pdf['q_id'].to_numpy(), n_probe_eff),
+                'q_vec': pdf['q_vec'].to_numpy().repeat(n_probe_eff),
+                'list_id': order.reshape(-1).astype('int32'),
+            })
+
+    probes = queries.mapInPandas(
+        probe, schema='q_id long, q_vec array<float>, list_id int')
+    if query_ids is not None:
+        probes = F.broadcast(probes)  # small filtered query set
 
     candidates = (
         assignments
-        .join(F.broadcast(probes), on='list_id')
+        .join(probes, on='list_id')
         .where(F.col(id_col) != F.col('q_id'))
         .withColumn('similarity', cosine(F.col('q_vec'), F.col(vec_col)))
         .groupBy('q_id', F.col(id_col).alias('neighbor_id'))
