@@ -127,6 +127,62 @@ def main():
     ).agg(F.sum('n_tokens')).collect()
     queries['text_token_counts'] = round(time.time() - t0, 3)
 
+    # ---- textops family (VERDICT r2 #4): dedup / ANN / quality walls ----
+    from pybel_spark.textops import dedup, multimodal, quality, similarity
+
+    ddocs = ddocs.select('doc_id', 'text').persist()
+    ddocs.count()
+
+    t0 = time.time()
+    dedup.minhash_dedup_pairs(ddocs).count()
+    queries['dedup_minhash_pairs'] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup.simhash_near_duplicates(ddocs).count()
+    queries['dedup_simhash_pairs'] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    quality.quality_features(ddocs).agg(
+        F.sum('n_tokens')).collect()
+    queries['text_quality_features'] = round(time.time() - t0, 3)
+
+    # adversarial skew: one shingle in 50% of docs — the df cap must hold
+    # the WALL TIME, not just the candidate count
+    hot = 'zzhot ' * 12
+    skewed = ddocs.withColumn(
+        'text',
+        F.when(F.col('doc_id') % 2 == 0,
+               F.concat(F.lit(hot), F.col('text'))).otherwise(F.col('text')))
+    t0 = time.time()
+    dedup.ngram_jaccard_pairs(skewed).count()
+    queries['dedup_jaccard_skewed'] = round(time.time() - t0, 3)
+    ddocs.unpersist()
+
+    vectors = spark.read.parquet(f'{sf_dir}/embeddings.parquet').persist()
+    n_vectors = vectors.count()
+    t0 = time.time()
+    similarity.lsh_topk(vectors, k=5, query_ids=list(range(50))).count()
+    queries['embedding_knn_lsh'] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    similarity.ivf_topk(vectors, k=5, n_lists=16, n_probe=4,
+                        query_ids=list(range(50))).count()
+    queries['embedding_knn_ivf'] = round(time.time() - t0, 3)
+    vectors.unpersist()
+
+    # media decode throughput (numpy decoders): synthesize once, decode all
+    n_media = 3000
+    media = multimodal.synthetic_media(
+        spark, n_rows=n_media, partitions=cores).persist()
+    media_bytes = media.agg(
+        F.sum(F.length('payload')).alias('b')).collect()[0]['b']
+    t0 = time.time()
+    n_decoded = multimodal.extract_features(media) \
+        .where(F.col('feature').isNotNull()).count()
+    t_decode = time.time() - t0
+    queries['media_decode'] = round(t_decode, 3)
+    media.unpersist()
+
     total = round(time.time() - t_total0, 3)
     parsed.unpersist()
     shutil.rmtree(corpus_dir, ignore_errors=True)
@@ -149,6 +205,10 @@ def main():
         'docs_per_sec': round(stats['docs'] / t_parse, 1),
         'statements_per_sec': round(stats['stmts'] / t_parse, 1),
         'triples_per_sec': round(emitted / t_parse, 1),
+        'embedding_vectors': int(n_vectors),
+        'media_rows': int(n_media),
+        'media_decoded_ok': int(n_decoded),
+        'media_mb_per_sec': round(media_bytes / t_decode / 1e6, 1),
     }
     spark.stop()
     print(json.dumps(out))

@@ -388,33 +388,100 @@ def build_graph(documents: DataFrame, catalog=None, compiler_options=None,
 
 
 # ----------------------------------------------------------------------- #
-# checkpoint-resumable run
+# checkpoint-resumable run: manifest-committed transactional MERGE
+#
+# The on-disk layout is Iceberg-shaped: data files live under
+# <out_dir>/<table>/<commit_id>/ and are INVISIBLE until <out_dir>/
+# MANIFEST.json — the single metadata pointer — references the commit.
+# The manifest is replaced atomically (tmp + os.rename), so readers see
+# either the pre-commit or post-commit state, never a partial one. A kill
+# at ANY point leaves at most orphan data dirs that no reader touches and
+# that the deterministic commit id lets the resume overwrite in place.
+# One writer per out_dir is assumed (the driver), exactly like an Iceberg
+# single-table committer without a lock service.
+
+_MANIFEST = 'MANIFEST.json'
+_TABLES = ('nodes', 'edges', 'warnings')
+
+
+def _read_manifest(out_dir: str) -> dict:
+    import json
+    import os
+
+    path = os.path.join(out_dir, _MANIFEST)
+    if not os.path.exists(path):
+        return {'commits': []}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _swap_manifest(out_dir: str, manifest: dict) -> None:
+    """Atomic manifest replace: write to a temp file in the same directory,
+    then rename over the pointer (POSIX rename is atomic)."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, _MANIFEST + '.tmp')
+    with open(tmp, 'w') as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(out_dir, _MANIFEST))
+
+
+def _committed_paths(out_dir: str, manifest: dict, table: str) -> list:
+    import os
+
+    return [
+        os.path.join(out_dir, table, c['commit_id'])
+        for c in manifest['commits'] if c['tables'].get(table)
+    ]
+
+
+def _dir_has_data(path: str) -> bool:
+    import os
+
+    for _root, _dirs, files in os.walk(path):
+        if any(f.startswith('part-') for f in files):
+            return True
+    return False
+
 
 def run_checkpointed(spark, documents: DataFrame, out_dir: str,
                      n_buckets: int = 64, catalog=None,
                      compiler_options=None, commit_groups: int = 8) -> dict:
-    """Materialize the graph under ``out_dir`` with per-bucket lineage.
+    """Materialize the graph under ``out_dir`` with per-bucket lineage and
+    transactional MERGE commits.
 
-    Outputs (parquet, partitioned by bucket): nodes/ edges/ warnings/ and a
-    lineage/ table. Buckets are processed in ``commit_groups`` commit units —
-    each unit's outputs AND lineage land together, so a kill mid-run loses at
-    most one unit of work; a re-invocation with the same ``out_dir`` skips
-    buckets whose lineage row says 'done'. Content-hash keys make appends
-    idempotent after dedup at read time (``read_graph``).
+    Buckets (xxhash64(url) % n_buckets) are processed in ``commit_groups``
+    commit units. Per unit:
+
+    1. parse the unit's documents (one mapInPandas pass),
+    2. MERGE: drop rows whose content-hash key (node_id / edge_id) is
+       already committed — an anti-join against the committed key column
+       only (column-pruned parquet scan, uniform hash keys, the
+       get-or-create upsert of the reference ``insert_graph``,
+       cache_manager.py:848-903, expressed as a distributed join),
+    3. write the survivors to ``<table>/<commit_id>/`` (the commit id is a
+       pure function of the bucket group, so a rerun after a kill
+       overwrites its own orphans),
+    4. atomically swap MANIFEST.json to publish the commit + its
+       per-bucket lineage metrics.
+
+    A kill mid-unit loses at most that unit's work; a re-invocation with
+    the same ``out_dir`` skips manifest-committed buckets and reprocesses
+    the rest. Readers (``read_graph``) need NO read-time dedup: the
+    on-disk committed state is duplicate-free by construction.
     """
+    import hashlib
     import os
 
     docs = documents.withColumn(
         'bucket', F.pmod(F.xxhash64('url'), F.lit(n_buckets)).cast('int'))
 
-    lineage_path = os.path.join(out_dir, 'lineage')
-    done = set()
-    try:
-        done_rows = spark.read.parquet(lineage_path) \
-            .where(F.col('status') == 'done').select('bucket').collect()
-        done = {r['bucket'] for r in done_rows}
-    except Exception:
-        pass  # first run: no lineage yet
+    manifest = _read_manifest(out_dir)
+    done = {b for c in manifest['commits'] for b in c['buckets']}
 
     todo = [b for b in range(n_buckets) if b not in done]
     if not todo:
@@ -428,6 +495,8 @@ def run_checkpointed(spark, documents: DataFrame, out_dir: str,
     n_processed = 0
     for start in range(0, len(todo), group_size):
         group = todo[start:start + group_size]
+        cid = 'g{:04d}-{}'.format(group[0], hashlib.md5(
+            ','.join(map(str, group)).encode()).hexdigest()[:8])
         group_docs = docs.where(F.col('bucket').isin(group))
         result = build_graph(group_docs.drop('bucket'), catalog=catalog,
                              compiler_options=compiler_options, persist=False)
@@ -435,28 +504,40 @@ def run_checkpointed(spark, documents: DataFrame, out_dir: str,
             'bucket', F.pmod(F.xxhash64('url'), F.lit(n_buckets)).cast('int'))
         parsed = parsed.persist()
 
-        (parsed.select('bucket', F.explode('nodes').alias('n'))
-         .select('bucket', 'n.*')
-         .write.mode('append').partitionBy('bucket')
-         .parquet(os.path.join(out_dir, 'nodes')))
-        (parsed.select('bucket', 'url', F.explode('edges').alias('e'))
-         .select('bucket', 'url', 'e.*')
-         .write.mode('append').partitionBy('bucket')
-         .parquet(os.path.join(out_dir, 'edges')))
-        (parsed.select('bucket', 'url', F.explode('warnings').alias('w'))
-         .select('bucket', 'url', 'w.*')
-         .write.mode('append').partitionBy('bucket')
-         .parquet(os.path.join(out_dir, 'warnings')))
+        nodes = (parsed.select('bucket', F.explode('nodes').alias('n'))
+                 .select('bucket', 'n.*').dropDuplicates(['node_id']))
+        edges = (parsed.select('bucket', 'url', F.explode('edges').alias('e'))
+                 .select('bucket', 'url', 'e.*').dropDuplicates(['edge_id']))
+        # warnings have no content key; urls are bucket-disjoint, so groups
+        # can never overlap — no dedup needed
+        warnings = (parsed.select('bucket', 'url',
+                                  F.explode('warnings').alias('w'))
+                    .select('bucket', 'url', 'w.*'))
 
-        # lineage commits LAST within the unit: a kill before this point
-        # leaves the group marked not-done; the re-run reprocesses it and the
-        # content-hash dedup at read time absorbs the partial outputs.
-        # Left join against the full group so buckets with zero documents
-        # still get a 'done' row (otherwise a resume would re-scan them
-        # forever), and n_processed comes from the group list — no extra job.
-        group_df = spark.createDataFrame([(b,) for b in group],
-                                         'bucket int')
-        lineage = (
+        old_nodes = _committed_paths(out_dir, manifest, 'nodes')
+        if old_nodes:
+            nodes = nodes.join(
+                spark.read.parquet(*old_nodes).select('node_id'),
+                on='node_id', how='left_anti')
+        old_edges = _committed_paths(out_dir, manifest, 'edges')
+        if old_edges:
+            edges = edges.join(
+                spark.read.parquet(*old_edges).select('edge_id'),
+                on='edge_id', how='left_anti')
+
+        tables = {}
+        for table, df in (('nodes', nodes), ('edges', edges),
+                          ('warnings', warnings)):
+            path = os.path.join(out_dir, table, cid)
+            df.write.mode('overwrite').parquet(path)
+            # an all-duplicates unit writes zero part files; record that so
+            # readers never scan a schema-less empty dir
+            tables[table] = _dir_has_data(path)
+
+        # per-bucket lineage metrics (≤ |group| small rows to the driver);
+        # left join so empty buckets still get a done row
+        group_df = spark.createDataFrame([(b,) for b in group], 'bucket int')
+        metric_rows = (
             group_df.join(
                 parsed.groupBy('bucket').agg(
                     F.count('*').alias('n_docs'),
@@ -467,55 +548,129 @@ def run_checkpointed(spark, documents: DataFrame, out_dir: str,
                 on='bucket', how='left')
             .fillna(0, subset=['n_docs', 'n_statements', 'n_edges',
                                'n_warnings'])
-            .withColumn('status', F.lit('done'))
-            .select(*[f.name for f in LINEAGE_SCHEMA.fields])
+            .collect()
         )
-        lineage.write.mode('append').parquet(lineage_path)
-        n_processed += len(group)
         parsed.unpersist()
+
+        # publish: the atomic swap is the commit point
+        manifest['commits'].append({
+            'commit_id': cid,
+            'buckets': group,
+            'tables': tables,
+            'metrics': {str(r['bucket']): {
+                'n_docs': r['n_docs'], 'n_statements': r['n_statements'],
+                'n_edges': r['n_edges'], 'n_warnings': r['n_warnings'],
+            } for r in metric_rows},
+        })
+        _swap_manifest(out_dir, manifest)
+        n_processed += len(group)
 
     return {'skipped_buckets': len(done), 'processed_buckets': n_processed}
 
 
-def compact_output(spark, out_dir: str) -> dict:
-    """Compact a checkpointed output in place: apply the content-hash dedup
-    once and rewrite each table with one file per bucket.
+def read_lineage(spark, out_dir: str) -> DataFrame:
+    """Per-bucket lineage metrics reconstructed from the manifest."""
+    manifest = _read_manifest(out_dir)
+    rows = []
+    for c in manifest['commits']:
+        for bucket, m in c['metrics'].items():
+            rows.append((int(bucket), m['n_docs'], m['n_statements'],
+                         m['n_edges'], m['n_warnings'], 'done'))
+    return spark.createDataFrame(rows, LINEAGE_SCHEMA)
 
-    This is the parquet stand-in for an Iceberg ``MERGE INTO`` + snapshot
-    expiration: repeated resume-appends accumulate duplicate rows (absorbed
-    at read time); compaction makes the on-disk state canonical and bounds
-    small-file growth.
+
+def compact_output(spark, out_dir: str) -> dict:
+    """Compact a manifest-committed output: rewrite every table as ONE
+    commit clustered by bucket, swap the manifest to reference only it,
+    then delete the superseded data dirs.
+
+    The Iceberg analogy is rewrite-data-files + snapshot expiration: the
+    committed state is already duplicate-free (MERGE happens at write
+    time), so compaction only bounds small-file growth and drops orphan
+    dirs from killed attempts. Crash-safe ordering: new files → atomic
+    manifest swap → cleanup; a crash leaves orphans, never partial reads.
     """
+    import hashlib
     import os
     import shutil
 
+    manifest = _read_manifest(out_dir)
+    old_cids = [c['commit_id'] for c in manifest['commits']]
+    if not old_cids:
+        return {}
+    new_cid = 'compact-' + hashlib.md5(
+        ','.join(old_cids).encode()).hexdigest()[:8]
+
     stats = {}
-    for table, key in (('nodes', 'node_id'), ('edges', 'edge_id'),
-                       ('warnings', None)):
-        path = os.path.join(out_dir, table)
-        df = spark.read.parquet(path)
-        before = df.count()
-        if key is not None:
-            df = df.dropDuplicates([key])
-        after = df.count()
-        tmp = path + '_compacting'
-        (df.repartition('bucket').write.mode('overwrite')
-         .partitionBy('bucket').parquet(tmp))
-        shutil.rmtree(path)
-        os.rename(tmp, path)
-        stats[table] = {'rows_before': before, 'rows_after': after}
+    tables = {}
+    for table in _TABLES:
+        paths = _committed_paths(out_dir, manifest, table)
+        out_path = os.path.join(out_dir, table, new_cid)
+        if paths:
+            df = spark.read.parquet(*paths)
+            files_before = sum(
+                1 for p in paths for _r, _d, fs in os.walk(p)
+                for f in fs if f.startswith('part-'))
+            df.repartition(F.col('bucket')).sortWithinPartitions('bucket') \
+                .write.mode('overwrite').parquet(out_path)
+            files_after = sum(
+                1 for _r, _d, fs in os.walk(out_path)
+                for f in fs if f.startswith('part-'))
+            stats[table] = {'files_before': files_before,
+                            'files_after': files_after}
+        tables[table] = bool(paths) and _dir_has_data(out_path)
+
+    merged_metrics = {}
+    all_buckets = []
+    for c in manifest['commits']:
+        all_buckets.extend(c['buckets'])
+        merged_metrics.update(c['metrics'])
+    _swap_manifest(out_dir, {'commits': [{
+        'commit_id': new_cid,
+        'buckets': sorted(set(all_buckets)),
+        'tables': tables,
+        'metrics': merged_metrics,
+    }]})
+
+    # expire superseded + orphan dirs (anything but the new commit)
+    for table in _TABLES:
+        table_dir = os.path.join(out_dir, table)
+        if not os.path.isdir(table_dir):
+            continue
+        for d in os.listdir(table_dir):
+            if d != new_cid:
+                shutil.rmtree(os.path.join(table_dir, d),
+                              ignore_errors=True)
     return stats
 
 
 def read_graph(spark, out_dir: str) -> dict:
-    """Read back a checkpointed run with idempotent dedup applied."""
-    import os
+    """Read back a checkpointed run. No read-time dedup is needed: the
+    manifest references only MERGE-committed, duplicate-free data."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, \
+        StructType
 
-    nodes = spark.read.parquet(os.path.join(out_dir, 'nodes')) \
-        .dropDuplicates(['node_id'])
-    edges = spark.read.parquet(os.path.join(out_dir, 'edges')) \
-        .dropDuplicates(['edge_id'])
-    warnings = spark.read.parquet(os.path.join(out_dir, 'warnings'))
+    manifest = _read_manifest(out_dir)
+    if not manifest['commits']:
+        raise ValueError('no committed data under {}'.format(out_dir))
+
+    def empty(name):
+        elem = PARSED_SCHEMA[name].dataType.elementType
+        fields = [StructField('bucket', IntegerType(), True)]
+        if name != 'nodes':
+            fields.append(StructField('url', StringType(), True))
+        return spark.createDataFrame(
+            [], StructType(fields + list(elem.fields)))
+
+    def table(name):
+        paths = _committed_paths(out_dir, manifest, name)
+        if not paths:
+            return empty(name)  # e.g. a warning-free corpus
+        return spark.read.parquet(*paths)
+
+    nodes = table('nodes')
+    edges = table('edges')
+    warnings = table('warnings')
     triples = (
         edges.select(
             F.col('triple_subject').alias('subject'),

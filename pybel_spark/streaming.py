@@ -70,15 +70,56 @@ def start_edge_stream(spark, input_dir: str, out_dir: str, catalog=None,
     return writer.start()
 
 
+#: KMV sketch width: per-citation state holds at most this many 32-char
+#: md5 hex strings (~8 KB) no matter how hot the citation gets
+CITATION_SKETCH_K = 256
+
+
+def kmv_merge(new_hashes, old_hashes, overflowed, k):
+    """Merge md5-hex hash sets into a k-minimum-values sketch.
+
+    Returns (kept_hashes, overflowed, n_distinct): exact count while the
+    union fits in ``k``; past that, the k smallest hashes are kept and the
+    count is the KMV estimate ``(k-1)/h_(k)`` (the k-th smallest of n
+    uniform hashes sits at ~k/n of the hash space), with ~1/sqrt(k-1)
+    relative error. Trimming the union to the k smallest IS the sketch
+    union, so merging is associative across micro-batches and restarts.
+    """
+    merged = set(new_hashes)
+    merged.update(old_hashes or [])
+    hashes = sorted(merged)
+    if len(hashes) > k:
+        overflowed = True
+    if overflowed:
+        hashes = hashes[:k]
+        h_k = int(hashes[-1][:16], 16) / float(2 ** 64)
+        n_distinct = int(round((len(hashes) - 1) / h_k)) if h_k > 0 \
+            else len(hashes)
+    else:
+        n_distinct = len(hashes)
+    return hashes, overflowed, n_distinct
+
+
 def start_citation_stats_stream(spark, input_dir: str, out_dir: str,
                                 catalog=None, compiler_options=None,
-                                trigger_available_now=True):
+                                trigger_available_now=True,
+                                sketch_k=CITATION_SKETCH_K):
     """Custom STATEFUL streaming operator: running per-citation statistics.
 
-    ``applyInPandasWithState`` keeps a (n_edges, n_evidences) accumulator per
-    (citation_db, citation_id) across micro-batches — the pattern for any
-    custom stateful rollup the built-in windowed aggregations can't express.
-    State is checkpointed with the query; a restart resumes the counts.
+    ``applyInPandasWithState`` keeps a (n_edges, distinct-evidence) rollup
+    per (citation_db, citation_id) across micro-batches — the pattern for
+    any custom stateful rollup the built-in windowed aggregations can't
+    express. State is checkpointed with the query; a restart resumes.
+
+    State is BOUNDED: the distinct-evidence count uses a KMV
+    (k-minimum-values) sketch over md5(evidence) — the state row keeps only
+    the ``sketch_k`` smallest hashes. Below the cap the count is exact
+    (``evidences_exact`` true); a hot citation (a review PMID cited by
+    millions of pages) overflows into the estimator
+    ``(k-1) / h_(k)`` with ~1/sqrt(k-1) relative error, and its state stops
+    growing. Merging KMV states (trim to k smallest after union) is the
+    standard sketch union, so the running value stays consistent across
+    micro-batches and restarts.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -92,28 +133,34 @@ def start_citation_stats_stream(spark, input_dir: str, out_dir: str,
     )
 
     output_schema = ('citation_db string, citation_id string, '
-                     'n_edges long, n_distinct_evidences long')
-    state_schema = 'n_edges long, evidence_hashes array<string>'
+                     'n_edges long, n_distinct_evidences long, '
+                     'evidences_exact boolean')
+    state_schema = ('n_edges long, evidence_hashes array<string>, '
+                    'overflowed boolean')
 
     def update(key, pdfs, state):
+        import hashlib
+
         n_new = 0
         hashes = set()
         for pdf in pdfs:
             n_new += len(pdf)
-            hashes.update(pdf['evidence'].dropna().unique().tolist())
+            for ev in pdf['evidence'].dropna().unique().tolist():
+                hashes.add(hashlib.md5(ev.encode('utf8')).hexdigest())
         if state.exists:
-            n_edges, old_hashes = state.get
-            hashes.update(old_hashes or [])
+            n_edges, old_hashes, overflowed = state.get
             n_edges += n_new
         else:
-            n_edges = n_new
-        hashes = sorted(hashes)
-        state.update((n_edges, hashes))
+            n_edges, old_hashes, overflowed = n_new, None, False
+        hashes, overflowed, n_distinct = kmv_merge(
+            hashes, old_hashes, overflowed, sketch_k)
+        state.update((n_edges, hashes, overflowed))
         yield pd.DataFrame([{
             'citation_db': key[0],
             'citation_id': key[1],
             'n_edges': n_edges,
-            'n_distinct_evidences': len(hashes),
+            'n_distinct_evidences': n_distinct,
+            'evidences_exact': not overflowed,
         }])
 
     # operator mode 'append' (emitting the running snapshot each batch) —

@@ -42,12 +42,18 @@ def main():
     print('killed run 1')
     time.sleep(3)
 
-    lineage_dir = os.path.join(OUT, 'lineage')
-    partial = 'no lineage yet'
-    if os.path.isdir(lineage_dir):
-        partial = '{} lineage files'.format(
-            sum(1 for f in os.listdir(lineage_dir) if f.endswith('.parquet')))
-    print('state after kill:', partial)
+    mpath = os.path.join(OUT, 'MANIFEST.json')
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
+        committed = [c['commit_id'] for c in manifest['commits']]
+        edges_dir = os.path.join(OUT, 'edges')
+        on_disk = os.listdir(edges_dir) if os.path.isdir(edges_dir) else []
+        orphans = sorted(set(on_disk) - set(committed))
+        print('state after kill: {} committed commits, {} orphan data dirs '
+              '{}'.format(len(committed), len(orphans), orphans))
+    else:
+        print('state after kill: no manifest yet')
 
     print('launching run 2 (resume)...')
     proc = launch(n_docs)

@@ -77,16 +77,21 @@ def test_pipeline_warning_counts(spark, docs, spec):
 
 
 def test_checkpoint_resume(spark, docs, spec):
-    """Run bucketed; then re-run — everything skipped; then delete lineage of
-    one bucket and re-run — only that bucket reprocessed; outputs dedupe to
-    the same triples."""
+    """Manifest-committed run: re-run skips everything; a torn commit
+    (manifest entry dropped, orphan data dirs left behind) resumes with the
+    MERGE anti-join keeping the on-disk state duplicate-free WITHOUT any
+    read-time dedup; compaction collapses to one commit and expires
+    orphans."""
+    import json
+    import os
+
     out_dir = tempfile.mkdtemp(prefix='pybel_spark_ckpt_')
     try:
         r1 = run_checkpointed(spark, docs, out_dir, n_buckets=8)
         assert r1['processed_buckets'] == 8
         assert r1['skipped_buckets'] == 0
 
-        # full re-run: all buckets already done
+        # full re-run: all buckets already committed
         r2 = run_checkpointed(spark, docs, out_dir, n_buckets=8)
         assert r2['processed_buckets'] == 0
         assert r2['skipped_buckets'] == 8
@@ -100,32 +105,52 @@ def test_checkpoint_resume(spark, docs, spec):
             .distinct().collect()
         }
         assert got == expected_triples(spec, N_DOCS)
+        # transactional MERGE: the COMMITTED state is duplicate-free as
+        # read — read_graph applies no dropDuplicates
+        assert graph['edges'].count() \
+            == graph['edges'].select('edge_id').distinct().count()
+        assert graph['nodes'].count() \
+            == graph['nodes'].select('node_id').distinct().count()
 
-        # simulate a partial failure: mark bucket 3 as not done by rewriting
-        # lineage without it, then resume
-        import os
-        lineage = spark.read.parquet(os.path.join(out_dir, 'lineage'))
-        kept = lineage.where('bucket != 3')
-        kept_rows = kept.collect()
-        shutil.rmtree(os.path.join(out_dir, 'lineage'))
-        spark.createDataFrame(kept_rows, lineage.schema) \
-            .write.parquet(os.path.join(out_dir, 'lineage'))
+        # lineage metrics survive in the manifest
+        from pybel_spark.pipeline import read_lineage
+        lineage = read_lineage(spark, out_dir)
+        assert lineage.count() == 8
+        assert lineage.where("status = 'done'").count() == 8
+
+        # simulate a torn commit: drop the LAST commit from the manifest
+        # but leave its data dirs as orphans (what a kill between data
+        # write and manifest swap leaves behind)
+        mpath = os.path.join(out_dir, 'MANIFEST.json')
+        with open(mpath) as f:
+            manifest = json.load(f)
+        torn = manifest['commits'].pop()
+        with open(mpath, 'w') as f:
+            json.dump(manifest, f)
 
         r3 = run_checkpointed(spark, docs, out_dir, n_buckets=8)
-        assert r3['processed_buckets'] == 1
-        assert r3['skipped_buckets'] == 7
+        assert r3['processed_buckets'] == len(torn['buckets'])
+        assert r3['skipped_buckets'] == 8 - len(torn['buckets'])
 
-        # bucket-3 rows were appended twice; dedup at read restores exactness
+        # resume re-merged the torn buckets: still exact, still no dups
         graph = read_graph(spark, out_dir)
-        n_edges = graph['edges'].count()
-        n_edge_ids = graph['edges'].select('edge_id').distinct().count()
-        assert n_edges == n_edge_ids
+        assert graph['edges'].count() \
+            == graph['edges'].select('edge_id').distinct().count()
 
-        # compaction makes the on-disk state canonical (MERGE stand-in)
+        # compaction: one commit, orphans expired, content preserved
         from pybel_spark.pipeline import compact_output
+        n_edges_before = graph['edges'].count()
         stats = compact_output(spark, out_dir)
-        assert stats['edges']['rows_after'] < stats['edges']['rows_before']
+        assert stats['edges']['files_after'] <= stats['edges']['files_before']
+        with open(mpath) as f:
+            compacted = json.load(f)
+        assert len(compacted['commits']) == 1
+        cid = compacted['commits'][0]['commit_id']
+        for table in ('nodes', 'edges', 'warnings'):
+            leftover = os.listdir(os.path.join(out_dir, table))
+            assert leftover == [cid], (table, leftover)
         graph2 = read_graph(spark, out_dir)
+        assert graph2['edges'].count() == n_edges_before
         got2 = {
             (r['triple_subject'], r['triple_predicate'], r['triple_object'])
             for r in graph2['edges']
@@ -134,8 +159,6 @@ def test_checkpoint_resume(spark, docs, spec):
             .distinct().collect()
         }
         assert got2 == expected_triples(spec, N_DOCS)
-        raw_edges = spark.read.parquet(os.path.join(out_dir, 'edges'))
-        assert raw_edges.count() == raw_edges.select('edge_id').distinct().count()
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 

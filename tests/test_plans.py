@@ -1,0 +1,138 @@
+"""Plan-shape regression tests: the physical plans PLANS.md promises must
+stay true — a regression (lost pushdown, extra shuffle, plan-bloating
+literals) fails CI instead of surfacing as a scale incident.
+
+Plans are asserted on the exact strings Spark's formatted explain emits
+(Exchange operators, ReadSchema, PushedFilters), captured via
+``_jdf.queryExecution``.
+"""
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pybel_spark.corpus import generate_documents
+from pybel_spark.pipeline import extract_triples
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def n_exchanges(plan: str) -> int:
+    # AQE wraps shuffles but every shuffle still prints one 'Exchange' node
+    return len(re.findall(r'\bExchange\b', plan))
+
+
+@pytest.fixture(scope='module')
+def docs_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp('plans') / 'docs')
+    generate_documents(spark, 50).write.mode('overwrite').parquet(path)
+    return path
+
+
+def test_extract_triples_single_exchange_and_pruned_scan(spark, docs_path):
+    """The flagship plan: parquet scan reading ONLY (html, text) → one
+    mapInPandas → exactly one Exchange (the distinct on 3 short strings)."""
+    docs = spark.read.parquet(docs_path)
+    plan = physical_plan(extract_triples(docs))
+    assert n_exchanges(plan) == 1, plan
+    scan = re.search(r'ReadSchema: struct<([^>]*)>', plan)
+    assert scan is not None, plan
+    cols = {c.split(':')[0] for c in scan.group(1).split(',') if c}
+    assert cols == {'html', 'text'}, cols
+
+
+def test_documents_filter_pushed_to_scan(spark):
+    """Filters and projections must reach the parquet scan."""
+    dd = spark.read.parquet('/root/testdata/sf0.01/documents.parquet')
+    q = dd.where("lang = 'en'").select('doc_id', F.length('text').alias('n'))
+    plan = physical_plan(q)
+    assert 'PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]' in plan, plan
+    scan = re.search(r'ReadSchema: struct<([^>]*)>', plan)
+    cols = {c.split(':')[0] for c in scan.group(1).split(',') if c}
+    assert cols == {'doc_id', 'lang', 'text'}, cols
+
+
+def test_lsh_plan_has_no_hyperplane_literal_columns(spark):
+    """The LSH signature stage must compute all dot products inside ONE
+    numpy mapInPandas — a dim×planes×tables pile of Catalyst literals was
+    the round-1 plan-bloat bug."""
+    from pybel_spark.textops import similarity
+    vectors = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    sigs = similarity.lsh_signatures(vectors, n_planes=4, n_tables=8)
+    plan = optimized_plan(sigs)
+    # a literal-column formulation embeds thousands of float literals;
+    # the healthy plan is a short scan → mapInPandas pipeline
+    assert len(plan) < 4000, 'plan bloated to {} chars'.format(len(plan))
+    assert plan.count('MapInPandas') == 1, plan
+
+
+def test_connected_components_round_shuffles(spark):
+    """One label-propagation round = the neighbor-min aggregate + the
+    pointer-doubling self-join: 4 Exchanges (sym probe, two label sides,
+    partial/final agg pair collapses into one pair on uniform ids) — and
+    NEVER a per-round growth (localCheckpoint keeps lineage flat)."""
+    from pybel_spark.ops.graph import KG
+
+    nodes = spark.createDataFrame(
+        [('n%d' % i,) for i in range(20)], ['node_id'])
+    edges = spark.createDataFrame(
+        [('n%d' % i, 'n%d' % (i + 1)) for i in range(19)],
+        ['source_id', 'target_id'])
+    sym = edges.unionByName(
+        edges.select(F.col('target_id').alias('source_id'),
+                     F.col('source_id').alias('target_id'))).distinct()
+    labels = nodes.select('node_id', F.col('node_id').alias('component'))
+    labels = labels.localCheckpoint(eager=True)
+    neighbor_min = (
+        sym.join(labels.withColumnRenamed('node_id', 'source_id'),
+                 on='source_id')
+        .groupBy(F.col('target_id').alias('node_id'))
+        .agg(F.min('component').alias('neighbor_component'))
+    )
+    shortcut = (
+        labels.alias('a')
+        .join(labels.alias('b'), F.col('a.component') == F.col('b.node_id'))
+        .select(F.col('a.node_id').alias('node_id'),
+                F.col('b.component').alias('grand_component'))
+    )
+    one_round = (
+        labels.join(neighbor_min, on='node_id', how='left')
+        .join(shortcut, on='node_id', how='left')
+        .select('node_id', F.least(
+            F.col('component'),
+            F.coalesce('neighbor_component', F.col('component')),
+            F.coalesce('grand_component', F.col('component'))
+        ).alias('component'))
+    )
+    baseline = n_exchanges(physical_plan(one_round))
+    # the shape must not grow with iteration count: localCheckpoint
+    # truncation means round N's plan is identical to round 1's
+    assert baseline <= 8, physical_plan(one_round)
+
+
+def test_grounding_join_is_broadcast(spark):
+    """The namespace-grounding path must broadcast the small dictionary
+    side, never shuffle the big mention side."""
+    import json
+
+    from pybel_spark.grounding import ground_concepts_join
+
+    node = {'function': 'Protein',
+            'concept': {'namespace': 'HGNC', 'name': 'AKT1'}}
+    nodes = spark.createDataFrame(
+        [('id%d' % i, json.dumps(node)) for i in range(100)],
+        ['node_id', 'node_json'])
+    terms = spark.createDataFrame(
+        [('HGNC', 'AKT1', 'GRP'), ('HGNC', 'EGFR', 'GRP')],
+        ['namespace', 'name', 'encoding'])
+    out = ground_concepts_join(nodes, terms)
+    plan = physical_plan(out)
+    assert 'BroadcastHashJoin' in plan, plan
+    assert 'SortMergeJoin' not in plan, plan

