@@ -127,6 +127,10 @@ def main():
     ).agg(F.sum('n_tokens')).collect()
     queries['text_token_counts'] = round(time.time() - t0, 3)
 
+    # the headline `value` stays the kg-pipeline e2e wall (comparable
+    # across rounds); the textops family below is timed separately
+    total = round(time.time() - t_total0, 3)
+
     # ---- textops family (VERDICT r2 #4): dedup / ANN / quality walls ----
     from pybel_spark.textops import dedup, multimodal, quality, similarity
 
@@ -183,7 +187,6 @@ def main():
     queries['media_decode'] = round(t_decode, 3)
     media.unpersist()
 
-    total = round(time.time() - t_total0, 3)
     parsed.unpersist()
     shutil.rmtree(corpus_dir, ignore_errors=True)
 

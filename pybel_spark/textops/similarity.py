@@ -340,12 +340,26 @@ def ivf_topk(vectors: DataFrame, k=5, n_lists=16, n_probe=4, seed=7,
 
     probes = queries.mapInPandas(
         probe, schema='q_id long, q_vec array<float>, list_id int')
+    join_keys = ['list_id']
     if query_ids is not None:
         probes = F.broadcast(probes)  # small filtered query set
+        big_side = assignments
+    else:
+        # all-pairs shape: a plain equi-join on list_id has only n_lists
+        # distinct keys (≤16 reducers no matter the cluster) — salt both
+        # sides so the join fans out across n_salt × n_lists partitions.
+        # The probe side replicates ×n_salt (tiny vs the candidate fan-out).
+        n_salt = 32
+        big_side = assignments.withColumn(
+            '_salt', F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+            .cast('int'))
+        probes = probes.withColumn(
+            '_salt', F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+        join_keys = ['list_id', '_salt']
 
     candidates = (
-        assignments
-        .join(probes, on='list_id')
+        big_side
+        .join(probes, on=join_keys)
         .where(F.col(id_col) != F.col('q_id'))
         .withColumn('similarity', cosine(F.col('q_vec'), F.col(vec_col)))
         .groupBy('q_id', F.col(id_col).alias('neighbor_id'))
