@@ -151,14 +151,17 @@ def main():
     queries['text_quality_features'] = round(time.time() - t0, 3)
 
     # adversarial skew: one shingle in 50% of docs — the df cap must hold
-    # the WALL TIME, not just the candidate count
+    # the WALL TIME, not just the candidate count. The cap is an absolute
+    # df knob (production: ~10k against 10^9+ docs); scale it to the bench
+    # corpus (1% of docs) so the hot shingle actually crosses it here.
     hot = 'zzhot ' * 12
     skewed = ddocs.withColumn(
         'text',
         F.when(F.col('doc_id') % 2 == 0,
                F.concat(F.lit(hot), F.col('text'))).otherwise(F.col('text')))
     t0 = time.time()
-    dedup.ngram_jaccard_pairs(skewed).count()
+    dedup.ngram_jaccard_pairs(
+        skewed, max_shingle_df=max(base_rows // 100, 50)).count()
     queries['dedup_jaccard_skewed'] = round(time.time() - t0, 3)
     ddocs.unpersist()
 

