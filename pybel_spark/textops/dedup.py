@@ -135,6 +135,9 @@ def minhash_lsh_candidates(docs: DataFrame, id_col='doc_id', text_col='text',
             F.collect_list(F.concat_ws(':', F.col('k').cast('string'),
                                        'minhash'))))).alias('band_sig'))
     )
+    # persist before the self-join: each join side would otherwise
+    # recompute the full signature aggregation (2x the dominant cost)
+    band_sigs = band_sigs.persist()
     return (
         band_sigs.alias('a').join(band_sigs.alias('b'),
                                   on=['band', 'band_sig'])
@@ -275,11 +278,13 @@ def simhash_near_duplicates(docs: DataFrame, id_col='doc_id',
     if n_blocks is None:
         n_blocks = max_hamming + 1
     sigs = simhash(docs, id_col, text_col)
+    # persist: the banding self-join would otherwise run the whole
+    # tokenize + 64-bit-column signature aggregation once PER SIDE
     chunks = sigs.select(
         'doc_id', 'simhash',
         F.explode(F.array(*simhash_band_keys(n_blocks, max_hamming)))
         .alias('chunk'),
-    )
+    ).persist()
     pairs = (
         chunks.alias('a').join(chunks.alias('b'), on='chunk')
         .where(F.col('a.doc_id') < F.col('b.doc_id'))

@@ -104,3 +104,39 @@ def test_minhash_verified_subset_of_truth(spark, dummy, texts):
     truth = {(a, b) for a, b in combinations(range(len(texts)), 2)
              if _jaccard(sets[a], sets[b]) >= 0.4}
     assert verified <= truth
+
+
+@given(st.lists(st.lists(st.text(min_size=1, max_size=8), max_size=30),
+                max_size=8),
+       st.integers(min_value=2, max_value=32))
+@settings(max_examples=50, deadline=None)
+def test_kmv_merge_order_independent(batches, k):
+    """The KMV sketch union must be associative/order-independent: feeding
+    the same values in any batch order yields the same kept hashes and the
+    same estimate (what checkpoint restarts and micro-batch splits rely
+    on)."""
+    import hashlib
+
+    from pybel_spark.streaming import kmv_merge
+
+    def run(batch_seq):
+        hashes, over, est = [], False, 0
+        for batch in batch_seq:
+            hs = {hashlib.md5(v.encode()).hexdigest() for v in batch}
+            hashes, over, est = kmv_merge(hs, hashes, over, k)
+        return hashes, over, est
+
+    a = run(batches)
+    b = run(list(reversed(batches)))
+    # single merged batch
+    merged = [{v for batch in batches for v in batch}]
+    c = run(merged)
+    distinct = len({v for batch in batches for v in batch})
+    if distinct <= k:
+        assert a == b == c
+        assert a[2] == distinct and not a[1]
+    else:
+        # overflow flag and kept set converge regardless of order
+        assert a[0] == b[0] == c[0]
+        assert a[1] and b[1] and c[1]
+        assert a[2] == b[2] == c[2]
