@@ -231,3 +231,35 @@ def read_stream_output(spark, out_dir: str) -> dict:
         .distinct()
     )
     return {'edges': edges, 'triples': triples}
+
+
+def start_dedup_stream(spark, input_dir: str, out_dir: str,
+                       watermark='2 hours', trigger_available_now=True,
+                       max_files_per_trigger=16):
+    """Streaming exact-dedup: append each distinct document text once.
+
+    The dedup key is md5(text) (content, not url — syndicated pages dedup
+    across sites). State is bounded by ``dropDuplicatesWithinWatermark``:
+    a key's state is evicted once the watermark passes its event time, so
+    the operator holds hashes for the watermark window only — the
+    streaming complement of the batch ``textops.dedup.exact_duplicates``
+    (a re-crawl older than the watermark re-admits its page; run the batch
+    pass for global dedup).
+    """
+    docs = read_document_stream(spark, input_dir, max_files_per_trigger)
+    unique = (
+        docs.withColumn('text_md5', F.md5(F.coalesce('text', F.lit(''))))
+        .withWatermark('warc_ts', watermark)
+        .dropDuplicatesWithinWatermark(['text_md5'])
+    )
+    writer = (
+        unique.writeStream
+        .format('parquet')
+        .option('path', os.path.join(out_dir, 'unique_docs'))
+        .option('checkpointLocation', os.path.join(out_dir,
+                                                   'dedup_checkpoint'))
+        .outputMode('append')
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

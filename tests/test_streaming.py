@@ -228,3 +228,42 @@ def test_hot_citation_stream_bounded_state(spark, dirs):
     assert abs(hot['n_distinct_evidences'] - n_hot) / n_hot < 0.8
     assert cold['evidences_exact']
     assert cold['n_distinct_evidences'] == 3
+
+
+def test_streaming_exact_dedup(spark, dirs):
+    """Streaming dedup keeps the first occurrence of each text content and
+    drops in-watermark repeats, across micro-batches and restarts."""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import Row
+
+    from pybel_spark.schemas import DOCUMENTS_SCHEMA
+    from pybel_spark.streaming import start_dedup_stream
+
+    def doc(i, text, minute):
+        return Row(url='https://d.test/{}'.format(i),
+                   warc_ts=dt.datetime(2026, 1, 1, 12, minute),
+                   html=None, text=text, lang='en')
+
+    wave1 = [doc(0, 'alpha body', 0), doc(1, 'beta body', 1),
+             doc(2, 'alpha body', 2)]           # in-batch dup
+    spark.createDataFrame(wave1, DOCUMENTS_SCHEMA) \
+        .coalesce(1).write.mode('append').parquet(dirs['input'])
+    q = start_dedup_stream(spark, dirs['input'], dirs['out'])
+    q.awaitTermination(120)
+
+    out_path = os.path.join(dirs['out'], 'unique_docs')
+    texts1 = sorted(r['text'] for r in spark.read.parquet(out_path).collect())
+    assert texts1 == ['alpha body', 'beta body']
+
+    _time.sleep(1.2)  # distinct file mtime → ordered second micro-batch
+    wave2 = [doc(3, 'alpha body', 5),           # cross-batch dup (dropped)
+             doc(4, 'gamma body', 6)]           # new
+    spark.createDataFrame(wave2, DOCUMENTS_SCHEMA) \
+        .coalesce(1).write.mode('append').parquet(dirs['input'])
+    q2 = start_dedup_stream(spark, dirs['input'], dirs['out'])
+    q2.awaitTermination(120)
+
+    texts2 = sorted(r['text'] for r in spark.read.parquet(out_path).collect())
+    assert texts2 == ['alpha body', 'beta body', 'gamma body']
