@@ -279,3 +279,57 @@ def test_deduped_required_annotations_equivalence(spark):
     assert dedup == full
     assert any(t[1] == 'increasesAmountOf' for t in full)
     assert not any(t[1] == 'decreasesAmountOf' for t in full)
+
+
+def test_deduped_randomized_control_fuzz(spark):
+    """Differential fuzz: random hostile control-line interleavings (SET /
+    UNSET citation, evidence, annotations, statement-before-context,
+    UNSET_ALL clears) — the pre-parse dedup path must equal the per-document
+    path on every seeded corpus."""
+    import random
+
+    from pybel_spark.corpus import CorpusSpec, wrap_html
+    from pybel_spark.pipeline import extract_triples, extract_triples_deduped
+    from pybel_spark.schemas import DOCUMENTS_SCHEMA
+
+    spec = CorpusSpec()
+    header = '\n'.join(spec.header)
+    statements = [
+        'p(HGNC:AKT1) increases p(HGNC:EGFR)',
+        'p(HGNC:TP53) decreases p(HGNC:MDM2)',
+        'complex(p(HGNC:AKT1), p(HGNC:EGFR))',
+        'g(HGNC:AKT1) hasVariant g(HGNC:AKT1, var("c.1521_1523delCTT"))',
+        'p(HGNC:CASP8) -> path(MESHD:Apoptosis)',
+        'act(p(HGNC:GSK3B)) =| bp(GO:"apoptotic process")',
+    ]
+    controls = [
+        'SET Citation = {"PubMed", "j", "100"}',
+        'SET Citation = {"PubMed", "j", "200"}',
+        'SET Citation = {"BAD_TYPE", "x"}',        # invalid → citation unset
+        'SET Evidence = "e1"',
+        'SET Evidence = "e2"',
+        'UNSET Citation',
+        'UNSET Evidence',
+        'UNSET ALL',
+        'SET Species = "9606"',
+        'UNSET Species',
+    ]
+    rng = random.Random(20260816)
+    rows = []
+    for page in range(24):
+        lines = [header]
+        for _ in range(rng.randint(3, 14)):
+            if rng.random() < 0.5:
+                lines.append(rng.choice(controls))
+            else:
+                lines.append(rng.choice(statements))
+        rows.append(('https://fuzz.test/{}'.format(page), None,
+                     wrap_html('\n'.join(lines) + '\n'), None, 'en'))
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    for opts in (None, {'required_annotations': ['Species']},
+                 {'citation_clearing': False}):
+        full = {tuple(r) for r in extract_triples(
+            docs, compiler_options=opts).collect()}
+        dedup = {tuple(r) for r in extract_triples_deduped(
+            docs, compiler_options=opts).collect()}
+        assert dedup == full, opts
