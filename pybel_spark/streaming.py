@@ -103,7 +103,8 @@ def kmv_merge(new_hashes, old_hashes, overflowed, k):
 def start_citation_stats_stream(spark, input_dir: str, out_dir: str,
                                 catalog=None, compiler_options=None,
                                 trigger_available_now=True,
-                                sketch_k=CITATION_SKETCH_K):
+                                sketch_k=CITATION_SKETCH_K,
+                                idle_timeout_ms=None):
     """Custom STATEFUL streaming operator: running per-citation statistics.
 
     ``applyInPandasWithState`` keeps a (n_edges, distinct-evidence) rollup
@@ -120,6 +121,12 @@ def start_citation_stats_stream(spark, input_dir: str, out_dir: str,
     growing. Merging KMV states (trim to k smallest after union) is the
     standard sketch union, so the running value stays consistent across
     micro-batches and restarts.
+
+    TOTAL state size (number of live citation keys) is bounded by the
+    optional idle policy: with ``idle_timeout_ms`` set, a citation key not
+    observed for that long is evicted (ProcessingTimeTimeout) — its
+    counters restart if it ever reappears. Default None keeps lifetime
+    totals (the batch-compatible semantics).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -141,6 +148,10 @@ def start_citation_stats_stream(spark, input_dir: str, out_dir: str,
     def update(key, pdfs, state):
         import hashlib
 
+        if state.hasTimedOut:
+            # idle citation: evict its state, emit nothing
+            state.remove()
+            return
         n_new = 0
         hashes = set()
         for pdf in pdfs:
@@ -155,6 +166,8 @@ def start_citation_stats_stream(spark, input_dir: str, out_dir: str,
         hashes, overflowed, n_distinct = kmv_merge(
             hashes, old_hashes, overflowed, sketch_k)
         state.update((n_edges, hashes, overflowed))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(int(idle_timeout_ms))
         yield pd.DataFrame([{
             'citation_db': key[0],
             'citation_id': key[1],
@@ -165,9 +178,10 @@ def start_citation_stats_stream(spark, input_dir: str, out_dir: str,
 
     # operator mode 'append' (emitting the running snapshot each batch) —
     # the file sink only supports Append; downstream reads take max() per key
+    timeout = GroupStateTimeout.NoTimeout if idle_timeout_ms is None \
+        else GroupStateTimeout.ProcessingTimeTimeout
     stats = edges.groupBy('citation_db', 'citation_id').applyInPandasWithState(
-        update, output_schema, state_schema, 'append',
-        GroupStateTimeout.NoTimeout)
+        update, output_schema, state_schema, 'append', timeout)
 
     writer = (
         stats.writeStream

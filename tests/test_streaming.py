@@ -267,3 +267,18 @@ def test_streaming_exact_dedup(spark, dirs):
 
     texts2 = sorted(r['text'] for r in spark.read.parquet(out_path).collect())
     assert texts2 == ['alpha body', 'beta body', 'gamma body']
+
+
+def test_citation_stats_idle_timeout_configured(spark, dirs):
+    """The idle-eviction policy (ProcessingTimeTimeout) must run cleanly:
+    counts for active keys are unchanged under the timeout-enabled path."""
+    from pybel_spark.streaming import start_citation_stats_stream
+
+    generate_documents(spark, 20, partitions=2) \
+        .write.mode('append').parquet(dirs['input'])
+    q = start_citation_stats_stream(spark, dirs['input'], dirs['out'],
+                                    idle_timeout_ms=60_000)
+    q.awaitTermination(120)
+    stats = spark.read.parquet(os.path.join(dirs['out'], 'citation_stats'))
+    assert stats.count() > 0
+    assert stats.where('n_edges <= 0').count() == 0
