@@ -221,3 +221,169 @@ def from_indra_statements_jsonl(statements_df, json_col='statement_json'):
     docs = statements_df.select(json_col).mapInPandas(
         translate, schema=DOCUMENTS_SCHEMA)
     return build_graph(docs, catalog=_NoResources())
+
+
+#: reverse maps for the exporter
+PMOD_TO_MOD_TYPE = {v: k for k, v in MOD_TYPE_TO_PMOD.items()}
+MA_TO_ACTIVITY = {v: k for k, v in ACTIVITY_TO_MA.items()}
+AA3_TO_AA1 = {v: k for k, v in AMINO_ACIDS.items()}
+
+
+def _node_to_agent(node: dict, drop_mod=None):
+    """node dict → INDRA Agent JSON; optionally pop ONE pmod variant
+    matching ``drop_mod`` (the statement-level modification, which INDRA
+    carries on the statement, not the agent)."""
+    concept = node.get('concept') or {}
+    ns = concept.get('namespace')
+    name = concept.get('name')
+    if not ns or not name:
+        return None
+    agent = {'name': name, 'db_refs': {ns: name}}
+    mods = []
+    dropped = False
+    for v in node.get('variants') or ():
+        if v.get('kind') != 'pmod':
+            return None  # var()/frag()/gmod() have no INDRA agent analog
+        label = (v.get('concept') or {}).get('name')
+        mod = {
+            'mod_type': PMOD_TO_MOD_TYPE.get(label, label or '').lower(),
+            'is_modified': True,
+        }
+        if v.get('code'):
+            mod['residue'] = AA3_TO_AA1.get(v['code'], v['code'])
+        if v.get('position') is not None:
+            mod['position'] = str(v['position'])
+        if not dropped and drop_mod is not None \
+                and label == drop_mod.get('label') \
+                and mod.get('residue') == drop_mod.get('residue') \
+                and mod.get('position') == drop_mod.get('position'):
+            dropped = True
+            continue
+        mods.append(mod)
+    if drop_mod is not None and not dropped:
+        return None  # expected statement-level mod missing → not this shape
+    if mods:
+        agent['mods'] = mods
+    return agent
+
+
+def _edge_to_statement(source, target, relation, object_modifier,
+                       citation_db, citation_id, evidence):
+    """One KG edge (+ node dicts) → INDRA statement dict or None.
+    Inverse of :func:`statement_to_bel` for the supported core set."""
+    obj_mod = json.loads(object_modifier) if object_modifier else None
+    ev = []
+    if citation_db == 'PubMed' and citation_id:
+        ev = [{'pmid': citation_id}
+              if evidence in (None, '-') else
+              {'pmid': citation_id, 'text': evidence}]
+
+    if relation == 'partOf' and target.get('members') is not None:
+        members = [_node_to_agent(m) for m in target['members']]
+        if any(m is None for m in members) or len(members) < 2:
+            return None
+        return {'type': 'Complex', 'members': members}
+
+    if not ev:
+        return None  # qualified INDRA statements need a PubMed evidence
+
+    if obj_mod and obj_mod.get('modifier') == 'Activity' \
+            and relation in ('directlyIncreases', 'directlyDecreases'):
+        subj = _node_to_agent(source)
+        obj = _node_to_agent(target)
+        if subj is None or obj is None:
+            return None
+        stmt = {
+            'type': 'Activation' if relation == 'directlyIncreases'
+            else 'Inhibition',
+            'subj': subj, 'obj': obj, 'evidence': ev,
+        }
+        effect = (obj_mod.get('effect') or {}).get('name')
+        activity = MA_TO_ACTIVITY.get(effect)
+        if activity:
+            stmt['obj_activity'] = activity
+        return stmt
+
+    if obj_mod is None and relation in ('increases', 'decreases'):
+        subj = _node_to_agent(source)
+        obj = _node_to_agent(target)
+        if subj is None or obj is None:
+            return None
+        return {'type': 'IncreaseAmount' if relation == 'increases'
+                else 'DecreaseAmount',
+                'subj': subj, 'obj': obj, 'evidence': ev}
+
+    if obj_mod is None and relation in ('directlyIncreases',
+                                        'directlyDecreases'):
+        # modification shape: the target's LAST pmod variant is the
+        # statement-level modification
+        pmods = [v for v in target.get('variants') or ()
+                 if v.get('kind') == 'pmod']
+        if not pmods:
+            return None
+        last = pmods[-1]
+        label = (last.get('concept') or {}).get('name')
+        base = PMOD_TO_MOD_TYPE.get(label)
+        if base is None:
+            return None
+        drop = {'label': label,
+                'residue': AA3_TO_AA1.get(last.get('code'),
+                                          last.get('code')),
+                'position': str(last['position'])
+                if last.get('position') is not None else None}
+        enz = _node_to_agent(source)
+        sub = _node_to_agent(target, drop_mod=drop)
+        if enz is None or sub is None:
+            return None
+        stmt = {'type': base if relation == 'directlyIncreases'
+                else 'De' + base.lower(),
+                'enz': enz, 'sub': sub, 'evidence': ev}
+        if drop['residue']:
+            stmt['residue'] = drop['residue']
+        if drop['position']:
+            stmt['position'] = drop['position']
+        return stmt
+    return None
+
+
+def to_indra_statements_json(nodes, edges):
+    """Export the KG as INDRA statement JSON (reference io/indra.py:
+    129-138, which delegates to indra's PybelProcessor — here the inverse
+    of this module's importer, distributed over the edges table).
+
+    Returns a DataFrame with one ``statement_json`` string per exported
+    statement; edges outside the supported core set are skipped.
+    Identical Complex statements from the k partOf edges of one complex
+    dedup via ``distinct()`` on the canonical JSON."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    node_json = nodes.select('node_bel', 'node_json')
+    joined = (
+        edges
+        .join(node_json.withColumnRenamed('node_bel', 'source_bel')
+              .withColumnRenamed('node_json', 'sjson'),
+              on='source_bel')
+        .join(node_json.withColumnRenamed('node_bel', 'target_bel')
+              .withColumnRenamed('node_json', 'tjson'),
+              on='target_bel')
+        .select('sjson', 'tjson', 'relation',
+                'object_modifier', 'citation_db', 'citation_id', 'evidence')
+    )
+
+    def translate(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                stmt = _edge_to_statement(
+                    json.loads(row.sjson), json.loads(row.tjson),
+                    row.relation, row.object_modifier, row.citation_db,
+                    row.citation_id, row.evidence)
+                if stmt is not None:
+                    out.append(json.dumps(stmt, sort_keys=True,
+                                          separators=(',', ':')))
+            yield pd.DataFrame({'statement_json': out})
+
+    return joined.mapInPandas(
+        translate, schema='statement_json string').distinct()

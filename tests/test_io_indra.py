@@ -103,3 +103,36 @@ def test_document_translation_is_compilable_text():
     text = statements_to_document(STMTS)
     assert text.count('SET Citation') == 6
     assert 'DEFINE NAMESPACE HGNC AS PATTERN' in text
+
+
+def test_to_indra_round_trip(spark):
+    """INDRA JSON → KG → INDRA JSON recovers every supported statement
+    (reference io/indra.py:129-138 inverse direction)."""
+    from pybel_spark.io_indra import to_indra_statements_json
+
+    result = from_indra_statements_json(spark, STMTS)
+    out = [json.loads(r['statement_json']) for r in
+           to_indra_statements_json(result.nodes, result.edges).collect()]
+
+    def key(s):
+        def agent(a):
+            if a is None:
+                return None
+            mods = tuple(sorted(
+                (m.get('mod_type'), m.get('residue'), m.get('position'))
+                for m in a.get('mods') or ()))
+            return (a['name'], mods)
+        if s['type'] == 'Complex':
+            return ('Complex', tuple(sorted(agent(m)
+                                            for m in s['members'])))
+        return (s['type'], agent(s.get('subj') or s.get('enz')),
+                agent(s.get('obj') or s.get('sub')),
+                s.get('residue'), s.get('position'),
+                s.get('obj_activity'),
+                tuple(e['pmid'] for e in s.get('evidence') or ()))
+
+    got = {key(s) for s in out}
+    # the importable subset of STMTS: indexes 0-6 minus any with no pmid
+    expected_src = [s for s in STMTS[:7]]
+    expected = {key(s) for s in expected_src}
+    assert got == expected
