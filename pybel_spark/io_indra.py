@@ -101,10 +101,11 @@ def agent_to_bel(agent: dict) -> str:
 def statement_to_bel(stmt: dict):
     """One INDRA statement dict → (bel_line or None, needs_citation).
 
-    Returns ``(None, _)`` for unsupported types or ungroundable agents —
-    hostile/unknown input degrades to nothing, never an error."""
-    stype = stmt.get('type')
+    Returns ``(None, _)`` for unsupported types, ungroundable agents, or
+    structurally hostile JSON (scalars, null agents, wrong-typed fields) —
+    bad input degrades to nothing, never an error."""
     try:
+        stype = stmt.get('type')
         if stype in ('Activation', 'Inhibition'):
             subj = agent_to_bel(stmt['subj'])
             obj = agent_to_bel(stmt['obj'])
@@ -139,7 +140,9 @@ def statement_to_bel(stmt: dict):
             if len(members) < 2:
                 return None, False
             return 'complex({})'.format(', '.join(members)), False
-    except KeyError:
+    except Exception:
+        # KeyError: no grounding; AttributeError/TypeError: null agents,
+        # non-dict statements, scalar JSON — all skip, never crash the task
         return None, True
     return None, True
 
@@ -151,13 +154,20 @@ def statements_to_document(stmts) -> str:
     emitted once."""
     lines = list(HEADER_LINES)
     for stmt in stmts:
+        if not isinstance(stmt, dict):
+            continue  # hostile row (JSON scalar/list)
         bel, needs_citation = statement_to_bel(stmt)
         if bel is None:
             continue
         if not needs_citation:
             lines.append(bel)
             continue
-        for ev in stmt.get('evidence') or ():
+        evidences = stmt.get('evidence')
+        if not isinstance(evidences, list):
+            continue  # hostile: evidence not a list
+        for ev in evidences:
+            if not isinstance(ev, dict):
+                continue
             pmid = ev.get('pmid')
             if not pmid:
                 continue
@@ -315,22 +325,33 @@ def _edge_to_statement(source, target, relation, object_modifier,
 
     if obj_mod is None and relation in ('directlyIncreases',
                                         'directlyDecreases'):
-        # modification shape: the target's LAST pmod variant is the
-        # statement-level modification
+        # modification shape: ONE of the target's pmod variants is the
+        # statement-level modification. The compiler canonically SORTS
+        # variants, so position in the list carries no information — pick
+        # the most specific exportable pmod (residue+position > residue >
+        # bare; then label order), which recovers the imported statement
+        # whenever the statement-level mod is the most specific one and
+        # makes a deterministic, documented choice otherwise (the inverse
+        # is inherently ambiguous once the statement/agent distinction is
+        # folded into one variant list)
         pmods = [v for v in target.get('variants') or ()
-                 if v.get('kind') == 'pmod']
+                 if v.get('kind') == 'pmod'
+                 and PMOD_TO_MOD_TYPE.get(
+                     (v.get('concept') or {}).get('name'))]
         if not pmods:
             return None
-        last = pmods[-1]
-        label = (last.get('concept') or {}).get('name')
-        base = PMOD_TO_MOD_TYPE.get(label)
-        if base is None:
-            return None
+        chosen = max(pmods, key=lambda v: (
+            v.get('position') is not None,
+            v.get('code') is not None,
+            (v.get('concept') or {}).get('name') or '',
+        ))
+        label = (chosen.get('concept') or {}).get('name')
+        base = PMOD_TO_MOD_TYPE[label]
         drop = {'label': label,
-                'residue': AA3_TO_AA1.get(last.get('code'),
-                                          last.get('code')),
-                'position': str(last['position'])
-                if last.get('position') is not None else None}
+                'residue': AA3_TO_AA1.get(chosen.get('code'),
+                                          chosen.get('code')),
+                'position': str(chosen['position'])
+                if chosen.get('position') is not None else None}
         enz = _node_to_agent(source)
         sub = _node_to_agent(target, drop_mod=drop)
         if enz is None or sub is None:

@@ -30,6 +30,10 @@ def connected_components(graph: KG, max_iterations: int = 50) -> DataFrame:
     component — deterministic and engine-independent (no hashing of ids,
     so no collision risk at any scale).
     """
+    if max_iterations < 1:
+        raise ValueError('max_iterations must be >= 1 (got {}) — zero '
+                         'rounds would return unconverged singleton labels'
+                         .format(max_iterations))
     edges = (
         graph.edges
         .select('source_id', 'target_id')

@@ -404,48 +404,140 @@ _MANIFEST = 'MANIFEST.json'
 _TABLES = ('nodes', 'edges', 'warnings')
 
 
-def _read_manifest(out_dir: str) -> dict:
-    import json
-    import os
+class _OutputFS:
+    """Filesystem shim for the manifest protocol.
 
-    path = os.path.join(out_dir, _MANIFEST)
-    if not os.path.exists(path):
+    Local (scheme-less) paths use POSIX I/O with a truly atomic
+    ``os.rename`` commit. Scheme'd URIs (``hdfs://``, ``s3a://``,
+    ``file://`` …) go through the Hadoop FileSystem API via the session's
+    JVM gateway, so checkpoint/resume/read work against the same
+    filesystems Spark itself writes to. Caveat shared with every
+    rename-based committer: HDFS rename-over-existing needs a
+    delete-then-rename pair (a crash exactly between them loses only the
+    POINTER, never data — the next writer re-lists data dirs and rewrites
+    it), and S3A rename is copy-based, exactly as it is for Hive/older
+    Iceberg commit paths.
+    """
+
+    def __init__(self, spark, out_dir: str):
+        self.out_dir = out_dir.rstrip('/')
+        self.remote = '://' in out_dir
+        if self.remote:
+            jvm = spark._jvm
+            self._jvm = jvm
+            self._jpath = jvm.org.apache.hadoop.fs.Path
+            self._fs = self._jpath(self.out_dir).getFileSystem(
+                spark._jsc.hadoopConfiguration())
+
+    def _full(self, *parts):
+        import os
+
+        return os.path.join(self.out_dir, *parts) if not self.remote \
+            else '/'.join((self.out_dir,) + parts)
+
+    def read_bytes(self, *parts):
+        if not self.remote:
+            import os
+
+            path = self._full(*parts)
+            if not os.path.exists(path):
+                return None
+            with open(path, 'rb') as f:
+                return f.read()
+        path = self._jpath(self._full(*parts))
+        if not self._fs.exists(path):
+            return None
+        stream = self._fs.open(path)
+        try:
+            return bytes(self._jvm.org.apache.commons.io.IOUtils
+                         .toByteArray(stream))
+        finally:
+            stream.close()
+
+    def write_atomic(self, name: str, data: bytes):
+        if not self.remote:
+            import os
+
+            os.makedirs(self.out_dir, exist_ok=True)
+            tmp = self._full(name + '.tmp')
+            with open(tmp, 'wb') as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, self._full(name))
+            return
+        tmp = self._jpath(self._full(name + '.tmp'))
+        final = self._jpath(self._full(name))
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(data)
+        finally:
+            out.close()
+        if self._fs.exists(final):
+            self._fs.delete(final, False)
+        self._fs.rename(tmp, final)
+
+    def has_part_files(self, *parts) -> bool:
+        if not self.remote:
+            import os
+
+            for _root, _dirs, files in os.walk(self._full(*parts)):
+                if any(f.startswith('part-') for f in files):
+                    return True
+            return False
+        path = self._jpath(self._full(*parts))
+        if not self._fs.exists(path):
+            return False
+        it = self._fs.listFiles(path, True)
+        while it.hasNext():
+            if it.next().getPath().getName().startswith('part-'):
+                return True
+        return False
+
+    def list_dir(self, *parts) -> list:
+        if not self.remote:
+            import os
+
+            path = self._full(*parts)
+            return os.listdir(path) if os.path.isdir(path) else []
+        path = self._jpath(self._full(*parts))
+        if not self._fs.exists(path):
+            return []
+        return [st.getPath().getName()
+                for st in self._fs.listStatus(path)]
+
+    def delete_recursive(self, *parts):
+        if not self.remote:
+            import shutil
+
+            shutil.rmtree(self._full(*parts), ignore_errors=True)
+            return
+        path = self._jpath(self._full(*parts))
+        if self._fs.exists(path):
+            self._fs.delete(path, True)
+
+
+def _read_manifest(fs: _OutputFS) -> dict:
+    import json
+
+    raw = fs.read_bytes(_MANIFEST)
+    if raw is None:
         return {'commits': []}
-    with open(path) as f:
-        return json.load(f)
+    return json.loads(raw.decode('utf8'))
 
 
-def _swap_manifest(out_dir: str, manifest: dict) -> None:
-    """Atomic manifest replace: write to a temp file in the same directory,
-    then rename over the pointer (POSIX rename is atomic)."""
+def _swap_manifest(fs: _OutputFS, manifest: dict) -> None:
     import json
-    import os
 
-    os.makedirs(out_dir, exist_ok=True)
-    tmp = os.path.join(out_dir, _MANIFEST + '.tmp')
-    with open(tmp, 'w') as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, os.path.join(out_dir, _MANIFEST))
+    fs.write_atomic(_MANIFEST, json.dumps(
+        manifest, indent=1, sort_keys=True).encode('utf8'))
 
 
-def _committed_paths(out_dir: str, manifest: dict, table: str) -> list:
-    import os
-
+def _committed_paths(fs: _OutputFS, manifest: dict, table: str) -> list:
     return [
-        os.path.join(out_dir, table, c['commit_id'])
+        fs._full(table, c['commit_id'])
         for c in manifest['commits'] if c['tables'].get(table)
     ]
-
-
-def _dir_has_data(path: str) -> bool:
-    import os
-
-    for _root, _dirs, files in os.walk(path):
-        if any(f.startswith('part-') for f in files):
-            return True
-    return False
 
 
 def run_checkpointed(spark, documents: DataFrame, out_dir: str,
@@ -480,7 +572,8 @@ def run_checkpointed(spark, documents: DataFrame, out_dir: str,
     docs = documents.withColumn(
         'bucket', F.pmod(F.xxhash64('url'), F.lit(n_buckets)).cast('int'))
 
-    manifest = _read_manifest(out_dir)
+    fs = _OutputFS(spark, out_dir)
+    manifest = _read_manifest(fs)
     done = {b for c in manifest['commits'] for b in c['buckets']}
 
     todo = [b for b in range(n_buckets) if b not in done]
@@ -514,12 +607,12 @@ def run_checkpointed(spark, documents: DataFrame, out_dir: str,
                                   F.explode('warnings').alias('w'))
                     .select('bucket', 'url', 'w.*'))
 
-        old_nodes = _committed_paths(out_dir, manifest, 'nodes')
+        old_nodes = _committed_paths(fs, manifest, 'nodes')
         if old_nodes:
             nodes = nodes.join(
                 spark.read.parquet(*old_nodes).select('node_id'),
                 on='node_id', how='left_anti')
-        old_edges = _committed_paths(out_dir, manifest, 'edges')
+        old_edges = _committed_paths(fs, manifest, 'edges')
         if old_edges:
             edges = edges.join(
                 spark.read.parquet(*old_edges).select('edge_id'),
@@ -528,11 +621,11 @@ def run_checkpointed(spark, documents: DataFrame, out_dir: str,
         tables = {}
         for table, df in (('nodes', nodes), ('edges', edges),
                           ('warnings', warnings)):
-            path = os.path.join(out_dir, table, cid)
+            path = fs._full(table, cid)
             df.write.mode('overwrite').parquet(path)
             # an all-duplicates unit writes zero part files; record that so
             # readers never scan a schema-less empty dir
-            tables[table] = _dir_has_data(path)
+            tables[table] = fs.has_part_files(table, cid)
 
         # per-bucket lineage metrics (≤ |group| small rows to the driver);
         # left join so empty buckets still get a done row
@@ -562,7 +655,7 @@ def run_checkpointed(spark, documents: DataFrame, out_dir: str,
                 'n_edges': r['n_edges'], 'n_warnings': r['n_warnings'],
             } for r in metric_rows},
         })
-        _swap_manifest(out_dir, manifest)
+        _swap_manifest(fs, manifest)
         n_processed += len(group)
 
     return {'skipped_buckets': len(done), 'processed_buckets': n_processed}
@@ -570,7 +663,7 @@ def run_checkpointed(spark, documents: DataFrame, out_dir: str,
 
 def read_lineage(spark, out_dir: str) -> DataFrame:
     """Per-bucket lineage metrics reconstructed from the manifest."""
-    manifest = _read_manifest(out_dir)
+    manifest = _read_manifest(_OutputFS(spark, out_dir))
     rows = []
     for c in manifest['commits']:
         for bucket, m in c['metrics'].items():
@@ -591,41 +684,59 @@ def compact_output(spark, out_dir: str) -> dict:
     manifest swap → cleanup; a crash leaves orphans, never partial reads.
     """
     import hashlib
-    import os
-    import shutil
 
-    manifest = _read_manifest(out_dir)
+    fs = _OutputFS(spark, out_dir)
+    manifest = _read_manifest(fs)
     old_cids = [c['commit_id'] for c in manifest['commits']]
     if not old_cids:
         return {}
     new_cid = 'compact-' + hashlib.md5(
         ','.join(old_cids).encode()).hexdigest()[:8]
 
+    def n_part_files(table, cid):
+        return sum(1 for _ in _iter_part_files(fs, table, cid))
+
+    def _iter_part_files(fs_, table, cid):
+        # only used for stats; local walk or remote listFiles
+        if not fs_.remote:
+            import os
+
+            for _r, _d, files in os.walk(fs_._full(table, cid)):
+                for f in files:
+                    if f.startswith('part-'):
+                        yield f
+        else:
+            path = fs_._jpath(fs_._full(table, cid))
+            if fs_._fs.exists(path):
+                it = fs_._fs.listFiles(path, True)
+                while it.hasNext():
+                    name = it.next().getPath().getName()
+                    if name.startswith('part-'):
+                        yield name
+
     stats = {}
     tables = {}
     for table in _TABLES:
-        paths = _committed_paths(out_dir, manifest, table)
-        out_path = os.path.join(out_dir, table, new_cid)
+        paths = _committed_paths(fs, manifest, table)
+        out_path = fs._full(table, new_cid)
         if paths:
             df = spark.read.parquet(*paths)
             files_before = sum(
-                1 for p in paths for _r, _d, fs in os.walk(p)
-                for f in fs if f.startswith('part-'))
+                n_part_files(table, c['commit_id'])
+                for c in manifest['commits'] if c['tables'].get(table))
             df.repartition(F.col('bucket')).sortWithinPartitions('bucket') \
                 .write.mode('overwrite').parquet(out_path)
-            files_after = sum(
-                1 for _r, _d, fs in os.walk(out_path)
-                for f in fs if f.startswith('part-'))
+            files_after = n_part_files(table, new_cid)
             stats[table] = {'files_before': files_before,
                             'files_after': files_after}
-        tables[table] = bool(paths) and _dir_has_data(out_path)
+        tables[table] = bool(paths) and fs.has_part_files(table, new_cid)
 
     merged_metrics = {}
     all_buckets = []
     for c in manifest['commits']:
         all_buckets.extend(c['buckets'])
         merged_metrics.update(c['metrics'])
-    _swap_manifest(out_dir, {'commits': [{
+    _swap_manifest(fs, {'commits': [{
         'commit_id': new_cid,
         'buckets': sorted(set(all_buckets)),
         'tables': tables,
@@ -634,13 +745,9 @@ def compact_output(spark, out_dir: str) -> dict:
 
     # expire superseded + orphan dirs (anything but the new commit)
     for table in _TABLES:
-        table_dir = os.path.join(out_dir, table)
-        if not os.path.isdir(table_dir):
-            continue
-        for d in os.listdir(table_dir):
+        for d in fs.list_dir(table):
             if d != new_cid:
-                shutil.rmtree(os.path.join(table_dir, d),
-                              ignore_errors=True)
+                fs.delete_recursive(table, d)
     return stats
 
 
@@ -650,7 +757,8 @@ def read_graph(spark, out_dir: str) -> dict:
     from pyspark.sql.types import IntegerType, StringType, StructField, \
         StructType
 
-    manifest = _read_manifest(out_dir)
+    fs = _OutputFS(spark, out_dir)
+    manifest = _read_manifest(fs)
     if not manifest['commits']:
         raise ValueError('no committed data under {}'.format(out_dir))
 
@@ -663,7 +771,7 @@ def read_graph(spark, out_dir: str) -> dict:
             [], StructType(fields + list(elem.fields)))
 
     def table(name):
-        paths = _committed_paths(out_dir, manifest, name)
+        paths = _committed_paths(fs, manifest, name)
         if not paths:
             return empty(name)  # e.g. a warning-free corpus
         return spark.read.parquet(*paths)

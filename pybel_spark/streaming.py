@@ -127,6 +127,12 @@ def start_citation_stats_stream(spark, input_dir: str, out_dir: str,
     observed for that long is evicted (ProcessingTimeTimeout) — its
     counters restart if it ever reappears. Default None keeps lifetime
     totals (the batch-compatible semantics).
+
+    MIGRATION: the state schema gained ``overflowed`` when the sketch
+    landed; a checkpoint written by the pre-sketch operator cannot be
+    resumed by this one — start it against a fresh checkpointLocation (the
+    output parquet log is append-only and survives; only in-flight state
+    restarts).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout

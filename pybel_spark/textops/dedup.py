@@ -4,6 +4,14 @@ All identity/similarity keys are md5-derived → uniform → skew-free shuffles.
 The near-dup paths follow the inverted-index pattern: only documents sharing
 a shingle (or an LSH band) are ever compared, so cost scales with true
 collision volume, not |docs|².
+
+Cache lifetime: the near-dup pipelines persist intermediates that feed
+self-joins (shingles, band signatures, simhash chunks) — without the
+persist each join side recomputes the full upstream aggregation. The
+returned DataFrames stay lazy, so the cached blocks live until Spark's
+LRU evicts them (MEMORY_AND_DISK); in a long-lived session running many
+batch jobs, call ``spark.catalog.clearCache()`` between jobs if storage
+memory is contended.
 """
 from pyspark.sql import DataFrame, functions as F
 
@@ -32,17 +40,14 @@ def doc_shingles(docs: DataFrame, id_col='doc_id', text_col='text',
     slower on a 5k-doc corpus; the Generate between the two selects stops
     Catalyst from collapsing the projects back together.
     """
-    from .tokenize import whitespace_tokens
+    from .tokenize import shingle_windows, whitespace_tokens
 
     tokens = docs.select(F.col(id_col).alias('doc_id'),
                          whitespace_tokens(text_col).alias('_toks'))
-    windows = F.when(
-        F.size('_toks') >= n,
-        F.transform(F.sequence(F.lit(0), F.size('_toks') - n),
-                    lambda i: F.concat_ws(' ', F.slice('_toks', i + 1, n))),
-    ).otherwise(F.array(F.concat_ws(' ', '_toks')))
     return (
-        tokens.select('doc_id', F.explode(windows).alias('shingle'))
+        tokens.select(
+            'doc_id',
+            F.explode(shingle_windows(F.col('_toks'), n)).alias('shingle'))
         .distinct()
     )
 

@@ -27,17 +27,26 @@ def bpe_ish_token_count(col='text') -> Column:
     return F.size(bpe_ish_tokens(col))
 
 
-def shingles(col='text', n=3) -> Column:
-    """Word n-gram shingles: array of space-joined n-token windows.
+def shingle_windows(tokens, n=3) -> Column:
+    """n-token windows over a token-array Column (texts shorter than n
+    collapse to one whole-text shingle). The SINGLE definition of the
+    window formula — shared by shingles() and dedup.doc_shingles so the
+    DuckDB oracle tracks exactly one formulation.
 
-    Built from transform() over token indices — stays in codegen.
-    """
-    tokens = whitespace_tokens(col)
+    PERF: pass an already-projected ATTRIBUTE (a real column), not an
+    inline split expression — codegen re-evaluates an inline expression
+    per produced shingle (measured 3.6× slower)."""
     count = F.size(tokens)
     return F.when(count >= n, F.transform(
         F.sequence(F.lit(0), count - n),
         lambda i: F.concat_ws(' ', F.slice(tokens, i + 1, n)),
     )).otherwise(F.array(F.concat_ws(' ', tokens)))
+
+
+def shingles(col='text', n=3) -> Column:
+    """Word n-gram shingles directly from a text column (one-select
+    convenience; see shingle_windows for the fast two-phase path)."""
+    return shingle_windows(whitespace_tokens(col), n)
 
 
 def with_token_stats(docs: DataFrame, text_col='text') -> DataFrame:

@@ -136,3 +136,39 @@ def test_to_indra_round_trip(spark):
     expected_src = [s for s in STMTS[:7]]
     expected = {key(s) for s in expected_src}
     assert got == expected
+
+
+def test_to_indra_statement_mod_chosen_by_specificity(spark):
+    """The exporter must pick the statement-level pmod by specificity, not
+    list position (the compiler sorts variants canonically) — a substrate
+    carrying an extra bare agent-level mod round-trips unchanged."""
+    from pybel_spark.io_indra import to_indra_statements_json
+
+    stmt = {'type': 'Phosphorylation', 'enz': _agent('MAP2K1'),
+            'sub': _agent('MAPK1',
+                          mods=[{'mod_type': 'ubiquitination',
+                                 'is_modified': True}]),
+            'residue': 'T', 'position': '185', 'evidence': EV}
+    result = from_indra_statements_json(spark, [stmt])
+    out = [json.loads(r['statement_json']) for r in
+           to_indra_statements_json(result.nodes, result.edges).collect()]
+    phos = [s for s in out if s['type'] == 'Phosphorylation']
+    assert len(phos) == 1
+    s = phos[0]
+    assert s['residue'] == 'T' and s['position'] == '185'
+    assert [m['mod_type'] for m in s['sub']['mods']] == ['ubiquitination']
+
+
+def test_jsonl_hostile_rows_do_not_crash(spark):
+    """Structurally hostile JSON (scalars, null agents, wrong-typed
+    evidence) must skip, never fail the task."""
+    rows = [('5',), ('"just a string"',), ('[1,2]',),
+            ('{"type":"Activation","subj":null,"obj":null}',),
+            ('{"type":"Phosphorylation","enz":{"name":"X","db_refs":'
+             '{"HGNC":"1"}},"sub":{"name":"Y","db_refs":{"HGNC":"2"}},'
+             '"evidence":"not-a-list"}',),
+            (json.dumps(STMTS[0]),)]
+    df = spark.createDataFrame(rows, 'statement_json string')
+    result = from_indra_statements_jsonl(df)
+    edges = result.edges.where('citation_id is not null').collect()
+    assert len(edges) == 1  # only the one healthy statement survives

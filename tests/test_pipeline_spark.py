@@ -333,3 +333,39 @@ def test_deduped_randomized_control_fuzz(spark):
         dedup = {tuple(r) for r in extract_triples_deduped(
             docs, compiler_options=opts).collect()}
         assert dedup == full, opts
+
+
+def test_checkpoint_on_hadoop_filesystem_uri(spark, docs, spec):
+    """The manifest protocol must work against scheme'd URIs through the
+    Hadoop FileSystem API (code-review r3: the POSIX-only version silently
+    reprocessed everything on hdfs://). file:// exercises the same py4j
+    code path via LocalFileSystem."""
+    import tempfile
+
+    local = tempfile.mkdtemp(prefix='pybel_spark_hfs_')
+    out_dir = 'file://' + local
+    try:
+        r1 = run_checkpointed(spark, docs, out_dir, n_buckets=4)
+        assert r1['processed_buckets'] == 4
+        r2 = run_checkpointed(spark, docs, out_dir, n_buckets=4)
+        assert r2 == {'skipped_buckets': 4, 'processed_buckets': 0}
+        graph = read_graph(spark, out_dir)
+        got = {
+            (r['triple_subject'], r['triple_predicate'], r['triple_object'])
+            for r in graph['edges']
+            .where('triple_subject is not null')
+            .select('triple_subject', 'triple_predicate', 'triple_object')
+            .distinct().collect()
+        }
+        assert got == expected_triples(spec, N_DOCS)
+        assert graph['edges'].count() \
+            == graph['edges'].select('edge_id').distinct().count()
+
+        from pybel_spark.pipeline import compact_output
+        n_before = graph['edges'].count()
+        stats = compact_output(spark, out_dir)
+        assert 'edges' in stats
+        graph2 = read_graph(spark, out_dir)
+        assert graph2['edges'].count() == n_before
+    finally:
+        shutil.rmtree(local, ignore_errors=True)
