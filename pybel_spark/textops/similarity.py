@@ -373,3 +373,108 @@ def ivf_topk(vectors: DataFrame, k=5, n_lists=16, n_probe=4, seed=7,
                 'similarity')
     )
     return out
+
+
+def ivf_index_write(vectors: DataFrame, path: str, n_lists=16, seed=7,
+                    id_col='vec_id', vec_col='embedding',
+                    refine_iterations=1) -> None:
+    """Materialize an IVF index: assignments parquet PARTITIONED BY
+    list_id (so a probe-filtered read prunes to n_probe/n_lists of the
+    files) plus the centroid matrix as JSON alongside.
+
+    Build once over the corpus, then serve any number of query batches via
+    :func:`ivf_index_topk` without re-running the quantizer — the ANN
+    serving shape at scale."""
+    import json
+
+    assignments, centroids = ivf_assignments(
+        vectors, n_lists, seed, id_col, vec_col, refine_iterations)
+    assignments.write.mode('overwrite').partitionBy('list_id') \
+        .parquet(path + '/assignments')
+    meta = json.dumps({
+        'centroids': [list(map(float, c)) for c in centroids],
+        'n_lists': n_lists, 'seed': seed, 'id_col': id_col,
+        'vec_col': vec_col,
+    }).encode('utf8')
+    # small sidecar via the session's Hadoop FS (works on any scheme)
+    spark = vectors.sparkSession
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path + '/centroids.json')
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(meta)
+    finally:
+        out.close()
+
+
+def ivf_index_topk(spark, path: str, k=5, n_probe=4, query_ids=None,
+                   queries: DataFrame = None) -> DataFrame:
+    """Approximate top-k against a materialized IVF index.
+
+    Queries come either from the index itself (``query_ids``) or as an
+    external DataFrame with (q_id, q_vec). Probe lists are computed
+    distributed against the broadcast-size centroid matrix; the
+    assignments scan is FILTERED on the probed list_ids, so partition
+    pruning reads only n_probe/n_lists of the index files when the query
+    set is selective."""
+    import json
+
+    import numpy as np
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path + '/centroids.json')
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        meta = json.loads(bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode('utf8'))
+    finally:
+        stream.close()
+    centroids = np.array(meta['centroids'], dtype=np.float64)
+    id_col, vec_col = meta['id_col'], meta['vec_col']
+
+    assignments = spark.read.parquet(path + '/assignments')
+    if queries is None:
+        queries = assignments.select(F.col(id_col).alias('q_id'),
+                                     F.col(vec_col).alias('q_vec'))
+        if query_ids is not None:
+            queries = queries.where(F.col('q_id').isin(list(query_ids)))
+
+    normed = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    n_probe_eff = min(n_probe, len(centroids))
+
+    def probe(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.array(pdf['q_vec'].tolist(), dtype=np.float64)
+            emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            sims = emb_n @ normed.T
+            order = np.argsort(-sims, axis=1, kind='stable')[:, :n_probe_eff]
+            yield pd.DataFrame({
+                'q_id': np.repeat(pdf['q_id'].to_numpy(), n_probe_eff),
+                'q_vec': pdf['q_vec'].to_numpy().repeat(n_probe_eff),
+                'list_id': order.reshape(-1).astype('int32'),
+            })
+
+    probes = queries.mapInPandas(
+        probe, schema='q_id long, q_vec array<float>, list_id int').persist()
+    probed_lists = [r['list_id']
+                    for r in probes.select('list_id').distinct().collect()]
+    # the IN filter on the partition column prunes unprobed index files
+    candidates = (
+        assignments.where(F.col('list_id').isin(probed_lists))
+        .join(F.broadcast(probes), on='list_id')
+        .where(F.col(id_col) != F.col('q_id'))
+        .withColumn('similarity', cosine(F.col('q_vec'), F.col(vec_col)))
+        .groupBy('q_id', F.col(id_col).alias('neighbor_id'))
+        .agg(F.first('similarity').alias('similarity'))
+    )
+    w = Window.partitionBy('q_id').orderBy(F.desc('similarity'), 'neighbor_id')
+    return (
+        candidates.withColumn('rank', F.row_number().over(w))
+        .where(F.col('rank') <= k)
+        .select(F.col('q_id').alias('vec_id'), 'neighbor_id', 'rank',
+                'similarity')
+    )

@@ -386,3 +386,33 @@ def test_corrupt_media_yields_null_feature_not_task_failure(spark):
     assert feats['ok-wav']['feature'] is not None
     for bad in ('bad-truncated', 'bad-junk', 'bad-empty', 'bad-fmt'):
         assert feats[bad]['feature'] is None, bad
+
+
+def test_ivf_index_write_and_serve(spark, tmp_path):
+    """Materialized IVF index: build once (assignments partitioned by
+    list_id + centroid sidecar), then serve queries with results identical
+    to the in-memory ivf_topk, and with the scan pruned to probed lists."""
+    vectors = spark.read.parquet(f'{SF_DIR}/embeddings.parquet').persist()
+    path = str(tmp_path / 'ivf_index')
+    similarity.ivf_index_write(vectors, path, n_lists=8)
+
+    import os
+    parts = [d for d in os.listdir(path + '/assignments')
+             if d.startswith('list_id=')]
+    assert len(parts) <= 8 and parts
+
+    qids = list(range(10))
+    served = {(r['vec_id'], r['neighbor_id']) for r in
+              similarity.ivf_index_topk(spark, path, k=5, n_probe=4,
+                                        query_ids=qids).collect()}
+    direct = {(r['vec_id'], r['neighbor_id']) for r in
+              similarity.ivf_topk(vectors, k=5, n_lists=8, n_probe=4,
+                                  query_ids=qids).collect()}
+    assert served == direct
+
+    # external query DataFrame path
+    q = vectors.where(F.col('vec_id') < 3).select(
+        F.col('vec_id').alias('q_id'), F.col('embedding').alias('q_vec'))
+    ext = similarity.ivf_index_topk(spark, path, k=3, queries=q)
+    assert ext.groupBy('vec_id').count().count() == 3
+    vectors.unpersist()
