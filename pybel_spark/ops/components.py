@@ -30,23 +30,34 @@ def connected_components(graph: KG, max_iterations: int = 50) -> DataFrame:
     component — deterministic and engine-independent (no hashing of ids,
     so no collision risk at any scale).
     """
-    if max_iterations < 1:
-        raise ValueError('max_iterations must be >= 1 (got {}) — zero '
-                         'rounds would return unconverged singleton labels'
-                         .format(max_iterations))
     edges = (
         graph.edges
         .select('source_id', 'target_id')
         .where(F.col('source_id') != F.col('target_id'))
         .distinct()
     )
+    return min_label_propagation(graph.nodes.select('node_id'), edges,
+                                 max_iterations)
+
+
+def min_label_propagation(nodes: DataFrame, edges: DataFrame,
+                          max_iterations: int = 50) -> DataFrame:
+    """Generic distributed min-label propagation: (node_id) nodes +
+    (source_id, target_id) edges of ANY orderable id type →
+    (node_id, component) where component = min id in the weakly connected
+    component. The engine behind :func:`connected_components` and the
+    near-duplicate clustering in textops.dedup."""
+    if max_iterations < 1:
+        raise ValueError('max_iterations must be >= 1 (got {}) — zero '
+                         'rounds would return unconverged singleton labels'
+                         .format(max_iterations))
     # symmetrize: weakly connected ignores direction
     sym = edges.unionByName(
         edges.select(F.col('target_id').alias('source_id'),
                      F.col('source_id').alias('target_id'))
     ).distinct().persist()
 
-    labels = graph.nodes.select(
+    labels = nodes.select(
         'node_id', F.col('node_id').alias('component'))
     labels = labels.localCheckpoint(eager=True)
 
@@ -92,7 +103,7 @@ def connected_components(graph: KG, max_iterations: int = 50) -> DataFrame:
     sym.unpersist()
     if n_changed != 0:
         raise RuntimeError(
-            'connected_components did not converge within {} iterations '
+            'min-label propagation did not converge within {} iterations '
             '({} labels still changing) — raise max_iterations'.format(
                 max_iterations, n_changed))
     return labels

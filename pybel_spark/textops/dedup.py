@@ -304,3 +304,38 @@ def simhash_near_duplicates(docs: DataFrame, id_col='doc_id',
         .select('doc_a', 'doc_b', 'hamming')
     )
     return pairs
+
+
+def near_duplicate_clusters(pairs: DataFrame, id_a='doc_a', id_b='doc_b',
+                            max_iterations: int = 50) -> DataFrame:
+    """(doc_id, cluster_id) over the near-dup PAIR graph: weakly connected
+    components (transitive closure of near-duplicate-ness), cluster_id =
+    min doc_id in the cluster. Only documents appearing in a pair get a
+    row — unpaired documents are their own implicit singletons.
+
+    Near-dup similarity is not transitive, but dedup policy usually is
+    (drop everything reachable through a chain of near-dups); this is that
+    policy as a distributed operator, sharing the pointer-doubling
+    propagation engine with ops.components (O(log diameter) rounds).
+    """
+    from ..ops.components import min_label_propagation
+
+    edges = pairs.select(F.col(id_a).alias('source_id'),
+                         F.col(id_b).alias('target_id'))
+    nodes = (edges.select(F.col('source_id').alias('node_id'))
+             .unionByName(edges.select(F.col('target_id').alias('node_id')))
+             .distinct())
+    labels = min_label_propagation(nodes, edges, max_iterations)
+    return labels.select(F.col('node_id').alias('doc_id'),
+                         F.col('component').alias('cluster_id'))
+
+
+def drop_near_duplicates(docs: DataFrame, clusters: DataFrame,
+                         id_col='doc_id') -> DataFrame:
+    """Keep one representative per near-dup cluster (the min doc_id) plus
+    every unclustered document — the filter step of the dedup pipeline
+    (anti-join on the cluster losers; no shuffle of document payloads
+    beyond the join on the id column)."""
+    losers = clusters.where(F.col('doc_id') != F.col('cluster_id')) \
+        .select(F.col('doc_id').alias(id_col))
+    return docs.join(losers, on=id_col, how='left_anti')

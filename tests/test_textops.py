@@ -416,3 +416,22 @@ def test_ivf_index_write_and_serve(spark, tmp_path):
     ext = similarity.ivf_index_topk(spark, path, k=3, queries=q)
     assert ext.groupBy('vec_id').count().count() == 3
     vectors.unpersist()
+
+
+def test_near_duplicate_clusters_and_filter(spark):
+    """Transitive near-dup clustering + representative filter: a chain
+    a~b, b~c clusters {a,b,c} even though a,c were never paired; keep =
+    cluster min + all unpaired docs."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], 'doc_a long, doc_b long')
+    clusters = {(r['doc_id'], r['cluster_id']) for r in
+                dedup.near_duplicate_clusters(pairs).collect()}
+    assert clusters == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+                        (20, 20), (21, 20)}
+
+    docs = spark.createDataFrame(
+        [(i, 'text %d' % i) for i in (1, 2, 3, 5, 10, 11, 20, 21, 99)],
+        'doc_id long, text string')
+    kept = {r['doc_id'] for r in dedup.drop_near_duplicates(
+        docs, dedup.near_duplicate_clusters(pairs)).collect()}
+    assert kept == {1, 5, 10, 20, 99}
