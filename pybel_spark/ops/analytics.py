@@ -1,0 +1,197 @@
+"""Whole-graph analytics: degree histogram, triangle counting, PageRank.
+
+The reference ships only ``get_top_hubs`` (struct/summary/node_summary.py:
+209-215) as a degree analytic and delegates everything heavier to networkx
+on the in-memory ``BELGraph`` (its docs recommend ``nx.pagerank`` /
+``nx.triangles`` over the compiled graph). At web scale the graph no longer
+fits one machine, so these are re-expressed as distributed DataFrame
+algebra:
+
+- :func:`degree_histogram` — one explode + two hash aggregates; a single
+  shuffle on the (uniform, md5) node id, then a tiny shuffle on the degree.
+- :func:`triangles` — degree-ordered orientation (each undirected edge
+  points from the lower-(degree, id) endpoint to the higher one), so every
+  node's oriented out-degree is O(sqrt(m)) and the wedge self-join is
+  skew-resistant even on power-law web graphs; the heavy hitters that blow
+  up the naive node-iterator join never become join keys.
+- :func:`pagerank` — the classic iterative formulation with dangling-mass
+  redistribution (same semantics as ``networkx.pagerank`` with a fixed
+  iteration count). Each round is one equi-join + hash aggregate on the
+  uniform node id; the dangling mass is a 1-row aggregate cross-joined
+  back (never collected to the driver), and ``localCheckpoint`` truncates
+  the per-round lineage so the plan stays flat at any iteration count.
+"""
+from pyspark.sql import DataFrame, functions as F
+
+from .graph import KG
+
+
+def undirected_pairs(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: distinct (a, b) with a < b, self-loops
+    dropped. One distinct-shuffle on uniformly distributed ids."""
+    return (
+        edges
+        .where(F.col('source_id') != F.col('target_id'))
+        .select(
+            F.least('source_id', 'target_id').alias('a'),
+            F.greatest('source_id', 'target_id').alias('b'))
+        .distinct()
+    )
+
+
+def degrees(graph: KG) -> DataFrame:
+    """(node_id, degree): distinct-neighbor undirected degree; isolated
+    nodes appear with degree 0."""
+    pairs = undirected_pairs(graph.edges)
+    ends = pairs.select(F.col('a').alias('node_id')).unionByName(
+        pairs.select(F.col('b').alias('node_id')))
+    counted = ends.groupBy('node_id').agg(
+        F.count(F.lit(1)).alias('degree'))
+    return (
+        graph.nodes.select('node_id')
+        .join(counted, on='node_id', how='left')
+        .select('node_id',
+                F.coalesce('degree', F.lit(0).cast('long')).alias('degree'))
+    )
+
+
+def degree_histogram(graph: KG) -> DataFrame:
+    """(degree, n_nodes) histogram over the undirected distinct-neighbor
+    degree — the scale-friendly summary of the web graph's shape (the
+    per-node table itself is too big to eyeball at 10^12 docs)."""
+    return (
+        degrees(graph)
+        .groupBy('degree').agg(F.count(F.lit(1)).alias('n_nodes'))
+        .orderBy('degree')
+    )
+
+
+def triangles(graph: KG) -> DataFrame:
+    """One row per triangle: (x, y, z) node ids with x < y < z.
+
+    Degree-ordered orientation: undirected edge {u, v} becomes u→v iff
+    (degree(u), u) < (degree(v), v). Every wedge u→v, u→w (v before w in
+    the same order) is closed by probing the oriented edge v→w, so each
+    triangle is found exactly once and the wedge join fans out from the
+    LOW-degree endpoint — max oriented out-degree is O(sqrt(m)) regardless
+    of skew.
+    """
+    pairs = undirected_pairs(graph.edges)
+    deg = (
+        pairs.select(F.col('a').alias('node_id')).unionByName(
+            pairs.select(F.col('b').alias('node_id')))
+        .groupBy('node_id').agg(F.count(F.lit(1)).alias('deg'))
+    )
+    # oriented edge list (u, v) with (deg_u, u) < (deg_v, v), degrees kept
+    # on both endpoints so the wedge join can order v, w without a lookup
+    with_deg = (
+        pairs
+        .join(deg.select(F.col('node_id').alias('a'),
+                         F.col('deg').alias('deg_a')), on='a')
+        .join(deg.select(F.col('node_id').alias('b'),
+                         F.col('deg').alias('deg_b')), on='b')
+    )
+    fwd = (F.col('deg_a') < F.col('deg_b')) | (
+        (F.col('deg_a') == F.col('deg_b')) & (F.col('a') < F.col('b')))
+    oriented = with_deg.select(
+        F.when(fwd, F.col('a')).otherwise(F.col('b')).alias('u'),
+        F.when(fwd, F.col('b')).otherwise(F.col('a')).alias('v'),
+        F.when(fwd, F.col('deg_a')).otherwise(F.col('deg_b')).alias('deg_u'),
+        F.when(fwd, F.col('deg_b')).otherwise(F.col('deg_a')).alias('deg_v'),
+    ).persist()
+
+    e1, e2, e3 = oriented.alias('e1'), oriented.alias('e2'), oriented.alias('e3')
+    wedge_order = (F.col('e1.deg_v') < F.col('e2.deg_v')) | (
+        (F.col('e1.deg_v') == F.col('e2.deg_v'))
+        & (F.col('e1.v') < F.col('e2.v')))
+    wedges = (
+        e1.join(e2, (F.col('e1.u') == F.col('e2.u')) & wedge_order)
+        .select(F.col('e1.u').alias('u'),
+                F.col('e1.v').alias('v'),
+                F.col('e2.v').alias('w'))
+    )
+    tri = (
+        wedges.alias('wd').join(
+            e3,
+            (F.col('wd.v') == F.col('e3.u')) & (F.col('wd.w') == F.col('e3.v')),
+            how='leftsemi')
+        .select(
+            F.array_sort(F.array('u', 'v', 'w')).alias('t'))
+        .select(F.col('t')[0].alias('x'), F.col('t')[1].alias('y'),
+                F.col('t')[2].alias('z'))
+    )
+    return tri
+
+
+def triangle_participation(graph: KG) -> DataFrame:
+    """(node_id, n_triangles) for every node in at least one triangle —
+    the per-node clustering signal (nx.triangles shape)."""
+    tri = triangles(graph)
+    members = (
+        tri.select(F.col('x').alias('node_id'))
+        .unionByName(tri.select(F.col('y').alias('node_id')))
+        .unionByName(tri.select(F.col('z').alias('node_id')))
+    )
+    return members.groupBy('node_id').agg(
+        F.count(F.lit(1)).alias('n_triangles'))
+
+
+def pagerank(graph: KG, damping: float = 0.85,
+             n_iterations: int = 10) -> DataFrame:
+    """(node_id, rank) after a fixed number of power-iteration rounds.
+
+    Semantics of one round (networkx.pagerank's update, fixed iterations
+    instead of an epsilon stop so the result is deterministic and
+    SQL-mirrorable):
+
+        rank'(v) = (1-d)/N + d * (sum over u→v of rank(u)/outdeg(u)
+                                  + dangling_mass / N)
+
+    where edges are the DISTINCT directed (source, target) pairs and
+    dangling_mass is the total rank sitting on nodes with no out-edges.
+    Total rank is conserved at exactly 1 per round. The dangling mass is a
+    one-row aggregate cross-joined into the update (broadcast by AQE) —
+    nothing is collected to the driver, so the whole loop is shippable
+    plans.
+    """
+    edges = (
+        graph.edges.select('source_id', 'target_id').distinct().persist())
+    nodes = graph.nodes.select('node_id').persist()
+    n = nodes.count()
+    if n == 0:
+        return nodes.select('node_id', F.lit(0.0).alias('rank'))
+    outdeg = edges.groupBy('source_id').agg(
+        F.count(F.lit(1)).alias('outdeg'))
+    links = edges.join(outdeg, on='source_id').persist()
+
+    ranks = nodes.select(
+        'node_id', F.lit(1.0 / n).alias('rank')).localCheckpoint(eager=True)
+    for _ in range(n_iterations):
+        contribs = (
+            links.join(
+                ranks.withColumnRenamed('node_id', 'source_id'),
+                on='source_id')
+            .groupBy(F.col('target_id').alias('node_id'))
+            .agg(F.sum(F.col('rank') / F.col('outdeg')).alias('contrib'))
+        )
+        dangling = (
+            ranks.join(
+                outdeg.withColumnRenamed('source_id', 'node_id'),
+                on='node_id', how='leftanti')
+            .agg(F.coalesce(F.sum('rank'), F.lit(0.0)).alias('dangling_mass'))
+        )
+        ranks = (
+            nodes.join(contribs, on='node_id', how='left')
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                'node_id',
+                (F.lit((1.0 - damping) / n)
+                 + F.lit(damping)
+                 * (F.coalesce('contrib', F.lit(0.0))
+                    + F.col('dangling_mass') / n)).alias('rank'))
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    links.unpersist()
+    nodes.unpersist()
+    return ranks

@@ -2,7 +2,8 @@
 on Spark and its oracle_sql() in DuckDB over the same sf dir; compare row
 count, schema width, and order-insensitive values.
 
-Usage: python scripts/check_correctness.py [sf_dir]
+Usage: python scripts/check_correctness.py [sf_dir] [query_name ...]
+(no query names = all queries)
 """
 import math
 import os
@@ -49,6 +50,12 @@ def main():
 
     qs = mod.queries()
     oracles = mod.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            raise SystemExit('unknown queries: {}'.format(sorted(unknown)))
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     for name, fn in qs.items():
         sdf = fn(spark, sf_dir)

@@ -1,0 +1,120 @@
+"""Whole-graph analytics (ops/analytics.py) vs networkx ground truth.
+
+The reference delegates these to networkx over its in-memory BELGraph, so
+networkx on the collected edge list IS the parity oracle here.
+"""
+import pytest
+from pyspark.sql import functions as F
+
+from pybel_spark.corpus import generate_documents
+from pybel_spark.ops import KG, analytics
+from pybel_spark.pipeline import build_graph
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope='module')
+def kg(spark):
+    docs = generate_documents(spark, N_DOCS, partitions=4)
+    result = build_graph(docs)
+    graph = KG(result.nodes, result.edges).persist()
+    graph.count()
+    yield graph
+
+
+def _nx_undirected(kg_):
+    import networkx as nx
+    g = nx.Graph()
+    g.add_nodes_from(r['node_id'] for r in kg_.nodes.select('node_id').collect())
+    g.add_edges_from(
+        (r['source_id'], r['target_id'])
+        for r in kg_.edges.select('source_id', 'target_id').collect()
+        if r['source_id'] != r['target_id'])
+    return g
+
+
+def test_degrees_networkx_parity(kg):
+    nxg = _nx_undirected(kg)
+    expected = dict(nxg.degree())
+    got = {r['node_id']: r['degree'] for r in analytics.degrees(kg).collect()}
+    assert got == expected
+
+
+def test_degree_histogram(kg):
+    nxg = _nx_undirected(kg)
+    hist = {}
+    for _, d in nxg.degree():
+        hist[d] = hist.get(d, 0) + 1
+    got = {r['degree']: r['n_nodes']
+           for r in analytics.degree_histogram(kg).collect()}
+    assert got == hist
+
+
+def test_triangles_networkx_parity(kg):
+    import networkx as nx
+    nxg = _nx_undirected(kg)
+    # nx.triangles counts per-node participation (each triangle 3x)
+    expected = {n: c for n, c in nx.triangles(nxg).items() if c > 0}
+    assert expected, 'corpus graph must contain triangles for this test'
+    got = {r['node_id']: r['n_triangles']
+           for r in analytics.triangle_participation(kg).collect()}
+    assert got == expected
+
+    tri_rows = analytics.triangles(kg).collect()
+    seen = {(r['x'], r['y'], r['z']) for r in tri_rows}
+    assert len(seen) == len(tri_rows), 'each triangle emitted exactly once'
+    assert all(x < y < z for x, y, z in seen)
+    assert 3 * len(seen) == sum(
+        nx.triangles(nxg).values()), 'global count consistent'
+
+
+def _reference_pagerank(nxg_directed, damping, n_iterations):
+    """Hand-rolled power iteration with dangling redistribution — the exact
+    update analytics.pagerank documents (nx.pagerank semantics at a fixed
+    iteration count over the DISTINCT directed edge set)."""
+    nodes = sorted(nxg_directed.nodes())
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    out = {v: list(nxg_directed.successors(v)) for v in nodes}
+    for _ in range(n_iterations):
+        dangling = sum(rank[v] for v in nodes if not out[v])
+        contrib = {v: 0.0 for v in nodes}
+        for u in nodes:
+            if out[u]:
+                share = rank[u] / len(out[u])
+                for v in out[u]:
+                    contrib[v] += share
+        rank = {v: (1 - damping) / n
+                + damping * (contrib[v] + dangling / n) for v in nodes}
+    return rank
+
+
+def test_pagerank_parity(kg):
+    import networkx as nx
+    nxg = nx.DiGraph()
+    nxg.add_nodes_from(r['node_id'] for r in kg.nodes.select('node_id').collect())
+    nxg.add_edges_from((r['source_id'], r['target_id'])
+                       for r in kg.edges.select('source_id', 'target_id')
+                       .distinct().collect())
+    expected = _reference_pagerank(nxg, 0.85, 10)
+    got = {r['node_id']: r['rank']
+           for r in analytics.pagerank(kg, 0.85, 10).collect()}
+    assert set(got) == set(expected)
+    assert all(abs(got[v] - expected[v]) < 1e-12 for v in expected)
+    # total rank conserved
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_empty_graph(spark):
+    empty = KG(
+        spark.createDataFrame([], 'node_id string'),
+        spark.createDataFrame([], 'source_id string, target_id string'))
+    assert analytics.pagerank(empty).count() == 0
+
+
+def test_degree_isolated_node(spark):
+    g = KG(
+        spark.createDataFrame([('a',), ('b',), ('c',)], ['node_id']),
+        spark.createDataFrame([('a', 'b')], ['source_id', 'target_id']))
+    got = {r['node_id']: r['degree'] for r in analytics.degrees(g).collect()}
+    assert got == {'a': 1, 'b': 1, 'c': 0}
