@@ -150,6 +150,16 @@ def main():
         F.sum('n_tokens')).collect()
     queries['text_quality_features'] = round(time.time() - t0, 3)
 
+    # benchmark decontamination: 20% of docs stand in for the benchmark
+    # suite (broadcast 8-gram index), rest is the corpus side
+    from pybel_spark.textops.decontaminate import benchmark_contamination
+    bench_side = (ddocs.where(F.col('doc_id') % 5 == 0)
+                  .select(F.col('doc_id').alias('bench_id'), 'text'))
+    train_side = ddocs.where(F.col('doc_id') % 5 != 0)
+    t0 = time.time()
+    benchmark_contamination(train_side, bench_side, n=8).count()
+    queries['corpus_decontaminate'] = round(time.time() - t0, 3)
+
     # adversarial skew: one shingle in 50% of docs — the df cap must hold
     # the WALL TIME, not just the candidate count. The cap is an absolute
     # df knob (production: ~10k against 10^9+ docs); scale it to the bench

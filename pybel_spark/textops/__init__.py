@@ -8,8 +8,11 @@ DataFrame algebra so they survive a 100 TB input:
              MinHash + LSH banding, SimHash
 - quality:   language-ID heuristic, quality scoring, document fingerprints
 - similarity: brute-force cosine top-k and LSH-bucketed ANN over embeddings
+- decontaminate: benchmark n-gram collision scan (GPT-3 appendix-C style)
 - multimodal: binary-column decode/feature plumbing (decoders stubbed — no
              image/audio libs in this environment; Spark-side schema,
              batching, and partitioning are real)
 """
-from . import dedup, multimodal, quality, similarity, tokenize  # noqa: F401
+from . import (  # noqa: F401
+    decontaminate, dedup, multimodal, quality, similarity, tokenize,
+)
