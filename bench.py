@@ -187,6 +187,20 @@ def main():
     queries['embedding_knn_ivf'] = round(time.time() - t0, 3)
     vectors.unpersist()
 
+    # whole-graph analytics at scale: hub-skewed synthetic web graph
+    # (500k nodes, ~4M directed edges, in-degree(0) ~ d*ln n) — the corpus
+    # KG is deliberately tiny (distinct knowledge), so the scale walls for
+    # PageRank / triangle counting come from this generator instead
+    from pybel_spark.ops import KG as _KG, analytics as _an
+    g_nodes, g_edges = _an.synthetic_skewed_graph(spark, 500_000, 8)
+    graph = _KG(g_nodes, g_edges)
+    t0 = time.time()
+    _an.pagerank(graph, n_iterations=3).agg(F.sum('rank')).collect()
+    queries['graph_pagerank_4m_edges_3it'] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_tri = _an.triangles(graph).count()
+    queries['graph_triangles_4m_edges'] = round(time.time() - t0, 3)
+
     # media decode throughput (numpy decoders): synthesize once, decode all
     n_media = 3000
     media = multimodal.synthetic_media(
@@ -225,6 +239,7 @@ def main():
         'media_rows': int(n_media),
         'media_decoded_ok': int(n_decoded),
         'media_mb_per_sec': round(media_bytes / t_decode / 1e6, 1),
+        'graph_triangles_found': int(n_tri),
     }
     spark.stop()
     print(json.dumps(out))

@@ -26,6 +26,31 @@ from pyspark.sql import DataFrame, functions as F
 from .graph import KG
 
 
+def synthetic_skewed_graph(spark, n_nodes: int, avg_out_degree: int = 8,
+                           seed: int = 42):
+    """Deterministic hub-skewed random graph for scale-testing analytics.
+
+    Edge k (k in [0, n_nodes*avg_out_degree)) leaves source k // d toward
+    target xxhash64(k, seed) % (source+1) — uniform over the ids BELOW the
+    source, so in-degree(j) ~ d * ln(n/j): node 0 is a hot hub with
+    in-degree ~ d*ln(n), the web-graph shape that breaks naive
+    node-iterator triangle joins. Pure column algebra, no driver data.
+
+    Returns (nodes, edges) DataFrames shaped like KG members
+    (node_id / source_id, target_id — long ids).
+    """
+    d = avg_out_degree
+    src = (F.col('id') / d).cast('long')
+    tgt = F.abs(F.xxhash64(F.col('id'), F.lit(seed))) % (src + 1)
+    edges = (
+        spark.range(0, n_nodes * d)
+        .select(src.alias('source_id'), tgt.alias('target_id'))
+        .where(F.col('source_id') != F.col('target_id'))
+    )
+    nodes = spark.range(n_nodes).select(F.col('id').alias('node_id'))
+    return nodes, edges
+
+
 def undirected_pairs(edges: DataFrame) -> DataFrame:
     """Canonical undirected edge set: distinct (a, b) with a < b, self-loops
     dropped. One distinct-shuffle on uniformly distributed ids."""
@@ -163,6 +188,14 @@ def pagerank(graph: KG, damping: float = 0.85,
     outdeg = edges.groupBy('source_id').agg(
         F.count(F.lit(1)).alias('outdeg'))
     links = edges.join(outdeg, on='source_id').persist()
+    # the dangling node SET is static across rounds — only its rank mass
+    # changes; one anti-join here replaces a ranks-vs-outdeg anti-join
+    # shuffle inside every iteration
+    dangling_ids = (
+        nodes.join(outdeg.withColumnRenamed('source_id', 'node_id'),
+                   on='node_id', how='leftanti')
+        .persist()
+    )
 
     ranks = nodes.select(
         'node_id', F.lit(1.0 / n).alias('rank')).localCheckpoint(eager=True)
@@ -175,9 +208,7 @@ def pagerank(graph: KG, damping: float = 0.85,
             .agg(F.sum(F.col('rank') / F.col('outdeg')).alias('contrib'))
         )
         dangling = (
-            ranks.join(
-                outdeg.withColumnRenamed('source_id', 'node_id'),
-                on='node_id', how='leftanti')
+            ranks.join(dangling_ids, on='node_id', how='leftsemi')
             .agg(F.coalesce(F.sum('rank'), F.lit(0.0)).alias('dangling_mass'))
         )
         ranks = (
@@ -193,5 +224,6 @@ def pagerank(graph: KG, damping: float = 0.85,
         )
     edges.unpersist()
     links.unpersist()
+    dangling_ids.unpersist()
     nodes.unpersist()
     return ranks

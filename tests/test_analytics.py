@@ -112,6 +112,28 @@ def test_pagerank_empty_graph(spark):
     assert analytics.pagerank(empty).count() == 0
 
 
+def test_synthetic_graph_deterministic_and_skewed(spark):
+    nodes, edges = analytics.synthetic_skewed_graph(spark, 2000, 4, seed=7)
+    nodes2, edges2 = analytics.synthetic_skewed_graph(spark, 2000, 4, seed=7)
+    assert nodes.count() == 2000
+    assert edges.collect() == edges2.collect(), 'generator is deterministic'
+    indeg = (edges.groupBy('target_id').count()
+             .orderBy(F.desc('count')).limit(1).collect()[0])
+    # hub skew: node 0 is every source's possible target -> in-degree ~ d*ln n
+    assert indeg['target_id'] == 0
+    assert indeg['count'] > 4 * 5
+
+
+def test_triangles_on_skewed_graph_networkx_parity(spark):
+    import networkx as nx
+    nodes, edges = analytics.synthetic_skewed_graph(spark, 400, 6, seed=3)
+    g = KG(nodes, edges)
+    nxg = _nx_undirected(g)
+    expected_total = sum(nx.triangles(nxg).values())
+    got = analytics.triangles(g).count()
+    assert 3 * got == expected_total
+
+
 def test_degree_isolated_node(spark):
     g = KG(
         spark.createDataFrame([('a',), ('b',), ('c',)], ['node_id']),
