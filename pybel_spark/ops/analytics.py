@@ -161,6 +161,26 @@ def triangle_participation(graph: KG) -> DataFrame:
         F.count(F.lit(1)).alias('n_triangles'))
 
 
+def clustering_coefficients(graph: KG) -> DataFrame:
+    """(node_id, clustering) — local clustering coefficient
+    2*T(v) / (deg(v) * (deg(v) - 1)) over the undirected distinct-neighbor
+    graph (nx.clustering semantics); nodes with degree < 2 get 0.0.
+    Pure composition of :func:`degrees` and :func:`triangle_participation`
+    — inherits the skew-resistant oriented wedge join."""
+    deg = degrees(graph)
+    tri = triangle_participation(graph)
+    d = F.col('degree')
+    return (
+        deg.join(tri, on='node_id', how='left')
+        .select(
+            'node_id',
+            F.when(d >= 2,
+                   2.0 * F.coalesce('n_triangles', F.lit(0).cast('long'))
+                   / (d * (d - 1)))
+            .otherwise(F.lit(0.0)).alias('clustering'))
+    )
+
+
 def pagerank(graph: KG, damping: float = 0.85,
              n_iterations: int = 10) -> DataFrame:
     """(node_id, rank) after a fixed number of power-iteration rounds.

@@ -68,6 +68,16 @@ def test_triangles_networkx_parity(kg):
         nx.triangles(nxg).values()), 'global count consistent'
 
 
+def test_clustering_networkx_parity(kg):
+    import networkx as nx
+    nxg = _nx_undirected(kg)
+    expected = nx.clustering(nxg)
+    got = {r['node_id']: r['clustering']
+           for r in analytics.clustering_coefficients(kg).collect()}
+    assert set(got) == set(expected)
+    assert all(abs(got[v] - expected[v]) < 1e-12 for v in expected)
+
+
 def _reference_pagerank(nxg_directed, damping, n_iterations):
     """Hand-rolled power iteration with dangling redistribution — the exact
     update analytics.pagerank documents (nx.pagerank semantics at a fixed
