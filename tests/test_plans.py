@@ -117,6 +117,32 @@ def test_connected_components_round_shuffles(spark):
     assert baseline <= 8, physical_plan(one_round)
 
 
+def test_triangle_wedge_join_is_equi_join(spark):
+    """The oriented wedge join must key on node-id EQUALITY (hash/sort-merge
+    join with the order predicate as residual) — a nested-loop or cartesian
+    plan here is quadratic in edges."""
+    from pybel_spark.ops import KG, analytics
+
+    nodes, edges = analytics.synthetic_skewed_graph(spark, 500, 4)
+    plan = physical_plan(analytics.triangles(KG(nodes, edges)))
+    assert 'BroadcastNestedLoopJoin' not in plan, plan
+    assert 'CartesianProduct' not in plan, plan
+
+
+def test_pagerank_plan_flat_across_iterations(spark):
+    """localCheckpoint truncation: the per-round plan must not grow with
+    the iteration count (10 rounds explain == bounded size)."""
+    from pybel_spark.ops import KG, analytics
+
+    nodes, edges = analytics.synthetic_skewed_graph(spark, 200, 4)
+    g = KG(nodes, edges)
+    p2 = physical_plan(analytics.pagerank(g, n_iterations=2))
+    p6 = physical_plan(analytics.pagerank(g, n_iterations=6))
+    # identical shape modulo plan/exprId numbering: same operator count
+    assert abs(n_exchanges(p6) - n_exchanges(p2)) == 0, (p2, p6)
+    assert len(p6) < 1.3 * len(p2) + 500, (len(p2), len(p6))
+
+
 def test_grounding_join_is_broadcast(spark):
     """The namespace-grounding path must broadcast the small dictionary
     side, never shuffle the big mention side."""
