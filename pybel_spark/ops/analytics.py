@@ -166,6 +166,48 @@ def triangle_participation(graph: KG) -> DataFrame:
         F.count(F.lit(1)).alias('n_triangles'))
 
 
+def k_core(graph: KG, k: int = 2, max_rounds: int = 50) -> DataFrame:
+    """(node_id,) — nodes of the k-core: the maximal subgraph where every
+    node has undirected distinct-neighbor degree >= k (nx.k_core node set;
+    a standard web-graph spam/quality signal).
+
+    Iterative peel: drop nodes below k, recompute degrees on the surviving
+    edge set, repeat to fixpoint. Each round is one degree aggregate + two
+    semi-joins on the uniform node id; localCheckpoint truncates lineage
+    so round N's plan equals round 1's. Converges in <= initial-max-degree
+    rounds; in practice a handful — raises if ``max_rounds`` is exhausted
+    before the fixpoint (silent non-convergence would be silently-wrong
+    results, the ops/components.py lesson).
+    """
+    pairs = undirected_pairs(graph.edges).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    for _ in range(max_rounds):
+        if n_pairs == 0:
+            break
+        keep = (_pair_degrees(pairs).where(F.col('degree') >= k)
+                .select('node_id'))
+        pairs = (
+            pairs
+            .join(keep.select(F.col('node_id').alias('a')),
+                  on='a', how='leftsemi')
+            .join(keep.select(F.col('node_id').alias('b')),
+                  on='b', how='leftsemi')
+            .localCheckpoint(eager=True)
+        )
+        n_now = pairs.count()
+        if n_now == n_pairs:
+            break
+        n_pairs = n_now
+    else:
+        raise RuntimeError(
+            'k_core did not converge within max_rounds=%d' % max_rounds)
+    return (
+        pairs.select(F.col('a').alias('node_id'))
+        .unionByName(pairs.select(F.col('b').alias('node_id')))
+        .distinct()
+    )
+
+
 def clustering_coefficients(graph: KG) -> DataFrame:
     """(node_id, clustering) — local clustering coefficient
     2*T(v) / (deg(v) * (deg(v) - 1)) over the undirected distinct-neighbor

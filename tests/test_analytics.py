@@ -122,6 +122,31 @@ def test_pagerank_empty_graph(spark):
     assert analytics.pagerank(empty).count() == 0
 
 
+def test_k_core_networkx_parity(kg):
+    import networkx as nx
+    nxg = _nx_undirected(kg)
+    for k in (2, 3):
+        expected = set(nx.k_core(nxg, k).nodes())
+        # nx.k_core keeps isolated nodes for k=0 only; for k>=1 parity is
+        # over nodes that survive the peel with at least one edge
+        expected = {n for n in expected
+                    if nx.k_core(nxg, k).degree(n) >= k}
+        got = {r['node_id']
+               for r in analytics.k_core(kg, k=k).collect()}
+        assert got == expected, k
+
+
+def test_k_core_skewed_graph_parity(spark):
+    import networkx as nx
+    nodes, edges = analytics.synthetic_skewed_graph(spark, 300, 5, seed=11)
+    g = KG(nodes, edges)
+    nxg = _nx_undirected(g)
+    core = nx.k_core(nxg, 3)
+    expected = {n for n in core.nodes() if core.degree(n) >= 3}
+    got = {r['node_id'] for r in analytics.k_core(g, k=3).collect()}
+    assert got == expected
+
+
 def test_synthetic_graph_deterministic_and_skewed(spark):
     nodes, edges = analytics.synthetic_skewed_graph(spark, 2000, 4, seed=7)
     nodes2, edges2 = analytics.synthetic_skewed_graph(spark, 2000, 4, seed=7)
