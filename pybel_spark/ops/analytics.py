@@ -246,14 +246,45 @@ def pagerank(graph: KG, damping: float = 0.85,
     nothing is collected to the driver, so the whole loop is shippable
     plans.
     """
-    edges = (
-        graph.edges.select('source_id', 'target_id').distinct().persist())
-    nodes = graph.nodes.select('node_id').persist()
+    nodes = graph.nodes.select('node_id')
     n = nodes.count()
     if n == 0:
-        edges.unpersist()
-        nodes.unpersist()
-        return graph.nodes.select('node_id', F.lit(0.0).alias('rank'))
+        return nodes.select('node_id', F.lit(0.0).alias('rank'))
+    teleport = nodes.select('node_id', F.lit(1.0 / n).alias('p'))
+    return _power_iteration(graph, teleport, damping, n_iterations)
+
+
+def personalized_pagerank(graph: KG, seeds: DataFrame,
+                          damping: float = 0.85,
+                          n_iterations: int = 10) -> DataFrame:
+    """PageRank with the teleport (and dangling-mass) distribution uniform
+    over ``seeds`` (a DataFrame with a ``node_id`` column) instead of all
+    nodes — relevance of every node to the seed set (the KG
+    heat-diffusion / neighborhood-scoring workflow). Rank starts at the
+    teleport vector; same fixed-iteration, SQL-mirrorable update as
+    :func:`pagerank`.
+    """
+    seed_set = seeds.select('node_id').distinct()
+    s = seed_set.count()
+    if s == 0:
+        raise ValueError('personalized_pagerank requires >= 1 seed node')
+    teleport = (
+        graph.nodes.select('node_id')
+        .join(seed_set.select('node_id', F.lit(1.0 / s).alias('p')),
+              on='node_id', how='left')
+        .select('node_id', F.coalesce('p', F.lit(0.0)).alias('p'))
+    )
+    return _power_iteration(graph, teleport, damping, n_iterations)
+
+
+def _power_iteration(graph: KG, teleport: DataFrame, damping: float,
+                     n_iterations: int) -> DataFrame:
+    """Shared PageRank loop: teleport is (node_id, p) summing to 1; rank
+    starts at p and each round applies
+    rank' = (1-d)*p + d*(in-contributions + dangling_mass*p)."""
+    edges = (
+        graph.edges.select('source_id', 'target_id').distinct().persist())
+    teleport = teleport.persist()
     outdeg = edges.groupBy('source_id').agg(
         F.count(F.lit(1)).alias('outdeg'))
     links = edges.join(outdeg, on='source_id').persist()
@@ -261,13 +292,14 @@ def pagerank(graph: KG, damping: float = 0.85,
     # changes; one anti-join here replaces a ranks-vs-outdeg anti-join
     # shuffle inside every iteration
     dangling_ids = (
-        nodes.join(outdeg.withColumnRenamed('source_id', 'node_id'),
-                   on='node_id', how='leftanti')
+        teleport.select('node_id')
+        .join(outdeg.withColumnRenamed('source_id', 'node_id'),
+              on='node_id', how='leftanti')
         .persist()
     )
 
-    ranks = nodes.select(
-        'node_id', F.lit(1.0 / n).alias('rank')).localCheckpoint(eager=True)
+    ranks = teleport.select(
+        'node_id', F.col('p').alias('rank')).localCheckpoint(eager=True)
     for _ in range(n_iterations):
         contribs = (
             links.join(
@@ -281,18 +313,18 @@ def pagerank(graph: KG, damping: float = 0.85,
             .agg(F.coalesce(F.sum('rank'), F.lit(0.0)).alias('dangling_mass'))
         )
         ranks = (
-            nodes.join(contribs, on='node_id', how='left')
+            teleport.join(contribs, on='node_id', how='left')
             .crossJoin(F.broadcast(dangling))
             .select(
                 'node_id',
-                (F.lit((1.0 - damping) / n)
+                (F.lit(1.0 - damping) * F.col('p')
                  + F.lit(damping)
                  * (F.coalesce('contrib', F.lit(0.0))
-                    + F.col('dangling_mass') / n)).alias('rank'))
+                    + F.col('dangling_mass') * F.col('p'))).alias('rank'))
             .localCheckpoint(eager=True)
         )
     edges.unpersist()
     links.unpersist()
     dangling_ids.unpersist()
-    nodes.unpersist()
+    teleport.unpersist()
     return ranks

@@ -115,6 +115,52 @@ def test_pagerank_parity(kg):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def _reference_personalized(nxg_directed, seeds, damping, n_iterations):
+    nodes = sorted(nxg_directed.nodes())
+    p = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    rank = dict(p)
+    out = {v: list(nxg_directed.successors(v)) for v in nodes}
+    for _ in range(n_iterations):
+        dangling = sum(rank[v] for v in nodes if not out[v])
+        contrib = {v: 0.0 for v in nodes}
+        for u in nodes:
+            if out[u]:
+                share = rank[u] / len(out[u])
+                for v in out[u]:
+                    contrib[v] += share
+        rank = {v: (1 - damping) * p[v]
+                + damping * (contrib[v] + dangling * p[v]) for v in nodes}
+    return rank
+
+
+def test_personalized_pagerank_parity(kg, spark):
+    import networkx as nx
+    nxg = nx.DiGraph()
+    nxg.add_nodes_from(r['node_id'] for r in kg.nodes.select('node_id').collect())
+    nxg.add_edges_from((r['source_id'], r['target_id'])
+                       for r in kg.edges.select('source_id', 'target_id')
+                       .distinct().collect())
+    seed_ids = sorted(nxg.nodes())[:5]
+    seeds = spark.createDataFrame([(s,) for s in seed_ids], ['node_id'])
+    expected = _reference_personalized(nxg, set(seed_ids), 0.85, 10)
+    got = {r['node_id']: r['rank']
+           for r in analytics.personalized_pagerank(
+               kg, seeds, 0.85, 10).collect()}
+    assert set(got) == set(expected)
+    assert all(abs(got[v] - expected[v]) < 1e-12 for v in expected)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # non-seed-reachable mass decays toward seeds: a seed outranks the
+    # global-uniform value for at least one seed
+    n = len(expected)
+    assert any(got[s] > 1.0 / n for s in seed_ids)
+
+
+def test_personalized_pagerank_requires_seeds(kg, spark):
+    empty = spark.createDataFrame([], 'node_id string')
+    with pytest.raises(ValueError):
+        analytics.personalized_pagerank(kg, empty)
+
+
 def test_pagerank_empty_graph(spark):
     empty = KG(
         spark.createDataFrame([], 'node_id string'),
