@@ -18,15 +18,50 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def exact_duplicates(docs: DataFrame, id_col='doc_id', text_col='text') -> DataFrame:
-    """Groups of byte-identical documents (hash groupBy)."""
+    """Groups of byte-identical documents (hash groupBy).
+
+    One BOUNDED row per group: (text_md5, n_docs, keep_doc_id). The row
+    size is constant no matter how many copies exist — a boilerplate page
+    duplicated 10⁹ times at corpus scale is still one (hash, count, id)
+    row, never a collect_list array in a single aggregation buffer. Full
+    group membership is a separate flat query:
+    :func:`exact_duplicate_members`.
+    """
     return (
         docs.select(F.col(id_col), F.md5(F.col(text_col)).alias('text_md5'))
         .groupBy('text_md5')
         .agg(F.count(F.lit(1)).alias('n_docs'),
-             F.min(id_col).alias('keep_doc_id'),
-             F.sort_array(F.collect_list(id_col)).alias('doc_ids'))
+             F.min(id_col).alias('keep_doc_id'))
         .where(F.col('n_docs') > 1)
     )
+
+
+def exact_duplicate_members(docs: DataFrame, id_col='doc_id',
+                            text_col='text', max_members=None) -> DataFrame:
+    """Flat membership of exact-duplicate groups: one row per member
+    (text_md5, doc_id, member_rank, is_keep) — never an array per group.
+
+    ``max_members`` caps the listing to the ``max_members`` smallest ids
+    per group (rank window — the per-group sort is a spillable shuffle
+    sort, not an in-memory buffer), for reporting on pathological groups.
+    """
+    from pyspark.sql import Window
+
+    hashed = docs.select(F.col(id_col).alias('doc_id'),
+                         F.md5(F.col(text_col)).alias('text_md5'))
+    w_group = Window.partitionBy('text_md5')
+    w_rank = Window.partitionBy('text_md5').orderBy('doc_id')
+    members = (
+        hashed
+        .withColumn('n_docs', F.count(F.lit(1)).over(w_group))
+        .where(F.col('n_docs') > 1)
+        .withColumn('member_rank', F.row_number().over(w_rank))
+        .withColumn('is_keep', F.col('member_rank') == 1)
+        .select('text_md5', 'doc_id', 'member_rank', 'is_keep')
+    )
+    if max_members is not None:
+        members = members.where(F.col('member_rank') <= max_members)
+    return members
 
 
 def doc_shingles(docs: DataFrame, id_col='doc_id', text_col='text',

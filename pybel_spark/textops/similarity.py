@@ -137,16 +137,35 @@ def lsh_topk(vectors: DataFrame, k=5, n_planes=4, n_tables=8, seed=7,
     sigs = lsh_signatures(vectors, n_planes, n_tables, seed, id_col, vec_col)
     queries = sigs.select(F.col(id_col).alias('q_id'),
                           F.col(vec_col).alias('q_vec'), 'lsh_bucket')
+    neighbors = sigs.select(F.col(id_col).alias('neighbor_id'),
+                            F.col(vec_col).alias('n_vec'), 'lsh_bucket')
+    join_keys = ['lsh_bucket']
     if query_ids is not None:
-        queries = queries.where(F.col('q_id').isin(list(query_ids)))
+        # selective serving: the filtered query set is small — broadcast it
+        queries = F.broadcast(
+            queries.where(F.col('q_id').isin(list(query_ids))))
+    else:
+        # all-pairs shape: the "query" side is the whole corpus × n_tables —
+        # broadcasting it OOMs at scale, and a plain equi-join has only
+        # n_tables × 2^n_planes distinct bucket keys with hot buckets.
+        # Same treatment as ivf_topk: salt the big side on a hash of the
+        # id, replicate the probe rows across the salt domain, join on
+        # (bucket, salt) — fan-out spreads over n_salt × n_buckets
+        # reducers regardless of bucket skew.
+        n_salt = 32
+        neighbors = neighbors.withColumn(
+            '_salt', F.pmod(F.xxhash64(F.col('neighbor_id')), F.lit(n_salt))
+            .cast('int'))
+        queries = queries.withColumn(
+            '_salt', F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+        join_keys = ['lsh_bucket', '_salt']
     # similarity is computed BEFORE the pair dedup: a (q, n) pair sharing
     # k buckets computes cosine k times (cheap, codegen) but the dedup
     # shuffle then carries only (ids, double) — deduping first would
     # shuffle the full embedding vectors (dim×8 bytes per row)
     candidates = (
-        sigs.select(F.col(id_col).alias('neighbor_id'),
-                    F.col(vec_col).alias('n_vec'), 'lsh_bucket')
-        .join(F.broadcast(queries), on='lsh_bucket')
+        neighbors
+        .join(queries, on=join_keys)
         .where(F.col('neighbor_id') != F.col('q_id'))
         .withColumn('similarity', cosine(F.col('q_vec'), F.col('n_vec')))
         .groupBy('q_id', 'neighbor_id')
@@ -408,7 +427,8 @@ def ivf_index_write(vectors: DataFrame, path: str, n_lists=16, seed=7,
 
 
 def ivf_index_topk(spark, path: str, k=5, n_probe=4, query_ids=None,
-                   queries: DataFrame = None) -> DataFrame:
+                   queries: DataFrame = None,
+                   broadcast_queries=None) -> DataFrame:
     """Approximate top-k against a materialized IVF index.
 
     Queries come either from the index itself (``query_ids``) or as an
@@ -416,7 +436,15 @@ def ivf_index_topk(spark, path: str, k=5, n_probe=4, query_ids=None,
     distributed against the broadcast-size centroid matrix; the
     assignments scan is FILTERED on the probed list_ids, so partition
     pruning reads only n_probe/n_lists of the index files when the query
-    set is selective."""
+    set is selective.
+
+    Join strategy (``broadcast_queries``): ``None`` (default) broadcasts
+    the probe rows only when ``query_ids`` explicitly selects a small
+    set; an external ``queries`` DataFrame of unknown (possibly corpus)
+    size goes through the same salted equi-join as :func:`ivf_topk`, so
+    a corpus-vs-index serving run cannot OOM the driver. Pass ``True``
+    to force the broadcast when the caller knows the query batch is
+    small."""
     import json
 
     import numpy as np
@@ -439,6 +467,8 @@ def ivf_index_topk(spark, path: str, k=5, n_probe=4, query_ids=None,
                                      F.col(vec_col).alias('q_vec'))
         if query_ids is not None:
             queries = queries.where(F.col('q_id').isin(list(query_ids)))
+    if broadcast_queries is None:
+        broadcast_queries = query_ids is not None
 
     normed = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     n_probe_eff = min(n_probe, len(centroids))
@@ -463,9 +493,24 @@ def ivf_index_topk(spark, path: str, k=5, n_probe=4, query_ids=None,
     probed_lists = [r['list_id']
                     for r in probes.select('list_id').distinct().collect()]
     # the IN filter on the partition column prunes unprobed index files
+    pruned = assignments.where(F.col('list_id').isin(probed_lists))
+    join_keys = ['list_id']
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    else:
+        # unknown-size query batch: salt the n_lists-key join exactly as
+        # ivf_topk does — ≤n_lists distinct keys would otherwise cap the
+        # reducer count and a hot list would own the whole join
+        n_salt = 32
+        pruned = pruned.withColumn(
+            '_salt', F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+            .cast('int'))
+        probes = probes.withColumn(
+            '_salt', F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+        join_keys = ['list_id', '_salt']
     candidates = (
-        assignments.where(F.col('list_id').isin(probed_lists))
-        .join(F.broadcast(probes), on='list_id')
+        pruned
+        .join(probes, on=join_keys)
         .where(F.col(id_col) != F.col('q_id'))
         .withColumn('similarity', cosine(F.col('q_vec'), F.col(vec_col)))
         .groupBy('q_id', F.col(id_col).alias('neighbor_id'))

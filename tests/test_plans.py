@@ -143,6 +143,73 @@ def test_pagerank_plan_flat_across_iterations(spark):
     assert len(p6) < 1.3 * len(p2) + 500, (len(p2), len(p6))
 
 
+def _no_auto_broadcast(spark):
+    """Context: disable size-based auto-broadcast so any BroadcastExchange
+    in the plan can only come from an explicit F.broadcast hint."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        old = spark.conf.get('spark.sql.autoBroadcastJoinThreshold')
+        spark.conf.set('spark.sql.autoBroadcastJoinThreshold', '-1')
+        try:
+            yield
+        finally:
+            spark.conf.set('spark.sql.autoBroadcastJoinThreshold', old)
+    return ctx()
+
+
+def test_lsh_topk_all_pairs_never_broadcasts(spark):
+    """lsh_topk with query_ids=None is corpus-vs-corpus: the query side is
+    the full signature table and must go through the salted equi-join,
+    never an F.broadcast hint (driver OOM at scale)."""
+    from pybel_spark.textops import similarity
+
+    vectors = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    with _no_auto_broadcast(spark):
+        out = similarity.lsh_topk(vectors, k=3, n_planes=4, n_tables=2,
+                                  query_ids=None)
+        plan = physical_plan(out)
+    assert 'BroadcastExchange' not in plan, plan
+    assert 'BroadcastHashJoin' not in plan, plan
+    # the salted key must actually reach the join
+    assert '_salt' in plan, plan
+
+
+def test_lsh_topk_selective_still_broadcasts(spark):
+    """The selective-serving path keeps the broadcast: a filtered query set
+    is small by construction and the big side must stream un-shuffled."""
+    from pybel_spark.textops import similarity
+
+    vectors = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    with _no_auto_broadcast(spark):
+        out = similarity.lsh_topk(vectors, k=3, n_planes=4, n_tables=2,
+                                  query_ids=[0, 1, 2])
+        plan = physical_plan(out)
+    assert 'BroadcastExchange' in plan, plan
+
+
+def test_ivf_index_serving_external_queries_no_broadcast(spark, tmp_path):
+    """ivf_index_topk with an external (unknown-size) query DataFrame must
+    not broadcast the probe side — corpus-sized serving batches OOM
+    otherwise — while keeping the partition-pruned index read."""
+    from pybel_spark.textops import similarity
+
+    vectors = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    path = str(tmp_path / 'ivf_plan_index')
+    similarity.ivf_index_write(vectors, path, n_lists=4)
+    q = vectors.select(F.col('vec_id').alias('q_id'),
+                       F.col('embedding').alias('q_vec'))
+    with _no_auto_broadcast(spark):
+        out = similarity.ivf_index_topk(spark, path, k=3, n_probe=2,
+                                        queries=q)
+        plan = physical_plan(out)
+    assert 'BroadcastExchange' not in plan, plan
+    assert '_salt' in plan, plan
+    # pruning filter on the partition column is still in the scan
+    assert re.search(r'PartitionFilters: \[[^\]]*list_id', plan), plan
+
+
 def test_grounding_join_is_broadcast(spark):
     """The namespace-grounding path must broadcast the small dictionary
     side, never shuffle the big mention side."""

@@ -31,8 +31,34 @@ def docs(spark):
 def test_exact_duplicates(spark, docs):
     groups = dedup.exact_duplicates(docs).collect()
     assert len(groups) == 1
-    assert groups[0]['doc_ids'] == [0, 1]
+    assert groups[0]['n_docs'] == 2
     assert groups[0]['keep_doc_id'] == 0
+
+    members = dedup.exact_duplicate_members(docs).orderBy('doc_id').collect()
+    assert [(r['doc_id'], r['member_rank'], r['is_keep']) for r in members] \
+        == [(0, 1, True), (1, 2, False)]
+
+
+def test_exact_duplicates_mega_group_bounded(spark):
+    """A pathological group (one page duplicated 50k times) must flow
+    through as ONE constant-size row — the old collect_list(doc_ids)
+    formulation built a 50k-element array in a single aggregation buffer."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.range(50_000)
+        .select(F.col('id').alias('doc_id'),
+                F.lit('the same boilerplate page every time').alias('text'))
+    )
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]['n_docs'] == 50_000
+    assert groups[0]['keep_doc_id'] == 0
+    assert 'doc_ids' not in groups[0].asDict()
+
+    capped = dedup.exact_duplicate_members(docs, max_members=5).collect()
+    assert len(capped) == 5
+    assert {r['doc_id'] for r in capped} == {0, 1, 2, 3, 4}
 
 
 def test_ngram_jaccard_pairs(spark, docs):
