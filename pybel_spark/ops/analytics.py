@@ -51,6 +51,55 @@ def synthetic_skewed_graph(spark, n_nodes: int, avg_out_degree: int = 8,
     return nodes, edges
 
 
+def synthetic_graph_sqlmirror(spark, n_nodes: int, avg_out_degree: int = 8,
+                              multiplier: int = 2654435761,
+                              block_size: int = None,
+                              core_size: int = None, core_width: int = 6):
+    """Deterministic skewed graph in pure bigint algebra that ANY SQL
+    engine reproduces bit-for-bit — the mid-size oracle companion to
+    :func:`synthetic_skewed_graph` (which uses xxhash64, Spark-only).
+
+    Edge k (k in [0, n_nodes*avg_out_degree)) leaves source k // d toward
+    target (k * multiplier) % (source + 1) — the Knuth multiplicative
+    constant spreads targets near-uniformly over the ids below the
+    source, so node 0 is a hot hub (in-degree ~ d·ln n, the web-graph
+    shape). With ``block_size`` B, targets stay inside the source's
+    id-block [B*(s//B), s], giving ~n/B separate components for
+    component-labelling oracles. With ``core_size`` C and ``core_width``
+    t, a circulant graph (i, (i+j) % C for j in 1..t) over the first C
+    nodes is unioned in: its uniform degree 2t survives a k<=2t core
+    peel while the tree-ish bulk cascades away over many rounds — the
+    multi-round k-core oracle shape. All values stay < 2^52: exact in
+    any engine's bigint OR double arithmetic.
+
+    Returns (nodes, edges) DataFrames shaped like KG members.
+    """
+    d = avg_out_degree
+    src = F.expr('id div {}'.format(d))
+    if block_size is None:
+        tgt = (F.col('id') * F.lit(multiplier)) % (src + F.lit(1))
+    else:
+        base = src - src % F.lit(block_size)
+        tgt = base + (F.col('id') * F.lit(multiplier)) \
+            % (src - base + F.lit(1))
+    edges = (
+        spark.range(0, n_nodes * d)
+        .select(src.alias('source_id'), tgt.alias('target_id'))
+        .where(F.col('source_id') != F.col('target_id'))
+    )
+    if core_size is not None:
+        c_src = F.expr('id div {}'.format(core_width))
+        c_tgt = (c_src + F.col('id') % F.lit(core_width) + F.lit(1)) \
+            % F.lit(core_size)
+        core = (
+            spark.range(0, core_size * core_width)
+            .select(c_src.alias('source_id'), c_tgt.alias('target_id'))
+        )
+        edges = edges.unionByName(core)
+    nodes = spark.range(n_nodes).select(F.col('id').alias('node_id'))
+    return nodes, edges
+
+
 def undirected_pairs(edges: DataFrame) -> DataFrame:
     """Canonical undirected edge set: distinct (a, b) with a < b, self-loops
     dropped. One distinct-shuffle on uniformly distributed ids."""

@@ -221,3 +221,38 @@ def test_degree_isolated_node(spark):
         spark.createDataFrame([('a', 'b')], ['source_id', 'target_id']))
     got = {r['node_id']: r['degree'] for r in analytics.degrees(g).collect()}
     assert got == {'a': 1, 'b': 1, 'c': 0}
+
+
+def test_synthetic_graph_sqlmirror_structure(spark):
+    """The SQL-mirrorable generator: pure bigint algebra, targets always
+    below the source (hub skew), block restriction partitions the id
+    space, the circulant core keeps uniform degree >= 2*width."""
+    nodes, edges = analytics.synthetic_graph_sqlmirror(spark, 2000, 8)
+    assert nodes.count() == 2000
+    assert edges.where(F.col('target_id') > F.col('source_id')).count() == 0
+
+    _, blocked = analytics.synthetic_graph_sqlmirror(
+        spark, 2000, 6, block_size=100)
+    crossing = blocked.where(
+        (F.col('source_id') / 100).cast('long')
+        != (F.col('target_id') / 100).cast('long')).count()
+    assert crossing == 0, 'block restriction must hold'
+
+    _, cored = analytics.synthetic_graph_sqlmirror(
+        spark, 2000, 8, core_size=300, core_width=5)
+    pairs = analytics.undirected_pairs(cored)
+    core_deg = (
+        analytics._pair_degrees(pairs)
+        .where(F.col('node_id') < 300)
+        .agg(F.min('degree').alias('mn')).collect()[0]['mn'])
+    assert core_deg >= 10, core_deg
+
+
+def test_kcore_multi_round_cascade_on_sqlmirror(spark):
+    """k=10 on bulk+circulant-core: the tree-ish bulk must peel away over
+    many rounds leaving exactly the 500-node circulant core."""
+    nodes, edges = analytics.synthetic_graph_sqlmirror(
+        spark, 10_000, 8, core_size=500, core_width=6)
+    core = analytics.k_core(KG(nodes, edges), k=10)
+    ids = [r['node_id'] for r in core.collect()]
+    assert sorted(ids) == list(range(500))
