@@ -461,3 +461,46 @@ def test_near_duplicate_clusters_and_filter(spark):
     kept = {r['doc_id'] for r in dedup.drop_near_duplicates(
         docs, dedup.near_duplicate_clusters(pairs)).collect()}
     assert kept == {1, 5, 10, 20, 99}
+
+
+def test_bpe_train_apply_roundtrip():
+    """Real BPE semantics on a toy corpus: training learns the frequent
+    pairs in order; application replays them lowest-rank-first."""
+    from pybel_spark.textops.bpe import bpe_apply, train_bpe
+
+    merges = train_bpe({'low': 5, 'lower': 2, 'newest': 6, 'widest': 3}, 10)
+    ranks = {m: i for i, m in enumerate(merges)}
+    # 'est' appears in newest+widest (9 occurrences of (e,s) then (es,t))
+    assert merges[0] == ('e', 's')
+    assert merges[1] == ('es', 't')
+    # with the full table the training word collapses entirely; with only
+    # the first two merges it stops at the learned 'est' suffix
+    assert bpe_apply('newest', ranks) == ['newest']
+    assert bpe_apply('newest', {('e', 's'): 0, ('es', 't'): 1}) \
+        == ['n', 'e', 'w', 'est']
+    # unseen word falls back toward characters
+    assert len(bpe_apply('zzz', ranks)) == 3
+    # deterministic: same input, same merges
+    assert train_bpe({'low': 5, 'lower': 2, 'newest': 6, 'widest': 3},
+                     10) == merges
+
+
+def test_bpe_token_counts_spark_matches_python(spark):
+    """The distributed distinct-word pipeline must equal driver-side
+    bpe_apply word by word, including zero-token docs."""
+    import re
+
+    from pybel_spark.textops.bpe import (bpe_apply, bpe_token_counts,
+                                         load_merges)
+    from pybel_spark.textops.tokenize import BPE_ISH_PATTERN
+
+    ranks = load_merges()
+    rows = [(0, 'SET Citation increases the abundance of things'),
+            (1, ''), (2, '   '), (3, 'p(HGNC:AKT1) increases p(HGNC:EGFR)')]
+    docs = spark.createDataFrame(rows, ['doc_id', 'text'])
+    got = {r['doc_id']: r['n_bpe_real_tokens']
+           for r in bpe_token_counts(docs, ranks).collect()}
+    for doc_id, text in rows:
+        expected = sum(len(bpe_apply(w, ranks))
+                       for w in re.findall(BPE_ISH_PATTERN, text))
+        assert got[doc_id] == expected, (doc_id, got[doc_id], expected)
