@@ -64,47 +64,75 @@ def get_top_pathologies(graph: KG, n=15) -> DataFrame:
     )
 
 
-def iter_node_concepts(nodes: DataFrame) -> DataFrame:
+def _json_child_nodes(js):
+    """All direct child node-JSON strings of one node-JSON column: list
+    members, reaction participants, fusion partners. ``from_json`` to
+    array<string> keeps each element as its RAW JSON text, so the
+    recursion state stays a plain string column — no Python."""
+    lists = [
+        F.coalesce(
+            F.from_json(F.get_json_object(js, '$.' + key), 'array<string>'),
+            F.array())
+        for key in ('members', 'reactants', 'products')
+    ]
+    fusion = F.array_compact(F.array(
+        F.get_json_object(js, '$.fusion.partner_5p'),
+        F.get_json_object(js, '$.fusion.partner_3p')))
+    return F.concat(*lists, fusion)
+
+
+def _level_concepts(level: DataFrame) -> DataFrame:
+    """Concepts mentioned directly by one frontier level: the node's own
+    concept plus its variants' concepts (variants are leaves — the
+    reference walk reads their concept but never recurses into them)."""
+    def pick(js):
+        return [
+            F.get_json_object(js, '$.concept.namespace').alias('namespace'),
+            F.get_json_object(js, '$.concept.name').alias('name'),
+            F.get_json_object(js, '$.concept.identifier').alias('identifier'),
+        ]
+
+    own = level.select('node_id', *pick(F.col('js')))
+    variants = (
+        level.select(
+            'node_id',
+            F.explode(F.coalesce(
+                F.from_json(F.get_json_object('js', '$.variants'),
+                            'array<string>'),
+                F.array())).alias('vjs'))
+        .select('node_id', *pick(F.col('vjs')))
+    )
+    return (
+        own.unionByName(variants)
+        # reference truthiness check: missing OR empty namespace -> skip
+        .where(F.col('namespace').isNotNull() & (F.col('namespace') != ''))
+    )
+
+
+def iter_node_concepts(nodes: DataFrame, max_depth: int = 8) -> DataFrame:
     """Explode EVERY concept mentioned by each node — including variant
     concepts, fusion partners, list members, and reaction participants
-    (reference node_summary.py:95-194 recursion). Arrow-batched walk of the
-    canonical node JSON."""
-    import json as _json
+    (reference node_summary.py:95-194 recursion).
 
-    import pandas as pd
-
-    def walk(node, out):
-        concept = node.get('concept')
-        if concept and concept.get('namespace'):
-            out.append((concept['namespace'], concept.get('name'),
-                        concept.get('identifier')))
-        for variant in node.get('variants') or ():
-            vc = variant.get('concept')
-            if vc and vc.get('namespace'):
-                out.append((vc['namespace'], vc.get('name'),
-                            vc.get('identifier')))
-        fusion = node.get('fusion')
-        if fusion:
-            walk(fusion['partner_5p'], out)
-            walk(fusion['partner_3p'], out)
-        for key in ('members', 'reactants', 'products'):
-            for child in node.get(key) or ():
-                walk(child, out)
-
-    def extract(batches):
-        for pdf in batches:
-            rows = []
-            for node_id, payload in zip(pdf['node_id'], pdf['node_json']):
-                out = []
-                walk(_json.loads(payload), out)
-                for namespace, name, identifier in out:
-                    rows.append((node_id, namespace, name, identifier))
-            yield pd.DataFrame(
-                rows, columns=['node_id', 'namespace', 'name', 'identifier'])
-
-    return nodes.select('node_id', 'node_json').mapInPandas(
-        extract,
-        schema='node_id string, namespace string, name string, identifier string')
+    Pure column algebra: the recursion is unrolled as a linear chain of
+    explode levels over raw-JSON string columns (get_json_object +
+    from_json array<string>), so the whole extraction stays in
+    whole-stage codegen — no MapInPandas stage (pinned by
+    tests/test_plans.py). ``max_depth`` bounds the unroll; BEL nesting
+    beyond it (complex-in-complex 9 deep — never seen in practice, the
+    reference corpus peaks at 3) is truncated, tested explicitly in
+    tests/test_ops.py.
+    """
+    frontier = nodes.select('node_id', F.col('node_json').alias('js'))
+    per_level = [_level_concepts(frontier)]
+    for _ in range(max_depth - 1):
+        frontier = frontier.select(
+            'node_id', F.explode(_json_child_nodes(F.col('js'))).alias('js'))
+        per_level.append(_level_concepts(frontier))
+    out = per_level[0]
+    for level in per_level[1:]:
+        out = out.unionByName(level)
+    return out
 
 
 def count_names_by_namespace(graph: KG, namespace) -> DataFrame:

@@ -418,3 +418,43 @@ def test_connected_components_long_chain_converges(spark):
 
     with _pytest.raises(RuntimeError, match='did not converge'):
         components.connected_components(kg_, max_iterations=2)
+
+
+def test_iter_node_concepts_column_native_deep_nesting(spark):
+    """The unrolled-JSON concept walk: members-in-members, fusion
+    partners, variants — and explicit truncation past max_depth."""
+    import json
+
+    def prot(name, variants=None):
+        d = {'function': 'Protein',
+             'concept': {'namespace': 'HGNC', 'name': name}}
+        if variants:
+            d['variants'] = variants
+        return d
+
+    nested = {'function': 'Complex', 'members': [
+        prot('A', variants=[{'kind': 'hgvs',
+                             'concept': {'namespace': 'VAR', 'name': 'v1'}}]),
+        {'function': 'Complex', 'members': [
+            prot('B'),
+            {'function': 'Reaction',
+             'reactants': [prot('C')],
+             'products': [{'function': 'Gene', 'fusion': {
+                 'partner_5p': prot('D'),
+                 'partner_3p': prot('E')}}]},
+        ]},
+    ]}
+    nodes = spark.createDataFrame(
+        [('n1', json.dumps(nested))], ['node_id', 'node_json'])
+    got = sorted((r['namespace'], r['name'])
+                 for r in summary.iter_node_concepts(nodes).collect())
+    assert got == [('HGNC', n) for n in 'ABCDE'] + [('VAR', 'v1')]
+
+    # chain deeper than max_depth truncates (documented bound)
+    chain = prot('LEAF')
+    for _ in range(9):
+        chain = {'function': 'Complex', 'members': [chain]}
+    deep = spark.createDataFrame(
+        [('n2', json.dumps(chain))], ['node_id', 'node_json'])
+    assert summary.iter_node_concepts(deep, max_depth=8).count() == 0
+    assert summary.iter_node_concepts(deep, max_depth=12).count() == 1

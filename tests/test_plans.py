@@ -229,3 +229,21 @@ def test_grounding_join_is_broadcast(spark):
     plan = physical_plan(out)
     assert 'BroadcastHashJoin' in plan, plan
     assert 'SortMergeJoin' not in plan, plan
+
+
+def test_iter_node_concepts_has_no_python_stage(spark):
+    """The concept walk must stay in whole-stage codegen: no MapInPandas
+    (the round-3 formulation walked node JSON row-by-row in Python)."""
+    import json
+
+    from pybel_spark.ops import summary
+
+    node = {'function': 'Protein',
+            'concept': {'namespace': 'HGNC', 'name': 'AKT1'}}
+    nodes = spark.createDataFrame(
+        [('n%d' % i, json.dumps(node)) for i in range(10)],
+        ['node_id', 'node_json'])
+    plan = physical_plan(summary.iter_node_concepts(nodes))
+    assert 'MapInPandas' not in plan, plan
+    assert 'ArrowEvalPython' not in plan, plan
+    assert 'BatchEvalPython' not in plan, plan
