@@ -8,8 +8,16 @@ and prints ONE JSON line:
   {"metric": "...", "value": <total wall sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": ..., ...throughput extras...}
 
+Each timed query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and the
+reported number is the MEDIAN, so one GC pause / scheduler hiccup can't
+publish a phantom regression. The JSON also carries a host-contention
+guard (load average at start + /proc/stat steal%% across the run) so a
+measurement taken on a busy host is self-flagging instead of silently
+poisoning cross-round comparisons (VERDICT r3 #1).
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_MULT (default 20).
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_MULT (default 20),
+     SPARK_GRAFT_BENCH_RUNS (default 3; median reported).
 """
 import json
 import os
@@ -20,6 +28,38 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+
+RUNS = max(1, int(os.environ.get('SPARK_GRAFT_BENCH_RUNS', '3')))
+
+
+def _cpu_totals():
+    """(total_jiffies, steal_jiffies) from /proc/stat, or (None, None)."""
+    try:
+        with open('/proc/stat') as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return sum(vals), steal
+    except Exception:
+        return None, None
+
+
+def _median(vals):
+    s = sorted(vals)
+    n = len(s)
+    mid = n // 2
+    return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+
+def timed(queries, name, fn, runs=RUNS):
+    """Run fn() `runs` times; record the median wall; return last result."""
+    walls, out = [], None
+    for _ in range(runs):
+        t0 = time.time()
+        out = fn()
+        walls.append(time.time() - t0)
+    queries[name] = round(_median(walls), 3)
+    return out
 
 
 def _ship_package(spark):
@@ -45,6 +85,9 @@ def main():
     from pybel_spark.pipeline import build_graph, extract_triples
     from pybel_spark.session import get_spark
 
+    load1_start = os.getloadavg()[0]
+    cpu_total0, cpu_steal0 = _cpu_totals()
+
     spark = get_spark(app_name='pybel-spark-bench', cores=cores)
     spark.sparkContext.setLogLevel('ERROR')
     _ship_package(spark)
@@ -68,68 +111,68 @@ def main():
     # warm-up (discarded): JVM + Arrow + executor-side module import
     extract_triples(docs.limit(2000)).count()
 
-    t_total0 = time.time()
-
     # q1: full pipeline → distinct triples (the north-star output, fast path:
     # the UDF ships only the 3 triple columns — the single-answer job shape)
-    t0 = time.time()
-    n_triples_distinct = extract_triples(docs).count()
-    queries['kg_triples'] = round(time.time() - t0, 3)
+    n_triples_distinct = timed(
+        queries, 'kg_triples', lambda: extract_triples(docs).count())
     t_parse = queries['kg_triples']
 
     # q1b: same output via statement-level pre-parse dedup (parse cost
     # scales with UNIQUE content — the boilerplate-heavy web-corpus shape)
     from pybel_spark.pipeline import extract_triples_deduped
-    t0 = time.time()
-    extract_triples_deduped(docs).count()
-    queries['kg_triples_dedup_parse'] = round(time.time() - t0, 3)
+    timed(queries, 'kg_triples_dedup_parse',
+          lambda: extract_triples_deduped(docs).count())
 
     # multi-query job shape: parse ONCE into a persisted DF, then run the
     # analytics against the cache (measured: at 100k docs, persist+3 queries
-    # ≈ 5 s vs ≈ 10 s re-parsing per query)
-    t0 = time.time()
-    result = build_graph(docs, persist=True)
+    # ≈ 5 s vs ≈ 10 s re-parsing per query). Each repeat builds and
+    # materializes a FRESH cache (unpersisting the previous) so the median
+    # measures cold parse+persist, not a cache hit.
+    result = None
+
+    def _materialize():
+        nonlocal result
+        if result is not None:
+            result.parsed.unpersist()
+        result = build_graph(docs, persist=True)
+        result.parsed.count()
+        return result
+
+    result = timed(queries, 'kg_parse_materialize', _materialize)
     parsed = result.parsed
-    parsed.count()
-    queries['kg_parse_materialize'] = round(time.time() - t0, 3)
 
     # q2: per-doc stats + emitted (pre-dedup) triple count, one pass
-    t0 = time.time()
-    stats = parsed.agg(
+    stats = timed(queries, 'kg_stats', lambda: parsed.agg(
         F.count(F.lit(1)).alias('docs'),
         F.sum('n_statements').alias('stmts'),
         F.sum(F.size('edges')).alias('edges'),
         F.sum(F.size(F.filter(
             'edges', lambda e: e['triple_subject'].isNotNull()))).alias('emitted'),
         F.sum(F.size('warnings')).alias('warnings'),
-    ).collect()[0]
+    ).collect()[0])
     emitted = stats['emitted']
-    queries['kg_stats'] = round(time.time() - t0, 3)
 
     # q3: relation histogram (explode + groupBy shuffle)
-    t0 = time.time()
-    rel_counts = (
+    rel_counts = timed(queries, 'kg_relation_counts', lambda: (
         parsed.select(F.explode('edges').alias('e'))
         .groupBy('e.relation').count().count()
-    )
-    queries['kg_relation_counts'] = round(time.time() - t0, 3)
+    ))
 
     # q4: node dedup (canonical md5 ids)
-    t0 = time.time()
-    n_nodes = result.nodes.count()
-    queries['kg_nodes_dedup'] = round(time.time() - t0, 3)
+    n_nodes = timed(queries, 'kg_nodes_dedup', lambda: result.nodes.count())
 
     # q5: text ops over the driver documents table
-    t0 = time.time()
     ddocs = spark.read.parquet(f'{sf_dir}/documents.parquet')
-    ddocs.select(
+    timed(queries, 'text_token_counts', lambda: ddocs.select(
         'doc_id', F.size(F.split(F.trim('text'), r'\s+')).alias('n_tokens')
-    ).agg(F.sum('n_tokens')).collect()
-    queries['text_token_counts'] = round(time.time() - t0, 3)
+    ).agg(F.sum('n_tokens')).collect())
 
-    # the headline `value` stays the kg-pipeline e2e wall (comparable
-    # across rounds); the textops family below is timed separately
-    total = round(time.time() - t_total0, 3)
+    # the headline `value` is the kg-pipeline e2e wall: the sum of the
+    # per-query medians of the kg family (comparable across rounds)
+    total = round(sum(queries[k] for k in (
+        'kg_triples', 'kg_triples_dedup_parse', 'kg_parse_materialize',
+        'kg_stats', 'kg_relation_counts', 'kg_nodes_dedup',
+        'text_token_counts')), 3)
 
     # ---- textops family (VERDICT r2 #4): dedup / ANN / quality walls ----
     from pybel_spark.textops import dedup, multimodal, quality, similarity
@@ -137,18 +180,15 @@ def main():
     ddocs = ddocs.select('doc_id', 'text').persist()
     ddocs.count()
 
-    t0 = time.time()
-    dedup.minhash_dedup_pairs(ddocs).count()
-    queries['dedup_minhash_pairs'] = round(time.time() - t0, 3)
+    timed(queries, 'dedup_minhash_pairs',
+          lambda: dedup.minhash_dedup_pairs(ddocs).count())
 
-    t0 = time.time()
-    dedup.simhash_near_duplicates(ddocs).count()
-    queries['dedup_simhash_pairs'] = round(time.time() - t0, 3)
+    timed(queries, 'dedup_simhash_pairs',
+          lambda: dedup.simhash_near_duplicates(ddocs).count())
 
-    t0 = time.time()
-    quality.quality_features(ddocs).agg(
-        F.sum('n_tokens')).collect()
-    queries['text_quality_features'] = round(time.time() - t0, 3)
+    timed(queries, 'text_quality_features',
+          lambda: quality.quality_features(ddocs).agg(
+              F.sum('n_tokens')).collect())
 
     # benchmark decontamination: 20% of docs stand in for the benchmark
     # suite (broadcast 8-gram index), rest is the corpus side
@@ -156,9 +196,8 @@ def main():
     bench_side = (ddocs.where(F.col('doc_id') % 5 == 0)
                   .select(F.col('doc_id').alias('bench_id'), 'text'))
     train_side = ddocs.where(F.col('doc_id') % 5 != 0)
-    t0 = time.time()
-    benchmark_contamination(train_side, bench_side, n=8).count()
-    queries['corpus_decontaminate'] = round(time.time() - t0, 3)
+    timed(queries, 'corpus_decontaminate',
+          lambda: benchmark_contamination(train_side, bench_side, n=8).count())
 
     # adversarial skew: one shingle in 50% of docs — the df cap must hold
     # the WALL TIME, not just the candidate count. The cap is an absolute
@@ -169,22 +208,18 @@ def main():
         'text',
         F.when(F.col('doc_id') % 2 == 0,
                F.concat(F.lit(hot), F.col('text'))).otherwise(F.col('text')))
-    t0 = time.time()
-    dedup.ngram_jaccard_pairs(
-        skewed, max_shingle_df=max(base_rows // 100, 50)).count()
-    queries['dedup_jaccard_skewed'] = round(time.time() - t0, 3)
+    timed(queries, 'dedup_jaccard_skewed', lambda: dedup.ngram_jaccard_pairs(
+        skewed, max_shingle_df=max(base_rows // 100, 50)).count())
     ddocs.unpersist()
 
     vectors = spark.read.parquet(f'{sf_dir}/embeddings.parquet').persist()
     n_vectors = vectors.count()
-    t0 = time.time()
-    similarity.lsh_topk(vectors, k=5, query_ids=list(range(50))).count()
-    queries['embedding_knn_lsh'] = round(time.time() - t0, 3)
+    timed(queries, 'embedding_knn_lsh', lambda: similarity.lsh_topk(
+        vectors, k=5, query_ids=list(range(50))).count())
 
-    t0 = time.time()
-    similarity.ivf_topk(vectors, k=5, n_lists=16, n_probe=4,
-                        query_ids=list(range(50))).count()
-    queries['embedding_knn_ivf'] = round(time.time() - t0, 3)
+    timed(queries, 'embedding_knn_ivf', lambda: similarity.ivf_topk(
+        vectors, k=5, n_lists=16, n_probe=4,
+        query_ids=list(range(50))).count())
     vectors.unpersist()
 
     # whole-graph analytics at scale: hub-skewed synthetic web graph
@@ -194,12 +229,10 @@ def main():
     from pybel_spark.ops import KG as _KG, analytics as _an
     g_nodes, g_edges = _an.synthetic_skewed_graph(spark, 500_000, 8)
     graph = _KG(g_nodes, g_edges)
-    t0 = time.time()
-    _an.pagerank(graph, n_iterations=3).agg(F.sum('rank')).collect()
-    queries['graph_pagerank_4m_edges_3it'] = round(time.time() - t0, 3)
-    t0 = time.time()
-    n_tri = _an.triangles(graph).count()
-    queries['graph_triangles_4m_edges'] = round(time.time() - t0, 3)
+    timed(queries, 'graph_pagerank_4m_edges_3it', lambda: _an.pagerank(
+        graph, n_iterations=3).agg(F.sum('rank')).collect())
+    n_tri = timed(queries, 'graph_triangles_4m_edges',
+                  lambda: _an.triangles(graph).count())
 
     # media decode throughput (numpy decoders): synthesize once, decode all
     n_media = 3000
@@ -207,15 +240,26 @@ def main():
         spark, n_rows=n_media, partitions=cores).persist()
     media_bytes = media.agg(
         F.sum(F.length('payload')).alias('b')).collect()[0]['b']
-    t0 = time.time()
-    n_decoded = multimodal.extract_features(media) \
-        .where(F.col('feature').isNotNull()).count()
-    t_decode = time.time() - t0
-    queries['media_decode'] = round(t_decode, 3)
+    n_decoded = timed(queries, 'media_decode', lambda: multimodal
+                      .extract_features(media)
+                      .where(F.col('feature').isNotNull()).count())
+    t_decode = queries['media_decode']
     media.unpersist()
 
     parsed.unpersist()
     shutil.rmtree(corpus_dir, ignore_errors=True)
+
+    # host-contention guard: a run taken while the host was busy (external
+    # load before Spark started, or hypervisor steal during the run) is
+    # flagged so cross-round deltas aren't attributed to code changes
+    load1_end = os.getloadavg()[0]
+    cpu_total1, cpu_steal1 = _cpu_totals()
+    steal_pct = None
+    if cpu_total0 is not None and cpu_total1 is not None \
+            and cpu_total1 > cpu_total0:
+        steal_pct = round(
+            100.0 * (cpu_steal1 - cpu_steal0) / (cpu_total1 - cpu_total0), 2)
+    contended = bool(load1_start > 4.0 or (steal_pct or 0) > 2.0)
 
     out = {
         'metric': 'kg_pipeline_e2e',
@@ -240,6 +284,11 @@ def main():
         'media_decoded_ok': int(n_decoded),
         'media_mb_per_sec': round(media_bytes / t_decode / 1e6, 1),
         'graph_triangles_found': int(n_tri),
+        'bench_runs': RUNS,
+        'load1_start': round(load1_start, 2),
+        'load1_end': round(load1_end, 2),
+        'steal_pct': steal_pct,
+        'contended': contended,
     }
     spark.stop()
     print(json.dumps(out))
