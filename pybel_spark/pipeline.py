@@ -401,7 +401,13 @@ def build_graph(documents: DataFrame, catalog=None, compiler_options=None,
 # single-table committer without a lock service.
 
 _MANIFEST = 'MANIFEST.json'
+_LOCK = 'WRITER.lock'
 _TABLES = ('nodes', 'edges', 'warnings')
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A second writer tried to commit into an out_dir that already has a
+    live writer, or a writer lost its lease mid-run (see CONCURRENCY.md)."""
 
 
 class _OutputFS:
@@ -477,6 +483,53 @@ class _OutputFS:
             self._fs.delete(final, False)
         self._fs.rename(tmp, final)
 
+    def create_exclusive(self, name: str, data: bytes) -> bool:
+        """Create ``name`` iff it does not exist; True on success.
+
+        Local: ``O_CREAT|O_EXCL`` (atomic on POSIX). Remote: Hadoop
+        ``create(path, overwrite=false)`` — atomic on HDFS; on S3A it is
+        check-then-create, the same residual race every rename-based
+        committer has there (documented in CONCURRENCY.md).
+        """
+        if not self.remote:
+            import os
+
+            os.makedirs(self.out_dir, exist_ok=True)
+            try:
+                fd = os.open(self._full(name),
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            try:
+                os.write(fd, data)
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            return True
+        path = self._jpath(self._full(name))
+        try:
+            out = self._fs.create(path, False)
+        except Exception:
+            return False
+        try:
+            out.write(data)
+        finally:
+            out.close()
+        return True
+
+    def delete_file(self, name: str) -> None:
+        if not self.remote:
+            import os
+
+            try:
+                os.remove(self._full(name))
+            except FileNotFoundError:
+                pass
+            return
+        path = self._jpath(self._full(name))
+        if self._fs.exists(path):
+            self._fs.delete(path, False)
+
     def has_part_files(self, *parts) -> bool:
         if not self.remote:
             import os
@@ -517,6 +570,118 @@ class _OutputFS:
             self._fs.delete(path, True)
 
 
+class _WriterLease:
+    """Advisory single-writer lease over an out_dir (see CONCURRENCY.md).
+
+    The committer assumes ONE writer per table directory — the same
+    contract as an Iceberg single-table committer without a lock service,
+    or Delta on S3 without an external LogStore. This class makes the
+    contract *enforced* instead of assumed:
+
+    - acquire(): exclusive-create ``WRITER.lock`` carrying
+      ``{token, pid, host, ts}``. A live competing lock → fail fast with
+      :class:`ConcurrentWriteError` (no silent lost-update race).
+    - Stale-lock takeover: a lock whose pid is dead on this host, or whose
+      ``ts`` is older than ``lease_seconds`` (cross-host, clock-based), is
+      broken and re-acquired — this is what lets the kill/resume drill
+      restart immediately after a SIGKILL.
+    - check()/renew(): fencing — before EVERY manifest swap the writer
+      verifies the lock still carries its own token and refreshes ``ts``.
+      A writer whose lease was taken over refuses to publish.
+
+    Residual window (inherent to lease protocols without compare-and-swap
+    primitives): between check() and the manifest swap another writer
+    could break a lease that expired at that exact moment. With the
+    default 10-minute lease and per-commit-group renewal this requires a
+    writer stalled >10 min between its fencing check and one os.rename.
+    """
+
+    def __init__(self, fs: _OutputFS, lease_seconds: float = 600.0):
+        import os
+        import socket
+        import uuid
+
+        self.fs = fs
+        self.lease_seconds = lease_seconds
+        self.token = uuid.uuid4().hex
+        self.pid = os.getpid()
+        self.host = socket.gethostname()
+
+    def _payload(self) -> bytes:
+        import json
+        import time
+
+        return json.dumps({
+            'token': self.token, 'pid': self.pid, 'host': self.host,
+            'ts': time.time(),
+        }).encode('utf8')
+
+    def _read(self):
+        import json
+
+        raw = self.fs.read_bytes(_LOCK)
+        if raw is None:
+            return None
+        try:
+            return json.loads(raw.decode('utf8'))
+        except ValueError:
+            return {}  # corrupt lock: treat as held-but-unparseable
+
+    def _is_stale(self, cur: dict) -> bool:
+        import os
+        import time
+
+        ts = cur.get('ts')
+        if isinstance(ts, (int, float)) \
+                and time.time() - ts > self.lease_seconds:
+            return True
+        pid = cur.get('pid')
+        if cur.get('host') == self.host and isinstance(pid, int):
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                return True  # holder died on this host
+            except PermissionError:
+                pass  # alive, owned by someone else
+        return False
+
+    def acquire(self) -> '_WriterLease':
+        for _attempt in range(3):
+            if self.fs.create_exclusive(_LOCK, self._payload()):
+                return self
+            cur = self._read()
+            if cur is None:
+                continue  # raced with a release; retry the create
+            if not self._is_stale(cur):
+                raise ConcurrentWriteError(
+                    'out_dir {} already has a live writer (pid {} on {}); '
+                    'one writer per output directory — see CONCURRENCY.md'
+                    .format(self.fs.out_dir, cur.get('pid'),
+                            cur.get('host')))
+            self.fs.delete_file(_LOCK)  # break the stale lock, retry
+        raise ConcurrentWriteError(
+            'could not acquire writer lock under ' + self.fs.out_dir)
+
+    def check(self) -> None:
+        cur = self._read()
+        if not cur or cur.get('token') != self.token:
+            raise ConcurrentWriteError(
+                'writer lease for {} lost (taken over by pid {} on {}); '
+                'refusing to publish'.format(
+                    self.fs.out_dir,
+                    cur.get('pid') if cur else None,
+                    cur.get('host') if cur else None))
+
+    def renew(self) -> None:
+        self.check()
+        self.fs.write_atomic(_LOCK, self._payload())
+
+    def release(self) -> None:
+        cur = self._read()
+        if cur and cur.get('token') == self.token:
+            self.fs.delete_file(_LOCK)
+
+
 def _read_manifest(fs: _OutputFS) -> dict:
     import json
 
@@ -542,7 +707,8 @@ def _committed_paths(fs: _OutputFS, manifest: dict, table: str) -> list:
 
 def run_checkpointed(spark, documents: DataFrame, out_dir: str,
                      n_buckets: int = 64, catalog=None,
-                     compiler_options=None, commit_groups: int = 8) -> dict:
+                     compiler_options=None, commit_groups: int = 8,
+                     lease_seconds: float = 600.0) -> dict:
     """Materialize the graph under ``out_dir`` with per-bucket lineage and
     transactional MERGE commits.
 
@@ -565,14 +731,29 @@ def run_checkpointed(spark, documents: DataFrame, out_dir: str,
     the same ``out_dir`` skips manifest-committed buckets and reprocesses
     the rest. Readers (``read_graph``) need NO read-time dedup: the
     on-disk committed state is duplicate-free by construction.
-    """
-    import hashlib
-    import os
 
+    Concurrency: one writer per ``out_dir``, ENFORCED by an advisory
+    lease (``WRITER.lock``) — a second live writer raises
+    :class:`ConcurrentWriteError` at acquire time, and the lease token is
+    re-checked (fencing) before every manifest swap. See CONCURRENCY.md.
+    """
     docs = documents.withColumn(
         'bucket', F.pmod(F.xxhash64('url'), F.lit(n_buckets)).cast('int'))
 
     fs = _OutputFS(spark, out_dir)
+    lease = _WriterLease(fs, lease_seconds).acquire()
+    try:
+        return _run_checkpointed_locked(
+            spark, docs, fs, lease, n_buckets, catalog, compiler_options,
+            commit_groups)
+    finally:
+        lease.release()
+
+
+def _run_checkpointed_locked(spark, docs, fs, lease, n_buckets, catalog,
+                             compiler_options, commit_groups) -> dict:
+    import hashlib
+
     manifest = _read_manifest(fs)
     done = {b for c in manifest['commits'] for b in c['buckets']}
 
@@ -645,7 +826,8 @@ def run_checkpointed(spark, documents: DataFrame, out_dir: str,
         )
         parsed.unpersist()
 
-        # publish: the atomic swap is the commit point
+        # publish: fencing check + atomic swap is the commit point
+        lease.renew()
         manifest['commits'].append({
             'commit_id': cid,
             'buckets': group,
@@ -672,7 +854,7 @@ def read_lineage(spark, out_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, LINEAGE_SCHEMA)
 
 
-def compact_output(spark, out_dir: str) -> dict:
+def compact_output(spark, out_dir: str, lease_seconds: float = 600.0) -> dict:
     """Compact a manifest-committed output: rewrite every table as ONE
     commit clustered by bucket, swap the manifest to reference only it,
     then delete the superseded data dirs.
@@ -682,10 +864,21 @@ def compact_output(spark, out_dir: str) -> dict:
     time), so compaction only bounds small-file growth and drops orphan
     dirs from killed attempts. Crash-safe ordering: new files → atomic
     manifest swap → cleanup; a crash leaves orphans, never partial reads.
+
+    Compaction is a writer: it takes the same single-writer lease as
+    :func:`run_checkpointed` (see CONCURRENCY.md).
     """
+    fs = _OutputFS(spark, out_dir)
+    lease = _WriterLease(fs, lease_seconds).acquire()
+    try:
+        return _compact_output_locked(spark, fs, lease)
+    finally:
+        lease.release()
+
+
+def _compact_output_locked(spark, fs, lease) -> dict:
     import hashlib
 
-    fs = _OutputFS(spark, out_dir)
     manifest = _read_manifest(fs)
     old_cids = [c['commit_id'] for c in manifest['commits']]
     if not old_cids:
@@ -736,6 +929,7 @@ def compact_output(spark, out_dir: str) -> dict:
     for c in manifest['commits']:
         all_buckets.extend(c['buckets'])
         merged_metrics.update(c['metrics'])
+    lease.renew()
     _swap_manifest(fs, {'commits': [{
         'commit_id': new_cid,
         'buckets': sorted(set(all_buckets)),

@@ -369,3 +369,116 @@ def test_checkpoint_on_hadoop_filesystem_uri(spark, docs, spec):
         assert graph2['edges'].count() == n_before
     finally:
         shutil.rmtree(local, ignore_errors=True)
+
+
+class TestSingleWriterLease:
+    """CONCURRENCY.md contract: one writer per out_dir, enforced.
+
+    A second live writer fails fast; a dead writer's lock is broken
+    immediately (kill/resume drill); a writer that lost its lease refuses
+    to publish (fencing)."""
+
+    def _fs(self, out_dir):
+        from pybel_spark.pipeline import _OutputFS
+
+        return _OutputFS(None, out_dir)
+
+    def test_second_live_writer_fails_fast(self, spark, docs):
+        import tempfile
+
+        from pybel_spark.pipeline import (
+            ConcurrentWriteError, _WriterLease, run_checkpointed,
+        )
+
+        out_dir = tempfile.mkdtemp(prefix='pybel_spark_lock_')
+        try:
+            holder = _WriterLease(self._fs(out_dir)).acquire()
+            with pytest.raises(ConcurrentWriteError, match='live writer'):
+                run_checkpointed(spark, docs, out_dir, n_buckets=2)
+            # the failed acquire must not have broken the holder's lock
+            holder.check()
+            holder.release()
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    def test_dead_pid_lock_is_broken(self, spark, docs):
+        """SIGKILLed writer on the same host -> immediate takeover, no
+        lease-timeout wait (what lets drill_resume.py restart at once)."""
+        import json
+        import os
+        import subprocess
+        import sys
+        import tempfile
+        import time
+
+        from pybel_spark.pipeline import run_checkpointed
+
+        out_dir = tempfile.mkdtemp(prefix='pybel_spark_lock_')
+        try:
+            child = subprocess.Popen([sys.executable, '-c', 'pass'])
+            child.wait()  # reaped: pid is dead, ProcessLookupError on kill-0
+            import socket
+
+            with open(os.path.join(out_dir, 'WRITER.lock'), 'w') as f:
+                json.dump({'token': 'dead', 'pid': child.pid,
+                           'host': socket.gethostname(),
+                           'ts': time.time()}, f)
+            r = run_checkpointed(spark, docs, out_dir, n_buckets=2)
+            assert r['processed_buckets'] == 2
+            assert not os.path.exists(os.path.join(out_dir, 'WRITER.lock'))
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    def test_expired_cross_host_lease_is_broken(self, spark, docs):
+        import json
+        import os
+        import tempfile
+
+        from pybel_spark.pipeline import run_checkpointed
+
+        out_dir = tempfile.mkdtemp(prefix='pybel_spark_lock_')
+        try:
+            with open(os.path.join(out_dir, 'WRITER.lock'), 'w') as f:
+                json.dump({'token': 'old', 'pid': 1,
+                           'host': 'some-other-executor-host',
+                           'ts': 12345.0}, f)  # epoch-ancient
+            r = run_checkpointed(spark, docs, out_dir, n_buckets=2,
+                                 lease_seconds=60.0)
+            assert r['processed_buckets'] == 2
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    def test_fencing_refuses_publish_after_takeover(self):
+        import tempfile
+
+        from pybel_spark.pipeline import ConcurrentWriteError, _WriterLease
+
+        out_dir = tempfile.mkdtemp(prefix='pybel_spark_lock_')
+        try:
+            loser = _WriterLease(self._fs(out_dir)).acquire()
+            # simulate a lease takeover (e.g. loser stalled past the lease)
+            self._fs(out_dir).delete_file('WRITER.lock')
+            winner = _WriterLease(self._fs(out_dir)).acquire()
+            with pytest.raises(ConcurrentWriteError, match='lease.*lost'):
+                loser.renew()
+            winner.check()  # winner is unaffected
+            # loser's release must not remove the winner's lock
+            loser.release()
+            winner.check()
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    def test_lock_released_after_successful_run(self, spark, docs):
+        import os
+        import tempfile
+
+        from pybel_spark.pipeline import compact_output, run_checkpointed
+
+        out_dir = tempfile.mkdtemp(prefix='pybel_spark_lock_')
+        try:
+            run_checkpointed(spark, docs, out_dir, n_buckets=2)
+            assert not os.path.exists(os.path.join(out_dir, 'WRITER.lock'))
+            compact_output(spark, out_dir)  # compaction takes the same lease
+            assert not os.path.exists(os.path.join(out_dir, 'WRITER.lock'))
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
