@@ -8,6 +8,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .tokenize import whitespace_tokens
 
 #: tiny stopword seed lists for the n-gram/stopword language heuristic
+#: (Latin-script languages; non-Latin scripts are handled by character-
+#: range detection below, where stopword tokenization does not apply)
 STOPWORDS = {
     'en': ['the', 'of', 'and', 'to', 'in', 'a', 'is', 'that', 'for', 'it',
            'with', 'as', 'was', 'on', 'are', 'by', 'this', 'be', 'or', 'an'],
@@ -15,7 +17,46 @@ STOPWORDS = {
            'zu', 'den', 'von', 'für', 'auf', 'im', 'des', 'sich', 'dem'],
     'fr': ['le', 'la', 'les', 'de', 'des', 'et', 'est', 'un', 'une', 'du',
            'que', 'qui', 'dans', 'pour', 'pas', 'sur', 'au', 'avec'],
+    'es': ['el', 'la', 'los', 'las', 'de', 'del', 'que', 'y', 'en', 'un',
+           'una', 'es', 'no', 'se', 'con', 'por', 'para', 'su', 'al',
+           'como', 'pero'],
+    'pt': ['o', 'os', 'as', 'do', 'da', 'dos', 'das', 'que', 'e', 'em',
+           'um', 'uma', 'para', 'com', 'por', 'se', 'mais', 'como', 'ao',
+           'uns'],
+    'it': ['il', 'lo', 'gli', 'i', 'le', 'di', 'che', 'e', 'in', 'un',
+           'una', 'per', 'con', 'non', 'si', 'al', 'della', 'sono', 'ed',
+           'anche'],
+    'nl': ['de', 'het', 'een', 'en', 'van', 'dat', 'op', 'te', 'met',
+           'voor', 'niet', 'aan', 'er', 'ook', 'als', 'bij', 'maar', 'om',
+           'zijn', 'naar'],
 }
+
+#: unicode character ranges for script-based detection — stopword lists
+#: cannot identify unsegmented / non-Latin text, character classes can
+#: (the CLD/fastText first-stage signal). Literal range chars so the SAME
+#: pattern string works in both Java regex (Spark) and RE2 (DuckDB).
+SCRIPT_RANGES = {
+    'kana': '぀-ヿ',        # hiragana + katakana
+    'han': '一-鿿',         # CJK unified ideographs
+    'hangul': '가-힣',      # precomposed syllables
+    'cyrillic': 'Ѐ-ӿ',
+    'arabic': '؀-ۿ',
+    'devanagari': 'ऀ-ॿ',
+    'greek': 'Ͱ-Ͽ',
+}
+
+#: (language, script) pairs tried IN ORDER after the ja/zh disambiguation
+SCRIPT_LANGS = [('ko', 'hangul'), ('ru', 'cyrillic'), ('ar', 'arabic'),
+                ('hi', 'devanagari'), ('el', 'greek')]
+
+#: minimum fraction of characters in a script to claim the language
+SCRIPT_THRESHOLD = 0.15
+
+
+def script_char_count(script: str, col='text') -> Column:
+    """Number of characters of ``col`` falling in the script's range."""
+    return F.length(F.regexp_replace(
+        F.col(col), '[^{}]'.format(SCRIPT_RANGES[script]), ''))
 
 
 def stopword_hits(lang: str, col='text') -> Column:
@@ -28,16 +69,39 @@ def stopword_hits(lang: str, col='text') -> Column:
 
 
 def detect_language(docs: DataFrame, id_col='doc_id', text_col='text') -> DataFrame:
-    """Pick the language whose stopword hit-count is highest (ties broken by
-    language code order; zero hits everywhere → 'unknown')."""
+    """Two-stage language ID, deterministic and engine-portable.
+
+    Stage 1 — script detection: if ≥ ``SCRIPT_THRESHOLD`` of the
+    characters fall in a non-Latin script range, answer from the script
+    (kana present → 'ja' before han → 'zh', then ko/ru/ar/hi/el in fixed
+    order). Stopword tokenization is useless for unsegmented scripts, so
+    this runs FIRST.
+
+    Stage 2 — Latin-script stopword argmax over ``STOPWORDS`` (ties
+    broken by language code order; zero hits everywhere → 'unknown').
+    """
     scored = docs.select(
         F.col(id_col).alias('doc_id'),
+        F.greatest(F.length(F.col(text_col)), F.lit(1)).alias('n_chars'),
+        *[script_char_count(s, text_col).alias('sc_{}'.format(s))
+          for s in sorted(SCRIPT_RANGES)],
         *[stopword_hits(lang, text_col).alias('hits_{}'.format(lang))
           for lang in sorted(STOPWORDS)],
     )
+    n = F.col('n_chars').cast('double')
+    thresh = F.lit(SCRIPT_THRESHOLD)
+    detected = F.when(
+        (F.col('sc_kana') > 0)
+        & ((F.col('sc_kana') + F.col('sc_han')).cast('double') / n >= thresh),
+        F.lit('ja'),
+    ).when(F.col('sc_han').cast('double') / n >= thresh, F.lit('zh'))
+    for lang, script in SCRIPT_LANGS:
+        detected = detected.when(
+            F.col('sc_{}'.format(script)).cast('double') / n >= thresh,
+            F.lit(lang))
     best = F.greatest(*[F.col('hits_{}'.format(lang))
                         for lang in sorted(STOPWORDS)])
-    detected = F.when(best <= 0, F.lit('unknown'))
+    detected = detected.when(best <= 0, F.lit('unknown'))
     for lang in sorted(STOPWORDS):
         detected = detected.when(F.col('hits_{}'.format(lang)) == best,
                                  F.lit(lang))

@@ -504,3 +504,50 @@ def test_bpe_token_counts_spark_matches_python(spark):
         expected = sum(len(bpe_apply(w, ranks))
                        for w in re.findall(BPE_ISH_PATTERN, text))
         assert got[doc_id] == expected, (doc_id, got[doc_id], expected)
+
+
+MULTILINGUAL = [
+    (0, 'the cat is on the mat and it is happy'),
+    (1, 'el gato es un animal y no es para la casa'),
+    (2, 'o gato um animal e para com os uns'),
+    (3, 'il gatto un animale e non per il divano'),
+    (4, 'de kat is een dier en het is niet voor de deur'),
+    (5, '猫は動物です それは家のためではありません'),
+    (6, '猫是动物它不是为了家'),
+    (7, '고양이는 동물입니다 집을 위한 것이 아닙니다'),
+    (8, 'кошка это животное а не для дома'),
+    (9, 'القطة حيوان وليست للمنزل'),
+    (10, 'बिल्ली एक जानवर है और घर के लिए नहीं'),
+    (11, 'η γάτα είναι ζώο και όχι για το σπίτι'),
+    (12, 'zzz qqq xxx 12345'),
+]
+MULTILINGUAL_EXPECT = ['en', 'es', 'pt', 'it', 'nl', 'ja', 'zh', 'ko',
+                       'ru', 'ar', 'hi', 'el', 'unknown']
+
+
+def test_detect_language_multilingual(spark):
+    """Script-range detection (ja/zh/ko/ru/ar/hi/el) + the widened Latin
+    stopword lists (es/pt/it/nl)."""
+    df = spark.createDataFrame(MULTILINGUAL, ['doc_id', 'text'])
+    got = [r['detected_lang']
+           for r in quality.detect_language(df).orderBy('doc_id').collect()]
+    assert got == MULTILINGUAL_EXPECT
+
+
+def test_detect_language_sql_parity_multilingual(spark):
+    """The DuckDB oracle CTE must agree with the Spark column expression
+    on every script family, not just the sf corpus (which is Latin-only)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    df = spark.createDataFrame(MULTILINGUAL, ['doc_id', 'text'])
+    spark_rows = [(r['doc_id'], r['detected_lang'])
+                  for r in quality.detect_language(df).orderBy('doc_id').collect()]
+
+    con = duckdb.connect()
+    con.register('documents',
+                 pd.DataFrame(MULTILINGUAL, columns=['doc_id', 'text']))
+    sql_rows = con.execute(entry._language_detect_sql()).fetchall()
+    assert spark_rows == [(int(a), b) for a, b in sql_rows]
