@@ -125,3 +125,121 @@ def test_ground_concepts_join(spark, result):
     for ns, row in by_ns.items():
         if ns in urls:
             assert row['hit_rate'] == 1.0
+
+
+class TestEutilsRecorded:
+    """The real eSummary protocol path against a recorded response fixture
+    (tests/golden/eutils_esummary_recorded.json, authentic eSummary v2
+    shape): URL/batching, envelope parsing, author extraction, date
+    sanitization, error records — only the socket is faked."""
+
+    FIXTURE = 'tests/golden/eutils_esummary_recorded.json'
+
+    def _payload(self):
+        import json
+
+        with open(self.FIXTURE, 'rb') as f:
+            return json.loads(f.read().decode('utf8'))
+
+    def _transport(self, log=None):
+        """Replay the recorded response, filtered to the requested ids —
+        exactly what the live service returns per request."""
+        import json
+
+        recorded = self._payload()
+
+        def transport(method, url):
+            assert method == 'GET'
+            if log is not None:
+                log.append(url)
+            base, ids = url.split('&id=')
+            assert base == ('https://eutils.ncbi.nlm.nih.gov/entrez/eutils/'
+                            'esummary.fcgi?db=pubmed&retmode=json')
+            wanted = ids.split(',')
+            result = {'uids': [u for u in recorded['result']['uids']
+                               if u in wanted]}
+            for u in result['uids']:
+                result[u] = recorded['result'][u]
+            return json.dumps({'header': recorded['header'],
+                               'result': result}).encode('utf8')
+
+        return transport
+
+    def test_parse_recorded_response(self):
+        recs = citations.parse_esummary_response(self._payload())
+        assert set(recs) == {'26438529', '20064923', '11027130',
+                             '23455817', '29949567'}  # error pmid dropped
+        r = recs['26438529']
+        # CollectiveName entries are not authors
+        assert r['authors'] == ['Hornbeck PV', 'Zhang B', 'Murray B']
+        assert r['first'] == 'Hornbeck PV' and r['last'] == 'Murray B'
+        assert r['journal'] == 'Nucleic Acids Research'
+        assert (r['volume'], r['issue'], r['pages']) == ('43', 'D1', 'D512-20')
+        assert r['date'] == '2015-12-10'
+        assert recs['20064923']['date'] == '2010-04-01'   # YYYY Mon
+        assert recs['11027130']['date'] == '2000-01-01'   # YYYY
+        assert recs['23455817']['date'] == '2013-03-01'   # YYYY Season
+        assert recs['29949567']['date'] == '2018-01-01'   # YYYY Mon-Mon
+
+    def test_sanitize_pubdate_formats(self):
+        cases = {
+            '2015 Feb 12': '2015-02-12',
+            '1999 Dec': '1999-12-01',
+            '2008': '2008-01-01',
+            '2012 Spring': '2012-03-01',
+            '2020 Jan-Feb': '2020-01-01',
+            '2017 Jun 5-12': '2017-06-05',
+            '2019 Dec 30-Jan 5': '2019-12-30',
+            'In press': None,
+            '2015 Foo': None,
+            '': None,
+            '2015 Feb 31': None,  # impossible date
+        }
+        for raw, want in cases.items():
+            assert citations.sanitize_pubdate(raw) == want, raw
+
+    def test_resolver_batches_requests(self):
+        urls = []
+        resolver = citations.eutils_resolver(self._transport(urls),
+                                             group_size=2)
+        recs = resolver(['26438529', '20064923', '11027130', '23455817',
+                         '29949567', '99999999'])
+        assert len(urls) == 3  # 6 pmids / group_size 2
+        assert all(len(u.split('&id=')[1].split(',')) <= 2 for u in urls)
+        assert set(recs) == {'26438529', '20064923', '11027130',
+                             '23455817', '29949567'}
+
+    def _edges(self, spark):
+        rows = [
+            ('e1', 'PubMed', '26438529', None),
+            ('e2', 'PubMed', '20064923', None),
+            ('e3', 'PubMed', '55555555', None),   # not in the fixture
+            ('e4', 'DOI', '10.1000/xyz', None),   # non-PubMed: untouched
+        ]
+        return spark.createDataFrame(
+            rows, 'edge_id string, citation_db string, citation_id string, '
+                  'citation_authors array<string>')
+
+    def test_enrich_through_spark_with_recorded_fixture(self, spark):
+        edges = self._edges(spark)
+        resolver = citations.authors_only(
+            citations.eutils_resolver(self._transport()))
+        got = {r['edge_id']: r['citation_authors']
+               for r in citations.enrich_pubmed_citations(
+                   edges, resolver=resolver).collect()}
+        assert got['e1'] == ['Hornbeck PV', 'Zhang B', 'Murray B']
+        assert got['e2'] == ['Kauwe JS', 'Cruchaga C']
+        assert got['e3'] is None  # unresolved pmid stays null
+        assert got['e4'] is None  # non-PubMed untouched
+
+    def test_citation_metadata_table_through_spark(self, spark):
+        edges = self._edges(spark)
+        resolver = citations.eutils_resolver(self._transport())
+        meta = {r['citation_id']: r
+                for r in citations.resolve_citation_metadata(
+                    edges, resolver).collect()}
+        assert set(meta) == {'26438529', '20064923', '55555555'}
+        assert meta['26438529']['journal'] == 'Nucleic Acids Research'
+        assert meta['26438529']['date'] == '2015-12-10'
+        assert meta['20064923']['first_author'] == 'Kauwe JS'
+        assert meta['55555555']['title'] is None
