@@ -1,0 +1,170 @@
+"""Training-mixture construction ops: deterministic stratified sampling
+and per-source token budgeting.
+
+A 100-TB pretraining corpus is assembled by (a) sampling each source at a
+target rate and (b) capping each source at a token budget, keeping the
+best documents first. Both are expressed so the SAME arithmetic runs in
+any md5-capable engine (the DuckDB oracles mirror them bit-exact):
+
+- sampling is a pure map-side filter on an md5-derived uniform hash — no
+  shuffle, no state, stable under reruns and late-arriving data;
+- exact budgeting is a per-source cumulative-sum window (one shuffle on
+  the source key);
+- approximate budgeting replaces the per-source sort with a bucketized
+  quality histogram (fully parallel partial aggregation, tiny driver
+  cutoff table, then a map-side filter) — the shape that survives a
+  single source holding 10^9 documents, where the exact window would
+  funnel that source through one task.
+"""
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .tokenize import whitespace_tokens
+
+
+def _token_count(col):
+    return F.size(whitespace_tokens(col))
+
+#: md5-prefix width used for sampling thresholds; 8 hex digits = 32 bits
+#: of uniformity, plenty for per-mille sampling rates
+_HEX_DIGITS = 8
+_HEX_SPACE = 16 ** _HEX_DIGITS
+
+
+def fraction_to_hex_threshold(fraction: float) -> str:
+    """Sampling fraction → md5-prefix threshold, comparable as a string.
+
+    A document is kept iff the first 8 hex chars of its sampling hash sort
+    strictly below the threshold; lexicographic order on EQUAL-WIDTH hex
+    equals numeric order on the 32-bit prefix, so the SQL mirror is a
+    plain string comparison. fraction=1.0 maps to 'g', which sorts after
+    every hex string in both engines (keep-all)."""
+    fraction = min(max(fraction, 0.0), 1.0)
+    value = int(round(fraction * _HEX_SPACE))
+    if value >= _HEX_SPACE:
+        return 'g'
+    return format(value, '0{}x'.format(_HEX_DIGITS))
+
+
+def sampling_hash(id_col='doc_id', seed: int = 0):
+    """Uniform per-document hex hash: md5(seed ':' doc_id), first 8 chars."""
+    return F.substring(
+        F.md5(F.concat_ws(':', F.lit(str(seed)), F.col(id_col).cast('string'))),
+        1, _HEX_DIGITS)
+
+
+def stratified_sample(docs: DataFrame, fractions: dict,
+                      default_fraction: float = 0.0, id_col='doc_id',
+                      source_col='source', seed: int = 0) -> DataFrame:
+    """Deterministic per-source subsample at the given rates.
+
+    ``fractions`` maps source → target keep-rate; sources absent from the
+    map keep ``default_fraction``. The decision for a document depends
+    only on (seed, doc_id), so reruns, retries, and incremental batches
+    make identical choices — the property that keeps a resumed 100-TB
+    sampling job consistent. Plan shape: a single map-side filter fused
+    into the scan; NO shuffle, NO aggregation.
+    """
+    thr = F.lit(fraction_to_hex_threshold(default_fraction))
+    for source, fraction in sorted(fractions.items()):
+        thr = F.when(F.col(source_col) == source,
+                     F.lit(fraction_to_hex_threshold(fraction))).otherwise(thr)
+    return docs.where(sampling_hash(id_col, seed) < thr)
+
+
+def token_budget_select(docs: DataFrame, budget_per_source: int,
+                        quality: DataFrame = None, id_col='doc_id',
+                        source_col='source', text_col='text') -> DataFrame:
+    """EXACT per-source token budgeting: keep the highest-quality documents
+    of each source while the source's running token total stays within
+    ``budget_per_source``.
+
+    Order within a source is (quality_score desc, doc_id) — fully
+    deterministic, ties broken by id. ``quality`` may supply a
+    (doc_id, quality_score) table; by default it is computed with
+    :func:`pybel_spark.textops.quality.quality_score`.
+
+    Scale note: the cumulative-sum window hash-partitions on the source
+    key, so ONE source's documents sort in ONE task. Fine up to
+    ~10^7 docs/source; beyond that use :func:`token_budget_select_approx`,
+    which needs no per-source sort at all.
+    """
+    from .quality import quality_score
+
+    if quality is None:
+        quality = quality_score(docs, id_col=id_col, text_col=text_col)
+    scored = (
+        docs.select(F.col(id_col).alias('doc_id'),
+                    F.col(source_col).alias('source'),
+                    _token_count(text_col).alias('n_tokens'))
+        .join(quality, on='doc_id')
+    )
+    w = (Window.partitionBy('source')
+         .orderBy(F.desc('quality_score'), F.asc('doc_id'))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        scored.withColumn('cum_tokens', F.sum('n_tokens').over(w))
+        .where(F.col('cum_tokens') <= budget_per_source)
+        .select('doc_id', 'source', 'n_tokens', 'quality_score',
+                'cum_tokens')
+    )
+
+
+def token_budget_select_approx(docs: DataFrame, budget_per_source: int,
+                               quality: DataFrame = None, id_col='doc_id',
+                               source_col='source', text_col='text',
+                               n_bins: int = 1000) -> DataFrame:
+    """Scale-path token budgeting: per-source QUALITY-HISTOGRAM cutoff
+    instead of a per-source sort.
+
+    1. bucketize quality into ``n_bins`` (map-side),
+    2. aggregate token sums per (source, bin) — partial aggregation, at
+       most ``n_sources × n_bins`` rows ever shuffle,
+    3. driver-side: walk each source's histogram from the top bin down
+       and pick the lowest bin whose cumulative tokens still fit the
+       budget (a tiny loop over the cutoff table),
+    4. keep documents with quality in a strictly-above-cutoff bin — a
+       map-side filter against the broadcast cutoff table.
+
+    Overshoot is bounded by one bin's token mass; no task ever holds more
+    than a histogram. This is the formulation that survives a source with
+    10^9+ documents.
+    """
+    from .quality import quality_score
+
+    if quality is None:
+        quality = quality_score(docs, id_col=id_col, text_col=text_col)
+    scored = (
+        docs.select(F.col(id_col).alias('doc_id'),
+                    F.col(source_col).alias('source'),
+                    _token_count(text_col).alias('n_tokens'))
+        .join(quality, on='doc_id')
+        .withColumn('bin', F.least(
+            F.floor(F.col('quality_score') * n_bins).cast('int'),
+            F.lit(n_bins - 1)))
+    )
+    hist = (scored.groupBy('source', 'bin')
+            .agg(F.sum('n_tokens').alias('bin_tokens'))
+            .collect())
+
+    by_source = {}
+    for row in hist:
+        by_source.setdefault(row['source'], []).append(
+            (row['bin'], row['bin_tokens']))
+    cutoffs = []
+    for source, bins in by_source.items():
+        total = 0
+        cutoff = n_bins  # keep nothing unless a bin fits
+        for b, tokens in sorted(bins, reverse=True):
+            if total + tokens > budget_per_source:
+                break
+            total += tokens
+            cutoff = b
+        cutoffs.append((source, cutoff))
+
+    spark = docs.sparkSession
+    cutoff_df = spark.createDataFrame(cutoffs, 'source string, cutoff int')
+    return (
+        scored.join(F.broadcast(cutoff_df), on='source')
+        .where(F.col('bin') >= F.col('cutoff'))
+        .select('doc_id', 'source', 'n_tokens', 'quality_score')
+    )

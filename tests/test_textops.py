@@ -551,3 +551,98 @@ def test_detect_language_sql_parity_multilingual(spark):
                  pd.DataFrame(MULTILINGUAL, columns=['doc_id', 'text']))
     sql_rows = con.execute(entry._language_detect_sql()).fetchall()
     assert spark_rows == [(int(a), b) for a, b in sql_rows]
+
+
+class TestMixture:
+    """Training-mixture ops: deterministic stratified sampling and
+    per-source token budgeting (exact window + scale-path histogram)."""
+
+    def _docs(self, spark):
+        from pybel_spark.textops import mixture  # noqa: F401 (import check)
+
+        rows = []
+        for i in range(400):
+            source = 'src{}'.format(i % 4)
+            words = ['the', 'data', 'engine', 'word{}'.format(i % 7)] \
+                * (3 + i % 5)
+            rows.append((i, source, ' '.join(words)))
+        return spark.createDataFrame(rows, 'doc_id long, source string, text string')
+
+    def test_stratified_sample_rates_and_determinism(self, spark):
+        from pybel_spark.textops import mixture
+
+        docs = self._docs(spark).persist()
+        try:
+            fractions = {'src0': 1.0, 'src1': 0.5, 'src2': 0.0}
+            kept = mixture.stratified_sample(docs, fractions,
+                                             default_fraction=0.2)
+            rows = kept.groupBy('source').count().collect()
+            by_source = {r['source']: r['count'] for r in rows}
+            assert by_source.get('src0') == 100          # fraction 1.0: all
+            assert 'src2' not in by_source               # fraction 0.0: none
+            assert 20 <= by_source.get('src1', 0) <= 80  # ~50 of 100
+            assert 5 <= by_source.get('src3', 0) <= 45   # default 0.2: ~20
+            # rerun → bit-identical decisions
+            again = {r['doc_id'] for r in mixture.stratified_sample(
+                docs, fractions, default_fraction=0.2).collect()}
+            assert again == {r['doc_id'] for r in kept.collect()}
+            # different seed → different (but still valid) subsample
+            other = {r['doc_id'] for r in mixture.stratified_sample(
+                docs, fractions, default_fraction=0.2, seed=1).collect()}
+            assert other != again
+        finally:
+            docs.unpersist()
+
+    def test_stratified_sample_no_shuffle_plan(self, spark):
+        from pybel_spark.textops import mixture
+
+        docs = self._docs(spark)
+        plan = mixture.stratified_sample(docs, {'src0': 0.5}) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert 'Exchange' not in plan  # pure map-side filter
+
+    def test_token_budget_exact_matches_python(self, spark):
+        from pybel_spark.textops import mixture
+        from pybel_spark.textops.quality import quality_score
+
+        docs = self._docs(spark).persist()
+        try:
+            budget = 150
+            got = mixture.token_budget_select(docs, budget).collect()
+            scores = {r['doc_id']: r['quality_score']
+                      for r in quality_score(docs).collect()}
+            texts = {r['doc_id']: r for r in docs.collect()}
+            for source in ('src0', 'src1', 'src2', 'src3'):
+                members = sorted(
+                    (d for d in texts.values() if d['source'] == source),
+                    key=lambda d: (-scores[d['doc_id']], d['doc_id']))
+                cum, expect = 0, []
+                for d in members:
+                    n = len(d['text'].split())
+                    cum += n
+                    if cum > budget:
+                        break
+                    expect.append(d['doc_id'])
+                assert sorted(r['doc_id'] for r in got
+                              if r['source'] == source) == sorted(expect), source
+            for r in got:
+                assert r['cum_tokens'] <= budget
+        finally:
+            docs.unpersist()
+
+    def test_token_budget_approx_respects_budget(self, spark):
+        from pybel_spark.textops import mixture
+
+        docs = self._docs(spark).persist()
+        try:
+            budget = 150
+            got = mixture.token_budget_select_approx(docs, budget)
+            per_source = got.groupBy('source').agg(
+                F.sum('n_tokens').alias('tok')).collect()
+            for r in per_source:
+                assert r['tok'] <= budget, r
+            # a budget that fits everything keeps everything
+            all_rows = mixture.token_budget_select_approx(docs, 10 ** 9)
+            assert all_rows.count() == docs.count()
+        finally:
+            docs.unpersist()
