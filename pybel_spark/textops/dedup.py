@@ -374,3 +374,70 @@ def drop_near_duplicates(docs: DataFrame, clusters: DataFrame,
     losers = clusters.where(F.col('doc_id') != F.col('cluster_id')) \
         .select(F.col('doc_id').alias(id_col))
     return docs.join(losers, on=id_col, how='left_anti')
+
+
+# --------------------------------------------------------------------- #
+# paragraph-level dedup: the C4-style curation step that removes REPEATED
+# SPANS (boilerplate, navigation, legal footers) across documents rather
+# than whole-document duplicates. A paragraph is a \n\n-separated block.
+
+def doc_paragraphs(docs: DataFrame, id_col='doc_id', text_col='text',
+                   min_chars: int = 1) -> DataFrame:
+    """(doc_id, pos, paragraph) — documents exploded into trimmed
+    non-empty paragraphs, positions preserved for order-stable
+    reassembly. Map-side explode; no shuffle."""
+    return (
+        docs.select(
+            F.col(id_col).alias('doc_id'),
+            F.posexplode(F.split(F.col(text_col), r'\n\s*\n'))
+            .alias('pos', 'paragraph'))
+        .withColumn('paragraph', F.trim('paragraph'))
+        .where(F.length('paragraph') >= min_chars)
+    )
+
+
+def paragraph_duplicates(docs: DataFrame, id_col='doc_id', text_col='text',
+                         min_chars: int = 1) -> DataFrame:
+    """One BOUNDED row per cross-corpus repeated paragraph:
+    (para_md5, n_occurrences, n_docs, keep_doc_id). The md5 group key is
+    uniform (skew-free shuffle) and the output never materializes member
+    lists — same contract as :func:`exact_duplicates`."""
+    paras = doc_paragraphs(docs, id_col, text_col, min_chars)
+    return (
+        paras.select(F.md5('paragraph').alias('para_md5'), 'doc_id')
+        .groupBy('para_md5')
+        .agg(F.count(F.lit(1)).alias('n_occurrences'),
+             F.countDistinct('doc_id').alias('n_docs'),
+             F.min('doc_id').alias('keep_doc_id'))
+        .where(F.col('n_occurrences') > 1)
+    )
+
+
+def paragraph_dedup(docs: DataFrame, id_col='doc_id', text_col='text',
+                    min_chars: int = 1) -> DataFrame:
+    """Rewrite each document keeping only the globally-FIRST occurrence
+    (min (doc_id, pos)) of every distinct paragraph; documents left with
+    no paragraphs are dropped.
+
+    Plan shape: one shuffle on the uniform paragraph-md5 key for winner
+    selection, one shuffle on doc_id for reassembly; the per-doc
+    collect_list is bounded by a single document's paragraph count, never
+    by corpus-wide group sizes."""
+    from pyspark.sql import Window
+
+    paras = doc_paragraphs(docs, id_col, text_col, min_chars) \
+        .withColumn('para_md5', F.md5('paragraph'))
+    w = Window.partitionBy('para_md5').orderBy('doc_id', 'pos')
+    survivors = (
+        paras.withColumn('rk', F.row_number().over(w))
+        .where(F.col('rk') == 1)
+    )
+    return (
+        survivors.groupBy('doc_id')
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct('pos', 'paragraph'))),
+                lambda s: s['paragraph']),
+            '\n\n').alias(text_col))
+        .select(F.col('doc_id').alias(id_col), text_col)
+    )

@@ -646,3 +646,97 @@ class TestMixture:
             assert all_rows.count() == docs.count()
         finally:
             docs.unpersist()
+
+
+class TestUrls:
+    """URL canonicalization / domain ops (textops.urls)."""
+
+    CASES = [
+        (0, 'https://WWW.Example.COM:443/a/b/?utm_source=x&q=1&fbclid=z#top'),
+        (1, 'http://news.site.co.uk/article/42?ref=home'),
+        (2, 'https://example.com'),
+        (3, 'https://mirror.example.com/a/b?q=1'),
+        (4, 'https://www.example.com/a/b/?utm_campaign=y&q=1'),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, u, 'some text here') for i, u in self.CASES],
+            'doc_id long, url string, text string')
+
+    def test_parse_and_canonicalize(self, spark):
+        from pybel_spark.textops import urls
+
+        rows = {r['doc_id']: r
+                for r in urls.parse_urls(self._df(spark)).collect()}
+        r0 = rows[0]
+        assert r0['scheme'] == 'https'
+        assert r0['host'] == 'www.example.com'      # lowercased, port gone
+        assert r0['domain'] == 'example.com'
+        assert r0['clean_query'] == 'q=1'           # tracking params out
+        assert r0['canonical_url'] == 'https://www.example.com/a/b?q=1'
+        assert rows[1]['domain'] == 'site.co.uk'    # two-level suffix
+        assert rows[1]['clean_query'] == ''         # ref= stripped
+        assert rows[2]['canonical_url'] == 'https://example.com/'
+        # 0 and 4 collapse to the same canonical url; 3 (different host)
+        # does not
+        assert rows[4]['canonical_url'] == r0['canonical_url']
+        assert rows[3]['canonical_url'] != r0['canonical_url']
+
+    def test_url_duplicates_and_blocklist(self, spark):
+        from pybel_spark.textops import urls
+
+        df = self._df(spark)
+        dups = urls.url_duplicates(df).collect()
+        assert len(dups) == 1
+        assert dups[0]['n_docs'] == 2 and dups[0]['keep_doc_id'] == 0
+
+        kept = urls.filter_blocked_domains(df, {'example.com'})
+        assert {r['doc_id'] for r in kept.collect()} == {1}
+        blocked_df = spark.createDataFrame([('example.com',)], 'domain string')
+        kept2 = urls.filter_blocked_domains(df, blocked_df)
+        assert {r['doc_id'] for r in kept2.collect()} == {1}
+
+    def test_domain_stats(self, spark):
+        from pybel_spark.textops import urls
+
+        stats = {r['domain']: r
+                 for r in urls.domain_stats(self._df(spark)).collect()}
+        assert stats['example.com']['n_docs'] == 4
+        assert stats['example.com']['n_hosts'] == 3  # www/bare/mirror
+        assert stats['site.co.uk']['n_docs'] == 1
+
+
+class TestParagraphDedup:
+    """Paragraph-level (C4-style) dedup: repeated spans across docs."""
+
+    def _df(self, spark):
+        boiler = 'subscribe to the newsletter'
+        rows = [
+            (0, 'unique alpha text\n\n' + boiler + '\n\nmore alpha words'),
+            (1, 'unique beta text\n\n' + boiler),
+            (2, boiler + '\n\n' + boiler + '\n\nunique gamma text'),
+            (3, '   \n\n' + boiler),  # leading blank paragraph filtered
+        ]
+        return spark.createDataFrame(rows, 'doc_id long, text string')
+
+    def test_paragraph_duplicates(self, spark):
+        from pybel_spark.textops import dedup
+
+        groups = dedup.paragraph_duplicates(self._df(spark)).collect()
+        assert len(groups) == 1
+        g = groups[0]
+        assert g['n_occurrences'] == 5  # doc2 contains it twice
+        assert g['n_docs'] == 4
+        assert g['keep_doc_id'] == 0
+
+    def test_paragraph_dedup_keeps_first_occurrence(self, spark):
+        from pybel_spark.textops import dedup
+
+        out = {r['doc_id']: r['text']
+               for r in dedup.paragraph_dedup(self._df(spark)).collect()}
+        assert out[0] == ('unique alpha text\n\nsubscribe to the newsletter'
+                          '\n\nmore alpha words')
+        assert out[1] == 'unique beta text'      # boilerplate removed
+        assert out[2] == 'unique gamma text'     # both copies removed
+        assert 3 not in out                      # nothing survived
