@@ -283,3 +283,94 @@ def start_dedup_stream(spark, input_dir: str, out_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_neardup_candidate_stream(spark, input_dir: str, out_dir: str,
+                                   n=3, num_hashes=16, bands=4,
+                                   max_state_ids=8,
+                                   trigger_available_now=True,
+                                   max_files_per_trigger=16,
+                                   idle_timeout_ms=None):
+    """Streaming MinHash-LSH NEAR-dup candidate generation.
+
+    Per arriving document, band signatures are computed ROW-WISE
+    (textops.dedup.band_signatures — pure column algebra, stateless, the
+    formulation that needs no per-doc aggregation and is therefore legal
+    in a stream). A custom ``applyInPandasWithState`` operator keyed by
+    (band, band_sig) then remembers the FIRST ``max_state_ids`` doc_ids
+    seen per band bucket and emits a candidate pair (earlier, later) for
+    every later arrival — the incremental complement of the batch
+    ``minhash_lsh_candidates`` self-join. Downstream, candidates feed the
+    same exact-Jaccard verification as the batch path.
+
+    State is BOUNDED: ``max_state_ids`` ids per bucket (a pathological
+    boilerplate bucket stops growing; its overflow arrivals still pair
+    against the retained representatives, which is exactly what a dedup
+    keep-first policy needs), and ``idle_timeout_ms`` evicts buckets not
+    seen for that long. Pairs may repeat across bands/batches — the
+    consumer applies ``distinct()`` (same as the batch pipeline's final
+    dedup of candidate pairs).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .textops.dedup import band_signatures
+
+    docs = read_document_stream(spark, input_dir, max_files_per_trigger)
+    docs = docs.withColumn(
+        'doc_key', F.coalesce(F.col('url'), F.lit('')))
+    banded = band_signatures(docs, id_col='doc_key', text_col='text',
+                             n=n, num_hashes=num_hashes, bands=bands)
+
+    output_schema = 'doc_a string, doc_b string, band int'
+    state_schema = 'seen_ids array<string>, overflow boolean'
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            seen, overflow = state.get
+            seen = list(seen)
+        else:
+            seen, overflow = [], False
+        out_a, out_b = [], []
+        for pdf in pdfs:
+            for doc in pdf['doc_id']:
+                if doc in seen:
+                    continue
+                for prior in seen:
+                    out_a.append(prior)
+                    out_b.append(doc)
+                if len(seen) < max_state_ids:
+                    seen.append(doc)
+                else:
+                    overflow = True
+        state.update((seen, overflow))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(int(idle_timeout_ms))
+        if out_a:
+            yield pd.DataFrame({
+                'doc_a': out_a, 'doc_b': out_b,
+                'band': [key[0]] * len(out_a)})
+
+    timeout = GroupStateTimeout.NoTimeout if idle_timeout_ms is None \
+        else GroupStateTimeout.ProcessingTimeTimeout
+    pairs = (
+        banded  # band_signatures already aliases the id column to doc_id
+        .groupBy('band', 'band_sig')
+        .applyInPandasWithState(update, output_schema, state_schema,
+                                'append', timeout)
+    )
+
+    writer = (
+        pairs.writeStream
+        .format('parquet')
+        .option('path', os.path.join(out_dir, 'neardup_candidates'))
+        .option('checkpointLocation', os.path.join(out_dir,
+                                                   'neardup_checkpoint'))
+        .outputMode('append')
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

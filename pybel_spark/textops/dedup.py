@@ -160,21 +160,61 @@ def minhash_signatures(docs: DataFrame, id_col='doc_id', text_col='text',
     )
 
 
+def band_signatures(docs: DataFrame, id_col='doc_id', text_col='text',
+                    n=3, num_hashes=16, bands=4,
+                    extra_cols=()) -> DataFrame:
+    """(doc_id, band, band_sig) computed ROW-WISE as pure column algebra —
+    bit-identical to the explode→groupBy formulation but with NO shuffle:
+    the whole signature lives in one codegen'd projection, so at corpus
+    scale the only exchange in the LSH pipeline is the band-key self-join
+    itself. Also the streaming-safe formulation (stateless per row).
+
+    ``extra_cols`` passes additional columns (e.g. an event-time column
+    for streaming watermarks) through the projection.
+    """
+    from .tokenize import shingle_windows, whitespace_tokens
+
+    rows_per_band = num_hashes // bands
+    shingled = docs.select(
+        F.col(id_col).alias('doc_id'),
+        *[F.col(c) for c in extra_cols],
+        F.array_distinct(
+            shingle_windows(whitespace_tokens(text_col), n)).alias('_sh'))
+
+    def minhash_k(k):
+        return F.array_min(F.transform(
+            F.col('_sh'),
+            lambda s: F.md5(F.concat_ws(':', F.lit(str(k)), s))))
+
+    def band_sig(b):
+        entries = F.array(*[
+            F.concat_ws(':', F.lit(str(k)), minhash_k(k))
+            for k in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ])
+        return F.md5(F.concat_ws('|', F.array_sort(entries)))
+
+    per_band = F.array(*[
+        F.struct(F.lit(b).alias('band'), band_sig(b).alias('band_sig'))
+        for b in range(bands)
+    ])
+    return (
+        shingled.select('doc_id', *extra_cols,
+                        F.explode(per_band).alias('_b'))
+        .select('doc_id', *extra_cols, F.col('_b.band').alias('band'),
+                F.col('_b.band_sig').alias('band_sig'))
+    )
+
+
 def minhash_lsh_candidates(docs: DataFrame, id_col='doc_id', text_col='text',
                            n=3, num_hashes=16, bands=4,
                            shingles=None) -> DataFrame:
     """LSH banding: K minhashes split into `bands` bands; documents sharing a
-    band signature become candidate pairs."""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes,
-                              shingles=shingles)
-    band_sigs = (
-        sigs.withColumn('band', (F.col('k') / rows_per_band).cast('int'))
-        .groupBy('doc_id', 'band')
-        .agg(F.md5(F.concat_ws('|', F.sort_array(
-            F.collect_list(F.concat_ws(':', F.col('k').cast('string'),
-                                       'minhash'))))).alias('band_sig'))
-    )
+    band signature become candidate pairs. Signatures come from the
+    shuffle-free row-wise formulation (:func:`band_signatures`); the
+    ``shingles`` parameter is accepted for API compatibility but unused —
+    the row-wise path works straight off the text column."""
+    band_sigs = band_signatures(docs, id_col, text_col, n, num_hashes,
+                                bands)
     # persist before the self-join: each join side would otherwise
     # recompute the full signature aggregation (2x the dominant cost)
     band_sigs = band_sigs.persist()

@@ -282,3 +282,49 @@ def test_citation_stats_idle_timeout_configured(spark, dirs):
     stats = spark.read.parquet(os.path.join(dirs['out'], 'citation_stats'))
     assert stats.count() > 0
     assert stats.where('n_edges <= 0').count() == 0
+
+
+def test_neardup_candidate_stream_matches_batch(spark, dirs):
+    """Streaming LSH candidate generation must reproduce the batch
+    self-join's pair set (no bucket overflow at this size), and keep
+    emitting cross-batch pairs incrementally after a restart."""
+    import pyspark.sql.functions as F
+
+    from pybel_spark.streaming import start_neardup_candidate_stream
+    from pybel_spark.textops import dedup
+
+    docs = generate_documents(spark, 50, partitions=2).persist()
+    docs.write.mode('append').parquet(dirs['input'])
+    q = start_neardup_candidate_stream(spark, dirs['input'], dirs['out'],
+                                       max_state_ids=64)
+    q.awaitTermination(180)
+
+    out_path = os.path.join(dirs['out'], 'neardup_candidates')
+    got = {tuple(sorted((r['doc_a'], r['doc_b'])))
+           for r in spark.read.parquet(out_path).collect()}
+    batch = dedup.minhash_lsh_candidates(
+        docs.select(F.col('url').alias('doc_id'), 'text'))
+    want = {tuple(sorted((r['doc_a'], r['doc_b'])))
+            for r in batch.collect()}
+    assert got == want
+    assert want  # the corpus genuinely contains near-dups
+
+    # restart with more documents: state is checkpointed, so pairs
+    # BETWEEN the old and new batches must appear
+    docs2 = generate_documents(spark, 70, partitions=2) \
+        .where(F.split(F.col('url'), '/').getItem(4).cast('int') >= 50)
+    docs2.write.mode('append').parquet(dirs['input'])
+    q2 = start_neardup_candidate_stream(spark, dirs['input'], dirs['out'],
+                                        max_state_ids=64)
+    q2.awaitTermination(180)
+
+    got2 = {tuple(sorted((r['doc_a'], r['doc_b'])))
+            for r in spark.read.parquet(out_path).collect()}
+    all_docs = docs.unionByName(docs2)
+    want2 = {tuple(sorted((r['doc_a'], r['doc_b'])))
+             for r in dedup.minhash_lsh_candidates(
+                 all_docs.select(F.col('url').alias('doc_id'), 'text'))
+             .collect()}
+    docs.unpersist()
+    assert got2 == want2
+    assert len(want2) > len(want)

@@ -740,3 +740,34 @@ class TestParagraphDedup:
         assert out[1] == 'unique beta text'      # boilerplate removed
         assert out[2] == 'unique gamma text'     # both copies removed
         assert 3 not in out                      # nothing survived
+
+
+def test_band_signatures_rowwise_matches_groupby(spark, docs):
+    """The shuffle-free row-wise band signatures must be bit-identical to
+    the explode->groupBy formulation they replaced (and to the DuckDB
+    oracle, which mirrors that formulation)."""
+    from pyspark.sql import functions as F
+
+    rows_per_band = 16 // 4
+    sigs = dedup.minhash_signatures(docs, num_hashes=16)
+    legacy = (
+        sigs.withColumn('band', (F.col('k') / rows_per_band).cast('int'))
+        .groupBy('doc_id', 'band')
+        .agg(F.md5(F.concat_ws('|', F.sort_array(
+            F.collect_list(F.concat_ws(':', F.col('k').cast('string'),
+                                       'minhash'))))).alias('band_sig'))
+    )
+    want = {(r['doc_id'], r['band']): r['band_sig']
+            for r in legacy.collect()}
+    got = {(r['doc_id'], r['band']): r['band_sig']
+           for r in dedup.band_signatures(docs, num_hashes=16,
+                                          bands=4).collect()}
+    assert got == want
+
+
+def test_band_signatures_no_shuffle_plan(spark, docs):
+    from pybel_spark.textops import dedup as _dedup
+
+    plan = _dedup.band_signatures(docs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert 'Exchange' not in plan
