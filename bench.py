@@ -186,6 +186,29 @@ def main():
     timed(queries, 'dedup_simhash_pairs',
           lambda: dedup.simhash_near_duplicates(ddocs).count())
 
+    # paragraph-level (C4-style) dedup: synthesize 4-paragraph pages from
+    # the corpus tokens (same construction as the driver oracle)
+    toks = F.split(F.trim('text'), r'\s+')
+    para_docs = ddocs.select('doc_id', F.concat_ws(
+        '\n\n',
+        F.array_join(F.slice(toks, 1, 8), ' '),
+        F.lit('subscribe to our newsletter for updates'),
+        F.array_join(F.slice(toks, 9, 8), ' '),
+        F.concat(F.lit('copyright '), (F.col('doc_id') % 3).cast('string'),
+                 F.lit(' all rights reserved'))).alias('text'))
+    timed(queries, 'dedup_paragraphs',
+          lambda: dedup.paragraph_dedup(para_docs).count())
+
+    # URL canonicalization + per-domain rollup over synthetic urls
+    from pybel_spark.textops import urls as _urls
+    d = F.col('doc_id')
+    url_docs = ddocs.withColumn('url', F.concat(
+        F.lit('https://site'), (d % 1000).cast('string'),
+        F.lit('.example.com/p/'), d.cast('string'),
+        F.lit('?utm_source=feed&q='), (d % 50).cast('string')))
+    timed(queries, 'url_domain_stats',
+          lambda: _urls.domain_stats(url_docs).count())
+
     timed(queries, 'text_quality_features',
           lambda: quality.quality_features(ddocs).agg(
               F.sum('n_tokens')).collect())
@@ -221,6 +244,13 @@ def main():
         vectors, k=5, n_lists=16, n_probe=4,
         query_ids=list(range(50))).count())
     vectors.unpersist()
+
+    # mixture sampling: map-side md5-threshold filter over the big corpus
+    bdocs = spark.read.parquet(corpus_dir)
+    from pybel_spark.textops import mixture as _mixture
+    timed(queries, 'corpus_mixture_sample', lambda: _mixture
+          .stratified_sample(bdocs, {}, default_fraction=0.1,
+                             id_col='url').count())
 
     # whole-graph analytics at scale: hub-skewed synthetic web graph
     # (500k nodes, ~4M directed edges, in-degree(0) ~ d*ln n) — the corpus
