@@ -140,3 +140,53 @@ def filter_blocked_domains(docs: DataFrame, blocked,
                       'left_anti')
                 .drop('_domain'))
     return docs.where(~domain.isin(list(blocked)))
+
+
+def cap_per_domain(docs: DataFrame, max_docs: int, id_col='doc_id',
+                   url_col='url', seed: int = 0,
+                   exact: bool = False) -> DataFrame:
+    """Cap each registered domain's contribution to ~``max_docs``
+    documents — the anti-mega-domain step of crawl curation.
+
+    Scale path (default): two passes, no per-domain sort. Pass 1
+    aggregates per-domain counts (map-side partial aggregation keeps the
+    shuffle at one row per domain per partition, so a 10⁹-doc domain
+    costs what a 10-doc domain costs); domains over the cap get keep
+    fraction cap/count, broadcast back; pass 2 is the same deterministic
+    md5-threshold filter as mixture.stratified_sample — map-side, rerun-
+    stable. The kept count is binomial around the cap (±√cap); exact=True
+    switches to a per-domain rank window (row_number over md5 order,
+    deterministic and exact, but one task must sort each domain — only
+    for corpora whose largest domain fits a task).
+    """
+    from .mixture import _HEX_DIGITS, fraction_to_hex_threshold, \
+        sampling_hash
+
+    domain = registered_domain(F.col(url_col))
+    tagged = docs.withColumn('_domain', domain)
+    if exact:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy('_domain').orderBy(
+            sampling_hash(id_col, seed), F.col(id_col))
+        return (tagged.withColumn('_rk', F.row_number().over(w))
+                .where(F.col('_rk') <= max_docs)
+                .drop('_domain', '_rk'))
+
+    counts = tagged.groupBy('_domain').agg(F.count(F.lit(1)).alias('_n'))
+    # NB: hex() emits uppercase in both Spark and DuckDB; md5 output is
+    # lowercase, so the threshold must be lowercased for the string
+    # comparison to equal numeric comparison
+    thresholds = counts.select(
+        '_domain',
+        F.when(F.col('_n') <= max_docs, F.lit('g'))  # keep-all sentinel
+        .otherwise(F.lower(F.lpad(F.hex(
+            F.floor(F.lit(float(max_docs)) / F.col('_n')
+                    * (16 ** _HEX_DIGITS))), _HEX_DIGITS, '0')))
+        .alias('_thr'))
+    assert fraction_to_hex_threshold(1.0) == 'g'  # sentinel stays in sync
+    return (
+        tagged.join(F.broadcast(thresholds), on='_domain')
+        .where(sampling_hash(id_col, seed) < F.col('_thr'))
+        .drop('_domain', '_thr')
+    )

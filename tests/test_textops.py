@@ -771,3 +771,31 @@ def test_band_signatures_no_shuffle_plan(spark, docs):
     plan = _dedup.band_signatures(docs) \
         ._jdf.queryExecution().executedPlan().toString()
     assert 'Exchange' not in plan
+
+
+def test_cap_per_domain(spark):
+    from pybel_spark.textops import urls
+
+    rows = [(i, 'https://big.example.com/p/{}'.format(i), 'x')
+            for i in range(300)]
+    rows += [(1000 + i, 'https://small.other.net/p/{}'.format(i), 'x')
+             for i in range(10)]
+    docs = spark.createDataFrame(rows, 'doc_id long, url string, text string')
+
+    capped = urls.cap_per_domain(docs, 50)
+    kept = [r['doc_id'] for r in capped.collect()]
+    small = [d for d in kept if d >= 1000]
+    big = [d for d in kept if d < 1000]
+    assert len(small) == 10                  # under-cap domain untouched
+    assert 25 <= len(big) <= 80              # ~binomial around 50
+    # deterministic: identical on rerun
+    again = [r['doc_id'] for r in urls.cap_per_domain(docs, 50).collect()]
+    assert sorted(again) == sorted(kept)
+
+    exact = urls.cap_per_domain(docs, 50, exact=True).collect()
+    by_domain = {}
+    for r in exact:
+        key = r['doc_id'] >= 1000
+        by_domain[key] = by_domain.get(key, 0) + 1
+    assert by_domain[False] == 50            # exactly the cap
+    assert by_domain[True] == 10
