@@ -377,3 +377,66 @@ def _power_iteration(graph: KG, teleport: DataFrame, damping: float,
     dangling_ids.unpersist()
     teleport.unpersist()
     return ranks
+
+
+def label_propagation_communities(graph: KG,
+                                  n_iterations: int = 5) -> DataFrame:
+    """(node_id, community) via SYNCHRONOUS label propagation, fixed
+    iteration count — deterministic and SQL-mirrorable, unlike the
+    classic async/random-order LPA.
+
+    Per round every node adopts the most frequent label among its
+    (undirected, distinct) neighbors, ties broken by the smallest label;
+    isolated nodes keep their own id. The argmax is a two-phase
+    aggregation over a min(struct(-count, label)) — partial aggregation
+    keeps a 10^6-degree hub's update at one state row per (node, label)
+    per map task, no per-node window sort anywhere. localCheckpoint
+    truncates lineage so round N's plan equals round 1's (same discipline
+    as the PageRank loop).
+    """
+    pairs = undirected_pairs(graph.edges)
+    adj = (
+        pairs.select(F.col('a').alias('node_id'), F.col('b').alias('nb'))
+        .unionByName(
+            pairs.select(F.col('b').alias('node_id'),
+                         F.col('a').alias('nb')))
+        .persist()
+    )
+    nodes = graph.nodes.select('node_id').persist()
+    labels = nodes.select(
+        'node_id', F.col('node_id').alias('community')) \
+        .localCheckpoint(eager=True)
+    for _ in range(n_iterations):
+        counts = (
+            adj.join(labels.select(F.col('node_id').alias('nb'),
+                                   'community'), on='nb')
+            .groupBy('node_id', 'community')
+            .agg(F.count(F.lit(1)).alias('cnt'))
+        )
+        best = (
+            counts.groupBy('node_id')
+            .agg(F.min(F.struct((-F.col('cnt')).alias('neg'),
+                                F.col('community').alias('community')))
+                 .alias('s'))
+            .select('node_id', F.col('s.community').alias('new_community'))
+        )
+        labels = (
+            labels.join(best, on='node_id', how='left')
+            .select('node_id',
+                    F.coalesce('new_community', 'community')
+                    .alias('community'))
+            .localCheckpoint(eager=True)
+        )
+    adj.unpersist()
+    nodes.unpersist()
+    return labels
+
+
+def community_sizes(graph: KG, n_iterations: int = 5) -> DataFrame:
+    """(community, n_nodes) rollup of :func:`label_propagation_communities`
+    — the scale-friendly summary (the per-node table is the detail
+    view)."""
+    return (
+        label_propagation_communities(graph, n_iterations)
+        .groupBy('community').agg(F.count(F.lit(1)).alias('n_nodes'))
+    )

@@ -256,3 +256,29 @@ def test_kcore_multi_round_cascade_on_sqlmirror(spark):
     core = analytics.k_core(KG(nodes, edges), k=10)
     ids = [r['node_id'] for r in core.collect()]
     assert sorted(ids) == list(range(500))
+
+
+def test_label_propagation_communities(spark):
+    """Two dense cliques joined by a single bridge edge: each clique
+    converges to its own min label; an isolated node keeps its own."""
+    from pybel_spark.ops import KG, analytics
+
+    clique_a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique_b = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = clique_a + clique_b + [(3, 10)]  # bridge
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(4)) + list(range(10, 14)) + [99]],
+        'node_id long')
+    edges_df = spark.createDataFrame(
+        edges, 'source_id long, target_id long')
+    comm = {r['node_id']: r['community']
+            for r in analytics.label_propagation_communities(
+                KG(nodes, edges_df), n_iterations=6).collect()}
+    assert all(comm[i] == 0 for i in range(4))
+    assert all(comm[i] == 10 for i in range(10, 14))
+    assert comm[99] == 99  # isolated node keeps its own label
+
+    sizes = {r['community']: r['n_nodes']
+             for r in analytics.community_sizes(
+                 KG(nodes, edges_df), n_iterations=6).collect()}
+    assert sizes == {0: 4, 10: 4, 99: 1}
