@@ -390,3 +390,30 @@ def test_to_web_from_web_round_trip(spark, result):
     import pytest as _pytest
     with _pytest.raises(ValueError, match='no user'):
         io_web.to_web(result.nodes, result.edges, host='https://x')
+
+
+def test_to_html_inline_visualization(spark, result):
+    """io_jupyter (reference io/jupyter/inline.py): self-contained HTML
+    with labeled, function-colored nodes and relation tooltips."""
+    import json as _json
+    import re
+
+    from pybel_spark import io_jupyter
+
+    html = io_jupyter.to_html(result.nodes, result.edges)
+    assert html.startswith('<!DOCTYPE html>')
+    payload = _json.loads(
+        re.search(r'var data = (\{.*?\});\n', html, re.S).group(1))
+    assert len(payload['nodes']) == result.nodes.count()
+    assert len(payload['links']) == result.edges.count()
+    bels = {r['node_bel'] for r in result.nodes.collect()}
+    assert {n['label'] for n in payload['nodes']} == bels
+    protein_colors = {n['color'] for n in payload['nodes']
+                      if n['label'].startswith('p(')}
+    assert protein_colors == {io_jupyter.DEFAULT_COLOR_MAP['Protein']}
+    assert io_jupyter.to_jupyter_str(result.nodes, result.edges) \
+        .startswith('<!DOCTYPE html>')
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match='max_nodes'):
+        io_jupyter.to_html(result.nodes, result.edges, max_nodes=2)
