@@ -799,3 +799,27 @@ def test_cap_per_domain(spark):
         by_domain[key] = by_domain.get(key, 0) + 1
     assert by_domain[False] == 50            # exactly the cap
     assert by_domain[True] == 10
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) over a structured zoo of
+    urls — the property that makes canonical urls usable as stable keys."""
+    from pybel_spark.textops import urls
+
+    rows = []
+    i = 0
+    for scheme in ('http', 'https', 'FTP'):
+        for host in ('A.B.example.COM:8080', 'x.co.uk', 'example.com'):
+            for path in ('', '/', '/a/', '/a/b.html'):
+                for q in ('', '?utm_source=1', '?b=2&utm_a=1&a=1', '?a='):
+                    for frag in ('', '#x'):
+                        rows.append((i, '{}://{}{}{}{}'.format(
+                            scheme, host, path, q, frag)))
+                        i += 1
+    docs = spark.createDataFrame(rows, 'doc_id long, url string')
+    once = urls.parse_urls(docs).select(
+        'doc_id', F.col('canonical_url').alias('url'))
+    twice = urls.parse_urls(once).select('doc_id', 'canonical_url')
+    joined = once.join(twice, on='doc_id')
+    bad = joined.where(F.col('url') != F.col('canonical_url')).collect()
+    assert bad == [], bad[:5]
