@@ -140,3 +140,52 @@ def test_kmv_merge_order_independent(batches, k):
         assert a[0] == b[0] == c[0]
         assert a[1] and b[1] and c[1]
         assert a[2] == b[2] == c[2]
+
+
+class TestMixtureThresholds:
+    """Pure-python properties of the md5-threshold sampling math
+    (textops.mixture) — no Spark session needed."""
+
+    def test_threshold_monotonic_and_bounded(self):
+        from hypothesis import given, strategies as st
+
+        from pybel_spark.textops.mixture import fraction_to_hex_threshold
+
+        @given(st.floats(min_value=0.0, max_value=1.0),
+               st.floats(min_value=0.0, max_value=1.0))
+        def check(f1, f2):
+            t1 = fraction_to_hex_threshold(f1)
+            t2 = fraction_to_hex_threshold(f2)
+            if f1 < f2:
+                assert t1 <= t2  # string order == numeric order by design
+            assert fraction_to_hex_threshold(0.0) <= t1 \
+                <= fraction_to_hex_threshold(1.0)
+
+        check()
+
+    def test_rate_matches_python_recomputation(self):
+        """The Spark-side keep decision is a plain string comparison any
+        engine reproduces: recompute it in pure python and check the
+        empirical rate lands in binomial bounds."""
+        import hashlib
+
+        from pybel_spark.textops.mixture import fraction_to_hex_threshold
+
+        frac = 0.3
+        thr = fraction_to_hex_threshold(frac)
+        kept = sum(
+            1 for i in range(20_000)
+            if hashlib.md5('0:{}'.format(i).encode()).hexdigest()[:8] < thr)
+        assert abs(kept / 20_000 - frac) < 0.02
+
+    def test_edge_fractions(self):
+        import hashlib
+
+        from pybel_spark.textops.mixture import fraction_to_hex_threshold
+
+        all_thr = fraction_to_hex_threshold(1.0)
+        none_thr = fraction_to_hex_threshold(0.0)
+        for i in range(100):
+            h = hashlib.md5('0:{}'.format(i).encode()).hexdigest()[:8]
+            assert h < all_thr       # 1.0 keeps everything
+            assert not (h < none_thr)  # 0.0 keeps nothing
