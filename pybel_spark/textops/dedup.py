@@ -481,3 +481,94 @@ def paragraph_dedup(docs: DataFrame, id_col='doc_id', text_col='text',
             '\n\n').alias(text_col))
         .select(F.col('doc_id').alias(id_col), text_col)
     )
+
+
+# --------------------------------------------------------------------- #
+# incremental near-dup: a persisted band index lets each new crawl batch
+# dedup against the WHOLE historical corpus without recomputing it —
+# signature cost is paid once per document ever, and the join reads only
+# the band partitions the new batch actually touches.
+
+def band_index_write(docs: DataFrame, path: str, id_col='doc_id',
+                     text_col='text', n=3, num_hashes=16,
+                     bands=4) -> None:
+    """Materialize the MinHash band table, parquet PARTITIONED BY band
+    (same serving pattern as similarity.ivf_index_write): signatures come
+    from the shuffle-free row-wise formulation, the only exchange is the
+    partitioned write. Parameters are recorded in a sidecar so probes
+    can't silently mismatch the index."""
+    import json
+
+    band_signatures(docs, id_col, text_col, n, num_hashes, bands) \
+        .write.mode('overwrite').partitionBy('band') \
+        .parquet(path + '/bands')
+    meta = json.dumps({'n': n, 'num_hashes': num_hashes,
+                       'bands': bands}).encode('utf8')
+    spark = docs.sparkSession
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path + '/params.json')
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(meta)
+    finally:
+        out.close()
+
+
+def _band_index_params(spark, path: str) -> dict:
+    import json
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path + '/params.json')
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        return json.loads(bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode('utf8'))
+    finally:
+        stream.close()
+
+
+def dedup_against_index(new_docs: DataFrame, path: str, id_col='doc_id',
+                        text_col='text') -> DataFrame:
+    """Candidate near-dup pairs of a NEW batch against a persisted band
+    index: (index_doc, new_doc) rows wherever a band bucket collides,
+    plus new-vs-new collisions within the batch.
+
+    Signature parameters come from the index sidecar (a mismatched probe
+    is impossible by construction). The historical side is read band-
+    partition-pruned and joined on the uniform (band, band_sig) key; the
+    new batch is typically orders of magnitude smaller than the corpus,
+    so the broadcastable side is the batch, never the index.
+    """
+    spark = new_docs.sparkSession
+    p = _band_index_params(spark, path)
+    new_sigs = band_signatures(new_docs, id_col, text_col,
+                               p['n'], p['num_hashes'], p['bands']).persist()
+    index = spark.read.parquet(path + '/bands')
+    cross = (
+        index.alias('old').join(
+            new_sigs.alias('new'), on=['band', 'band_sig'])
+        .where(F.col('old.doc_id') != F.col('new.doc_id'))
+        .select(F.col('old.doc_id').alias('doc_a'),
+                F.col('new.doc_id').alias('doc_b'))
+    )
+    within = (
+        new_sigs.alias('a').join(new_sigs.alias('b'),
+                                 on=['band', 'band_sig'])
+        .where(F.col('a.doc_id') < F.col('b.doc_id'))
+        .select(F.col('a.doc_id').alias('doc_a'),
+                F.col('b.doc_id').alias('doc_b'))
+    )
+    return cross.unionByName(within).distinct()
+
+
+def band_index_append(new_docs: DataFrame, path: str, id_col='doc_id',
+                      text_col='text') -> None:
+    """Fold a processed batch into the index (append to the same band
+    partitions) — the steady-state loop is: dedup_against_index →
+    keep survivors → band_index_append(survivors)."""
+    spark = new_docs.sparkSession
+    p = _band_index_params(spark, path)
+    band_signatures(new_docs, id_col, text_col,
+                    p['n'], p['num_hashes'], p['bands']) \
+        .write.mode('append').partitionBy('band').parquet(path + '/bands')

@@ -823,3 +823,58 @@ def test_canonical_url_idempotent(spark):
     joined = once.join(twice, on='doc_id')
     bad = joined.where(F.col('url') != F.col('canonical_url')).collect()
     assert bad == [], bad[:5]
+
+
+class TestBandIndex:
+    """Persisted band index: incremental near-dup without recomputing the
+    historical corpus; union of (cross, within-batch) candidates equals
+    the batch self-join over the full corpus."""
+
+    def test_incremental_equals_batch(self, spark, docs):
+        import shutil
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix='pybel_spark_bandidx_')
+        try:
+            old = docs.where(F.col('doc_id') <= 3)
+            new = docs.where(F.col('doc_id') > 3)
+            dedup.band_index_write(old, base)
+
+            got = {(r['doc_a'], r['doc_b']) for r in
+                   dedup.dedup_against_index(new, base).collect()}
+            want_all = {tuple(sorted((r['doc_a'], r['doc_b']))) for r in
+                        dedup.minhash_lsh_candidates(docs).collect()}
+            old_ids = {0, 1, 2, 3}
+            want = {p for p in want_all
+                    if not (p[0] in old_ids and p[1] in old_ids)}
+            assert {tuple(sorted(p)) for p in got} == want
+            # cross pairs put the historical doc first
+            for a, b in got:
+                if a in old_ids or b in old_ids:
+                    assert a in old_ids and b not in old_ids
+
+            # steady-state: append survivors, a re-probe of an identical
+            # batch now collides with them
+            dedup.band_index_append(new, base)
+            again = dedup.dedup_against_index(new, base)
+            assert again.count() >= len(got)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    def test_probe_reads_are_partition_pruned(self, spark, docs):
+        """Joining on the band partition column keeps the scan prunable;
+        the sidecar pins signature params so probes can't mismatch."""
+        import shutil
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix='pybel_spark_bandidx_')
+        try:
+            dedup.band_index_write(docs, base, bands=8, num_hashes=16)
+            p = dedup._band_index_params(spark, base)
+            assert p == {'n': 3, 'num_hashes': 16, 'bands': 8}
+            new = docs.limit(2)
+            pairs = dedup.dedup_against_index(new, base)
+            plan = pairs._jdf.queryExecution().executedPlan().toString()
+            assert 'PartitionFilters' in plan
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
