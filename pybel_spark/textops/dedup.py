@@ -572,3 +572,108 @@ def band_index_append(new_docs: DataFrame, path: str, id_col='doc_id',
     band_signatures(new_docs, id_col, text_col,
                     p['n'], p['num_hashes'], p['bands']) \
         .write.mode('append').partitionBy('band').parquet(path + '/bands')
+
+
+# --------------------------------------------------------------------- #
+# exact-substring (duplicated span) detection — the "Deduplicating
+# Training Data Makes Language Models Better" modality: find token spans
+# of length >= k that occur more than once across the corpus, merged to
+# maximal per-document spans. Unlike document/paragraph dedup this
+# catches partial overlap (a licence block pasted mid-page).
+
+def duplicated_kgram_positions(docs: DataFrame, k: int = 20,
+                               id_col='doc_id', text_col='text',
+                               min_df: int = 2) -> DataFrame:
+    """(doc_id, pos) of every token position starting a k-gram whose md5
+    occurs >= ``min_df`` times corpus-wide (counting every occurrence, so
+    a within-document repeat counts too). The k-gram hash is the group
+    key — uniform, skew-free; the heavy explode is map-side."""
+    from .tokenize import whitespace_tokens
+
+    toks = docs.select(F.col(id_col).alias('doc_id'),
+                       whitespace_tokens(text_col).alias('_toks'))
+    grams = (
+        toks.where(F.size('_toks') >= k)
+        .select('doc_id', F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.size('_toks') - k),
+            lambda i: F.md5(F.concat_ws(' ', F.slice(F.col('_toks'),
+                                                     i + 1, k)))))
+            .alias('pos', 'gram_md5'))
+    )
+    grams = grams.persist()
+    hot = (grams.groupBy('gram_md5')
+           .agg(F.count(F.lit(1)).alias('_df'))
+           .where(F.col('_df') >= min_df)
+           .select('gram_md5'))
+    return grams.join(hot, on='gram_md5', how='leftsemi') \
+        .select('doc_id', 'pos')
+
+
+def duplicate_spans(docs: DataFrame, k: int = 20, id_col='doc_id',
+                    text_col='text', min_df: int = 2) -> DataFrame:
+    """Maximal duplicated spans per document:
+    (doc_id, span_start, span_end_excl, n_tokens).
+
+    Consecutive duplicated k-gram starts merge via the islands trick —
+    within a document, positions sorted ascending get rank r; (pos - r)
+    is constant exactly on a run of consecutive positions, so one
+    groupBy on (doc_id, pos - r) yields each maximal run, and a run
+    [p0, p1] of starts covers tokens [p0, p1 + k). Window partitions are
+    per-document (bounded by document length), the rollup key is
+    uniform. Mirrors 1:1 into SQL for the oracle.
+    """
+    from pyspark.sql import Window
+
+    positions = duplicated_kgram_positions(docs, k, id_col, text_col,
+                                           min_df)
+    w = Window.partitionBy('doc_id').orderBy('pos')
+    return (
+        positions.withColumn('_r', F.row_number().over(w))
+        .withColumn('_island', F.col('pos') - F.col('_r'))
+        .groupBy('doc_id', '_island')
+        .agg(F.min('pos').alias('span_start'),
+             (F.max('pos') + k).alias('span_end_excl'))
+        .select('doc_id', 'span_start', 'span_end_excl',
+                (F.col('span_end_excl') - F.col('span_start'))
+                .alias('n_tokens'))
+    )
+
+
+def cut_duplicate_spans(docs: DataFrame, k: int = 20, id_col='doc_id',
+                        text_col='text', min_df: int = 2) -> DataFrame:
+    """Rewrite documents with every duplicated span's tokens removed
+    (the aggressive cut-all policy — pair with a keeper corpus or raise
+    ``min_df`` for softer variants). Documents left empty are dropped.
+
+    Token-level surgery: each doc joins only its OWN spans (join on the
+    id column), tokens are filtered by span membership in one projection
+    — no per-token explode of the corpus."""
+    from .tokenize import whitespace_tokens
+
+    spans = (
+        duplicate_spans(docs, k, id_col, text_col, min_df)
+        .groupBy('doc_id')
+        .agg(F.collect_list(F.struct('span_start', 'span_end_excl'))
+             .alias('_spans'))
+    )
+    toks = docs.select(F.col(id_col).alias('doc_id'),
+                       whitespace_tokens(text_col).alias('_toks'))
+    kept = (
+        toks.join(spans, on='doc_id', how='left')
+        .select(
+            'doc_id',
+            F.when(F.col('_spans').isNull(),
+                   F.array_join('_toks', ' '))
+            .otherwise(F.array_join(F.transform(F.filter(
+                F.transform(F.sequence(F.lit(0), F.size('_toks') - 1),
+                            lambda i: F.struct(
+                                i.alias('i'),
+                                F.col('_toks')[i].alias('t'))),
+                lambda s: ~F.exists(
+                    '_spans',
+                    lambda sp: (s['i'] >= sp['span_start'])
+                    & (s['i'] < sp['span_end_excl']))),
+                lambda s: s['t']), ' ')).alias(text_col))
+    )
+    return kept.where(F.length(text_col) > 0) \
+        .select(F.col('doc_id').alias(id_col), text_col)

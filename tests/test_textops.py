@@ -878,3 +878,59 @@ class TestBandIndex:
             assert 'PartitionFilters' in plan
         finally:
             shutil.rmtree(base, ignore_errors=True)
+
+
+class TestDuplicateSpans:
+    """Exact-substring dedup: duplicated k-gram spans across documents,
+    merged to maximal spans, plus the cut rewrite."""
+
+    def _df(self, spark):
+        shared = 'the quick brown fox jumps over the lazy sleeping dog'  # 10 tokens
+        rows = [
+            (0, 'alpha one two three ' + shared + ' tail zero end here'),
+            (1, 'beta four five ' + shared + ' different ending words'),
+            (2, 'gamma text with no duplicated material at all in it '
+                'padding padding2 padding3 padding4'),
+        ]
+        return spark.createDataFrame(rows, 'doc_id long, text string')
+
+    def test_spans_found_and_maximal(self, spark):
+        from pybel_spark.textops import dedup
+
+        spans = dedup.duplicate_spans(self._df(spark), k=10)
+        got = {r['doc_id']: (r['span_start'], r['span_end_excl'])
+               for r in spans.collect()}
+        # doc0: shared starts at token 4; doc1: at token 3 — exactly the
+        # 10 shared tokens, merged to ONE maximal span each
+        assert got == {0: (4, 14), 1: (3, 13)}
+        assert spans.count() == 2
+
+    def test_within_document_repeat_counts(self, spark):
+        from pybel_spark.textops import dedup
+
+        text = ' '.join(['w{}'.format(i) for i in range(10)])
+        df = spark.createDataFrame(
+            [(0, text + ' filler ' + text)], 'doc_id long, text string')
+        spans = dedup.duplicate_spans(df, k=10).collect()
+        assert len(spans) == 2  # both copies are duplicated spans
+
+    def test_cut_rewrite(self, spark):
+        from pybel_spark.textops import dedup
+
+        out = {r['doc_id']: r['text']
+               for r in dedup.cut_duplicate_spans(
+                   self._df(spark), k=10).collect()}
+        assert out[0] == 'alpha one two three tail zero end here'
+        assert out[1] == 'beta four five different ending words'
+        assert 'no duplicated material' in out[2]  # untouched
+
+    def test_no_false_positives_below_k(self, spark):
+        from pybel_spark.textops import dedup
+
+        # 9 shared tokens < k=10 → no span
+        shared = 'a b c d e f g h i'
+        df = spark.createDataFrame(
+            [(0, 'x0 x1 x2 ' + shared + ' y0 y1 y2 y3 y4 y5 y6'),
+             (1, 'z0 z1 z2 ' + shared + ' w0 w1 w2 w3 w4 w5 w6')],
+            'doc_id long, text string')
+        assert dedup.duplicate_spans(df, k=10).count() == 0
