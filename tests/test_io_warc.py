@@ -120,3 +120,31 @@ def test_missing_http_header_payload():
     rows = io_warc.warc_records_to_rows(rec)
     assert rows[0]['html'] == b'<p>raw</p>'
     assert rows[0]['warc_ts'].year == 2021
+
+
+def test_warc_parser_never_raises_on_arbitrary_bytes():
+    """Hypothesis fuzz: record iteration and row extraction are total
+    functions over bytes — damage yields fewer rows, never exceptions."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=2048))
+    def check(data):
+        rows = io_warc.warc_records_to_rows(data)
+        assert isinstance(rows, list)
+
+    check()
+
+
+def test_warc_parser_survives_corrupted_good_records():
+    """Truncating/flipping bytes of a valid archive at every offset
+    stride must never raise."""
+    good = io_warc.to_warc_bytes(
+        [{'url': 'https://a.example/1', 'html': b'<p>one</p>'},
+         {'url': 'https://a.example/2', 'html': b'<p>two</p>'}])
+    for cut in range(0, len(good), 7):
+        io_warc.warc_records_to_rows(good[:cut])
+    for flip in range(0, len(good), 11):
+        mutated = bytearray(good)
+        mutated[flip] ^= 0xFF
+        io_warc.warc_records_to_rows(bytes(mutated))

@@ -934,3 +934,48 @@ class TestDuplicateSpans:
              (1, 'z0 z1 z2 ' + shared + ' w0 w1 w2 w3 w4 w5 w6')],
             'doc_id long, text string')
         assert dedup.duplicate_spans(df, k=10).count() == 0
+
+
+class TestQualityClassifier:
+    """Learned quality filter: train on labeled seed docs, score the
+    corpus, filter by threshold."""
+
+    def _labeled_corpus(self, spark):
+        rows = []
+        for i in range(40):  # clean prose-like docs → label 1
+            rows.append((i, 'the data engine processes documents with '
+                            'careful quality signals and it is robust '
+                            'for large corpora in production use today',
+                         1))
+        for i in range(40, 80):  # spammy repetition → label 0
+            rows.append((i, ('buy now ' * 20).strip(), 0))
+        docs = spark.createDataFrame(
+            [(i, t) for i, t, _ in rows], 'doc_id long, text string')
+        labels = spark.createDataFrame(
+            [(i, y) for i, _, y in rows], 'doc_id long, label int')
+        return docs, labels
+
+    def test_train_score_filter(self, spark):
+        from pybel_spark.textops import classifier
+
+        docs, labels = self._labeled_corpus(spark)
+        # train on a subset; score everything
+        model = classifier.train_quality_classifier(
+            docs, labels.where('doc_id % 2 = 0'))
+        probs = {r['doc_id']: r['quality_prob']
+                 for r in classifier.score_quality(docs, model).collect()}
+        clean = [probs[i] for i in range(40)]
+        spam = [probs[i] for i in range(40, 80)]
+        assert min(clean) > max(spam)  # separable by construction
+
+        kept = classifier.filter_by_model(docs, model, threshold=0.5)
+        assert {r['doc_id'] for r in kept.collect()} == set(range(40))
+
+    def test_feature_table_columns(self, spark):
+        from pybel_spark.textops import classifier
+
+        docs, _ = self._labeled_corpus(spark)
+        feats = classifier.feature_table(docs)
+        for c in classifier.FEATURE_COLS:
+            assert c in feats.columns, c
+        assert feats.count() == docs.count()
