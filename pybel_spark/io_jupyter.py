@@ -131,8 +131,12 @@ def to_html(nodes, edges, width: int = DEFAULT_WIDTH,
     }
     import uuid
 
+    # '</' must not appear literally inside the <script> block: a node
+    # label containing '</script>' (labels come from parsed external
+    # documents) would otherwise break out of the script context
+    safe_payload = json.dumps(payload).replace('</', '<\\/')
     return _TEMPLATE.format(el='g' + uuid.uuid4().hex[:12],
-                            payload=json.dumps(payload),
+                            payload=safe_payload,
                             width=width, height=height)
 
 

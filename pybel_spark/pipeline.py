@@ -646,19 +646,29 @@ class _WriterLease:
         return False
 
     def acquire(self) -> '_WriterLease':
+        import json
+
         for _attempt in range(3):
             if self.fs.create_exclusive(_LOCK, self._payload()):
                 return self
-            cur = self._read()
-            if cur is None:
+            raw = self.fs.read_bytes(_LOCK)
+            if raw is None:
                 continue  # raced with a release; retry the create
+            try:
+                cur = json.loads(raw.decode('utf8'))
+            except ValueError:
+                cur = {}
             if not self._is_stale(cur):
                 raise ConcurrentWriteError(
                     'out_dir {} already has a live writer (pid {} on {}); '
                     'one writer per output directory — see CONCURRENCY.md'
                     .format(self.fs.out_dir, cur.get('pid'),
                             cur.get('host')))
-            self.fs.delete_file(_LOCK)  # break the stale lock, retry
+            # break the stale lock ONLY if it is still byte-identical to
+            # what we judged stale — a concurrent acquirer's fresh lock
+            # (different token/ts) is left alone and we retry instead
+            if self.fs.read_bytes(_LOCK) == raw:
+                self.fs.delete_file(_LOCK)
         raise ConcurrentWriteError(
             'could not acquire writer lock under ' + self.fs.out_dir)
 

@@ -317,8 +317,15 @@ def start_neardup_candidate_stream(spark, input_dir: str, out_dir: str,
     from .textops.dedup import band_signatures
 
     docs = read_document_stream(spark, input_dir, max_files_per_trigger)
+    # null-url docs must NOT collapse to one identity (their pairs would
+    # be silently suppressed by the seen-id dedup): fall back to a
+    # content-derived id — identical-content null-url docs are exact
+    # dups, which the exact-dedup stage owns anyway
     docs = docs.withColumn(
-        'doc_key', F.coalesce(F.col('url'), F.lit('')))
+        'doc_key', F.coalesce(
+            F.col('url'),
+            F.concat(F.lit('sha:'),
+                     F.md5(F.coalesce('text', F.lit(''))))))
     banded = band_signatures(docs, id_col='doc_key', text_col='text',
                              n=n, num_hashes=num_hashes, bands=bands)
 

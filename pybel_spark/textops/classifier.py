@@ -26,11 +26,17 @@ def feature_table(docs: DataFrame, id_col='doc_id',
     quality + repetition signals in one pass-join on the id column."""
     from .quality import quality_features, repetition_features
 
-    return (
+    joined = (
         quality_features(docs, id_col, text_col)
         .join(repetition_features(docs, id_col, text_col), on='doc_id')
-        .fillna(0.0, subset=[c for c in FEATURE_COLS])
     )
+    # normalize every feature to non-null double: fillna(0.0) silently
+    # skips integer columns (n_tokens, n_chars_computed), which would
+    # reach VectorAssembler as NULL for null-text docs and crash scoring
+    return joined.select(
+        'doc_id',
+        *[F.coalesce(F.col(c).cast('double'), F.lit(0.0)).alias(c)
+          for c in FEATURE_COLS])
 
 
 def train_quality_classifier(docs: DataFrame, labels: DataFrame,

@@ -119,15 +119,19 @@ def token_budget_select_approx(docs: DataFrame, budget_per_source: int,
     1. bucketize quality into ``n_bins`` (map-side),
     2. aggregate token sums per (source, bin) — partial aggregation, at
        most ``n_sources × n_bins`` rows ever shuffle,
-    3. driver-side: walk each source's histogram from the top bin down
-       and pick the lowest bin whose cumulative tokens still fit the
-       budget (a tiny loop over the cutoff table),
-    4. keep documents with quality in a strictly-above-cutoff bin — a
-       map-side filter against the broadcast cutoff table.
+    3. driver-side: walk each source's histogram from the top bin down —
+       full bins while they fit, then the BOUNDARY bin is taken
+       partially via the deterministic md5-threshold sample at the
+       leftover fraction (so a source whose top bin alone exceeds the
+       budget still contributes, instead of keeping nothing),
+    4. keep documents above the cutoff bin, or hash-sampled within it —
+       a map-side filter against the broadcast cutoff table.
 
-    Overshoot is bounded by one bin's token mass; no task ever holds more
-    than a histogram. This is the formulation that survives a source with
-    10^9+ documents.
+    The kept token mass is the budget in expectation; deviation is the
+    binomial noise of the boundary-bin sample (±√(boundary docs)·avg
+    tokens). No task ever holds more than a histogram. This is the
+    formulation that survives a source with 10^9+ documents; use
+    :func:`token_budget_select` when the budget must be a hard bound.
     """
     from .quality import quality_score
 
@@ -138,9 +142,14 @@ def token_budget_select_approx(docs: DataFrame, budget_per_source: int,
                     F.col(source_col).alias('source'),
                     _token_count(text_col).alias('n_tokens'))
         .join(quality, on='doc_id')
-        .withColumn('bin', F.least(
-            F.floor(F.col('quality_score') * n_bins).cast('int'),
-            F.lit(n_bins - 1)))
+        # NULL quality (e.g. empty text) must land in the LOWEST bin —
+        # F.least() skips nulls, which would otherwise promote garbage
+        # docs to the top bin (the exact path sorts them last: desc =
+        # nulls last)
+        .withColumn('bin', F.coalesce(
+            F.least(F.floor(F.col('quality_score') * n_bins).cast('int'),
+                    F.lit(n_bins - 1)),
+            F.lit(0)))
     )
     hist = (scored.groupBy('source', 'bin')
             .agg(F.sum('n_tokens').alias('bin_tokens'))
@@ -153,18 +162,28 @@ def token_budget_select_approx(docs: DataFrame, budget_per_source: int,
     cutoffs = []
     for source, bins in by_source.items():
         total = 0
-        cutoff = n_bins  # keep nothing unless a bin fits
+        cutoff = n_bins  # exclusive lower edge of the fully-kept bins
+        boundary_bin, boundary_thr = -1, fraction_to_hex_threshold(0.0)
         for b, tokens in sorted(bins, reverse=True):
             if total + tokens > budget_per_source:
+                # partial take of the first bin that no longer fits
+                leftover = budget_per_source - total
+                boundary_bin = b
+                boundary_thr = fraction_to_hex_threshold(
+                    leftover / tokens if tokens else 0.0)
                 break
             total += tokens
             cutoff = b
-        cutoffs.append((source, cutoff))
+        cutoffs.append((source, cutoff, boundary_bin, boundary_thr))
 
     spark = docs.sparkSession
-    cutoff_df = spark.createDataFrame(cutoffs, 'source string, cutoff int')
+    cutoff_df = spark.createDataFrame(
+        cutoffs,
+        'source string, cutoff int, boundary_bin int, boundary_thr string')
     return (
         scored.join(F.broadcast(cutoff_df), on='source')
-        .where(F.col('bin') >= F.col('cutoff'))
+        .where((F.col('bin') >= F.col('cutoff'))
+               | ((F.col('bin') == F.col('boundary_bin'))
+                  & (sampling_hash('doc_id') < F.col('boundary_thr'))))
         .select('doc_id', 'source', 'n_tokens', 'quality_score')
     )

@@ -123,9 +123,15 @@ def quality_features(docs: DataFrame, id_col='doc_id',
         F.col(id_col).alias('doc_id'),
         n_chars.alias('n_chars_computed'),
         n_tokens.alias('n_tokens'),
-        (token_chars.cast('double') / n_tokens).alias('mean_token_len'),
-        (stop_hits.cast('double') / n_tokens).alias('stopword_ratio'),
-        (alpha_chars.cast('double') / n_chars).alias('alpha_ratio'),
+        # denominators guarded with greatest(..., 1): an EMPTY document
+        # (n_chars 0) must yield a zero ratio, not an ANSI-mode
+        # divide-by-zero that kills the whole corpus job
+        (token_chars.cast('double') / F.greatest(n_tokens, F.lit(1)))
+        .alias('mean_token_len'),
+        (stop_hits.cast('double') / F.greatest(n_tokens, F.lit(1)))
+        .alias('stopword_ratio'),
+        (alpha_chars.cast('double') / F.greatest(n_chars, F.lit(1)))
+        .alias('alpha_ratio'),
     )
 
 

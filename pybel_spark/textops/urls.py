@@ -34,6 +34,16 @@ def url_host(col) -> Column:
         col, r'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1))
 
 
+def url_port(col) -> Column:
+    """Explicit port string ('' when absent)."""
+    return F.regexp_extract(
+        col, r'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:(\d+)', 1)
+
+
+#: scheme → default port, dropped during canonicalization
+DEFAULT_PORTS = {'http': '80', 'https': '443'}
+
+
 def url_path(col) -> Column:
     return F.regexp_extract(
         col, r'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1)
@@ -64,15 +74,24 @@ def registered_domain(col) -> Column:
 
 
 def canonical_url(col) -> Column:
-    """Stable page identity: lowercase scheme/host, default ports and
+    """Stable page identity: lowercase scheme/host, DEFAULT ports and
     fragments dropped, tracking params stripped, trailing slash trimmed
-    (except the bare root path)."""
+    (except the bare root path). Non-default ports are KEPT — host:8080
+    and host are distinct origins serving potentially distinct content
+    (code-review r4 finding)."""
+    scheme = url_scheme(col)
+    port = url_port(col)
+    is_default = F.lit(False)
+    for s, p in DEFAULT_PORTS.items():
+        is_default = is_default | ((scheme == s) & (port == p))
+    port_part = F.when((port == '') | is_default, F.lit('')) \
+        .otherwise(F.concat(F.lit(':'), port))
     path = url_path(col)
     path = F.when(path == '', F.lit('/')).otherwise(
         F.regexp_replace(path, r'(.)/$', r'$1'))
     cq = clean_query(col)
     return F.concat(
-        url_scheme(col), F.lit('://'), url_host(col), path,
+        scheme, F.lit('://'), url_host(col), port_part, path,
         F.when(cq != '', F.concat(F.lit('?'), cq)).otherwise(F.lit('')))
 
 

@@ -639,8 +639,11 @@ class TestMixture:
             got = mixture.token_budget_select_approx(docs, budget)
             per_source = got.groupBy('source').agg(
                 F.sum('n_tokens').alias('tok')).collect()
+            # fully-kept bins stay within budget; the boundary bin is
+            # hash-sampled at the leftover fraction, so the total tracks
+            # the budget in expectation (binomial noise)
             for r in per_source:
-                assert r['tok'] <= budget, r
+                assert 0 < r['tok'] <= 2 * budget, r
             # a budget that fits everything keeps everything
             all_rows = mixture.token_budget_select_approx(docs, 10 ** 9)
             assert all_rows.count() == docs.count()
@@ -979,3 +982,56 @@ class TestQualityClassifier:
         for c in classifier.FEATURE_COLS:
             assert c in feats.columns, c
         assert feats.count() == docs.count()
+
+
+def test_token_budget_approx_null_quality_goes_to_bottom_bin(spark):
+    """Empty-text docs (NULL quality) must never be promoted into the
+    top histogram bin (code-review r4: F.least skips nulls)."""
+    from pybel_spark.textops import mixture
+
+    rows = [(i, 's', 'the data engine runs fine with many good tokens '
+                     'in this document for scoring') for i in range(10)]
+    rows += [(100 + i, 's', '') for i in range(5)]  # NULL-quality docs
+    docs = spark.createDataFrame(rows, 'doc_id long, source string, text string')
+    kept = mixture.token_budget_select_approx(docs, budget_per_source=60)
+    ids = {r['doc_id'] for r in kept.collect()}
+    assert ids and all(i < 100 for i in ids)  # only real docs selected
+
+
+def test_classifier_handles_null_text(spark):
+    """Null-text docs must score (low), not crash VectorAssembler
+    (code-review r4: fillna(0.0) skips integer columns)."""
+    from pybel_spark.textops import classifier
+
+    rows = [(i, 'clean prose with the quality words and structure here '
+                'for the model to learn from today', 1) for i in range(20)]
+    rows += [(100 + i, ('spam spam ' * 15).strip(), 0) for i in range(20)]
+    docs = spark.createDataFrame([(i, t) for i, t, _ in rows],
+                                 'doc_id long, text string')
+    labels = spark.createDataFrame([(i, y) for i, _, y in rows],
+                                   'doc_id long, label int')
+    model = classifier.train_quality_classifier(docs, labels)
+    with_null = docs.unionByName(spark.createDataFrame(
+        [(999, None)], 'doc_id long, text string'))
+    probs = {r['doc_id']: r['quality_prob']
+             for r in classifier.score_quality(with_null, model).collect()}
+    assert 999 in probs  # scored, not crashed
+
+
+def test_canonical_url_keeps_nondefault_ports(spark):
+    """host:8080 and host are distinct origins (code-review r4)."""
+    from pybel_spark.textops import urls
+
+    df = spark.createDataFrame(
+        [(0, 'http://example.com:8080/x'),
+         (1, 'http://example.com/x'),
+         (2, 'http://example.com:80/x'),       # default -> dropped
+         (3, 'https://example.com:443/x')],    # default -> dropped
+        'doc_id long, url string')
+    canon = {r['doc_id']: r['canonical_url']
+             for r in urls.parse_urls(df).collect()}
+    assert canon[0] == 'http://example.com:8080/x'
+    assert canon[1] == 'http://example.com/x'
+    assert canon[0] != canon[1]
+    assert canon[2] == canon[1]
+    assert canon[3] == 'https://example.com/x'
