@@ -24,7 +24,11 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity; a ZERO vector (failed/placeholder embedding —
+    guaranteed to occur at corpus scale) yields 0.0 instead of an
+    ANSI-mode divide-by-zero that would kill the whole ANN job."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def cosine_topk(vectors: DataFrame, k=5, query_ids=None,

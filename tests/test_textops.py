@@ -1035,3 +1035,18 @@ def test_canonical_url_keeps_nondefault_ports(spark):
     assert canon[0] != canon[1]
     assert canon[2] == canon[1]
     assert canon[3] == 'https://example.com/x'
+
+
+def test_cosine_zero_vector_yields_zero_not_error(spark):
+    """A zero/placeholder embedding must not kill the job under ANSI
+    mode (divide-by-zero): its similarity to everything is 0.0."""
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0]), (2, [1.0, 1.0, 0.0])]
+    vecs = spark.createDataFrame(rows, 'vec_id long, embedding array<double>')
+    out = similarity.cosine_topk(vecs, k=2).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r['vec_id'], []).append(r)
+    # the zero vector scores 0 against everyone but the query completes
+    assert {r['neighbor_id'] for r in by_query[1]} <= {0, 2}
+    sims = {(r['vec_id'], r['neighbor_id']): r['similarity'] for r in out}
+    assert sims[(0, 1)] == 0.0 and sims[(1, 0)] == 0.0
