@@ -9,14 +9,18 @@ at tens of MB. When the combined dictionaries outgrow executor memory
 1. explode every concept mention out of the node table
    (ops.summary.iter_node_concepts — recursing into variants, fusions,
    members, reactions);
-2. **salted-hash repartition on the namespace key** before the join — a
-   handful of namespaces (HGNC, GO, CHEBI) dominate mentions, so a plain
-   hash partition on namespace sends most rows to 3 reducers; salting
-   spreads each hot namespace over ``salt_buckets`` partitions (the
-   north-star's "salted-hash repartition to defuse hot-namespace skew"),
-   with AQE skew-join as the runtime backstop;
-3. equi-join on (namespace, lowercased name) against the terms table —
-   broadcast when it fits, shuffle otherwise.
+2. **salted shuffle join** — the join key is (namespace, name), so
+   namespace-level skew is already spread across names; the residual hot
+   key is a single ubiquitous MENTION (one protein cited in 10^9 pages).
+   With ``salt_buckets`` the mention side gains a row-hash salt column
+   and the (small) terms side is exploded across the salt domain, so the
+   join key becomes (namespace, name, salt) and even one mega-mention
+   spreads over ``salt_buckets`` reducers (the north-star's salted-hash
+   skew defusal, applied where it actually binds), with AQE skew-join as
+   the runtime backstop;
+3. equi-join on (namespace, case-sensitive name — matching the reference
+   grammar's dict probe) against the terms table — broadcast when it
+   fits, shuffle otherwise.
 
 Reference: the lookups in parser/parse_concept.py + the namespace manager
 (manager/), re-expressed as relational joins.
@@ -24,7 +28,6 @@ Reference: the lookups in parser/parse_concept.py + the namespace manager
 from pyspark.sql import DataFrame, functions as F
 
 from .ops.summary import iter_node_concepts
-from .skew import repartition_salted
 
 
 def namespace_terms_table(spark, catalog, namespace_urls) -> DataFrame:
@@ -50,15 +53,25 @@ def ground_concepts_join(nodes: DataFrame, terms: DataFrame,
     salted so hot namespaces cannot pin a reducer.
     """
     concepts = iter_node_concepts(nodes)
-    if salt_buckets:
-        concepts = repartition_salted(concepts, 'namespace', salt_buckets)
-    terms_side = F.broadcast(terms) if broadcast_terms else terms
-    joined = concepts.join(
-        terms_side.withColumnRenamed('name', '_term_name')
-        .withColumnRenamed('namespace', '_term_ns'),
-        on=[concepts['namespace'] == F.col('_term_ns'),
-            concepts['name'] == F.col('_term_name')],
-        how='left')
+    terms_side = terms.withColumnRenamed('name', '_term_name') \
+        .withColumnRenamed('namespace', '_term_ns')
+    join_cond = [concepts['namespace'] == F.col('_term_ns'),
+                 concepts['name'] == F.col('_term_name')]
+    if broadcast_terms:
+        terms_side = F.broadcast(terms_side)
+    elif salt_buckets:
+        # genuine hot-KEY salting: a bare repartition before the join is
+        # discarded by the join's own exchange (code-review r4) — instead
+        # the salt joins as part of the key: mentions get a row-hash
+        # salt, the dictionary side is exploded across the salt domain
+        concepts = concepts.withColumn(
+            '_salt', F.pmod(F.xxhash64(F.col('node_id')),
+                            F.lit(salt_buckets)).cast('int'))
+        terms_side = terms_side.withColumn(
+            '_salt',
+            F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
+        join_cond = join_cond + [concepts['_salt'] == terms_side['_salt']]
+    joined = concepts.join(terms_side, on=join_cond, how='left')
     return joined.select(
         'node_id', 'namespace', 'name', 'identifier', 'encoding',
         F.col('encoding').isNotNull().alias('is_grounded'))

@@ -69,12 +69,21 @@ def synthetic_graph_sqlmirror(spark, n_nodes: int, avg_out_degree: int = 8,
     t, a circulant graph (i, (i+j) % C for j in 1..t) over the first C
     nodes is unioned in: its uniform degree 2t survives a k<=2t core
     peel while the tree-ish bulk cascades away over many rounds — the
-    multi-round k-core oracle shape. All values stay < 2^52: exact in
-    any engine's bigint OR double arithmetic.
+    multi-round k-core oracle shape. The intermediate ``edge_id ×
+    multiplier`` product must stay < 2^52 for engines that evaluate the
+    modulo in doubles to agree bit-for-bit with bigint engines — enforced
+    below (≈ 212k nodes at d=8 with the default multiplier); larger
+    oracle graphs need a smaller multiplier.
 
     Returns (nodes, edges) DataFrames shaped like KG members.
     """
     d = avg_out_degree
+    if (n_nodes * d - 1) * multiplier >= 2 ** 52:
+        raise ValueError(
+            'edge_id*multiplier reaches {:.2e} >= 2^52: a double-precision '
+            'oracle engine would round the product and diverge from '
+            'bigint arithmetic — lower n_nodes or the multiplier'.format(
+                float((n_nodes * d - 1) * multiplier)))
     src = F.expr('id div {}'.format(d))
     if block_size is None:
         tgt = (F.col('id') * F.lit(multiplier)) % (src + F.lit(1))

@@ -44,17 +44,18 @@ def collapse_by_mapping(graph: KG, mapping: DataFrame) -> KG:
                          'object_modifier'])
     )
     # source/target bel strings become stale for rewired rows; refresh them
+    # no forced broadcast: the node table is knowledge-sized but can
+    # still exceed the driver at KG scale — let the size threshold / AQE
+    # pick the strategy (code-review r4)
     node_bels = graph.nodes.select('node_id', 'node_bel')
     edges = (
         edges.drop('source_bel')
-        .join(F.broadcast(node_bels
-                          .withColumnRenamed('node_id', 'source_id')
-                          .withColumnRenamed('node_bel', 'source_bel')),
+        .join(node_bels.withColumnRenamed('node_id', 'source_id')
+              .withColumnRenamed('node_bel', 'source_bel'),
               on='source_id', how='left')
         .drop('target_bel')
-        .join(F.broadcast(node_bels
-                          .withColumnRenamed('node_id', 'target_id')
-                          .withColumnRenamed('node_bel', 'target_bel')),
+        .join(node_bels.withColumnRenamed('node_id', 'target_id')
+              .withColumnRenamed('node_bel', 'target_bel'),
               on='target_id', how='left')
     )
     nodes = graph.nodes.join(

@@ -33,14 +33,18 @@ def induce_by_nodes(graph: KG, node_ids: DataFrame) -> KG:
     set (double semi-join), nodes restricted to the set
     (reference struct/mutation/induction/utils.py:34-46)."""
     ids = node_ids.select(F.col(node_ids.columns[0]).alias('node_id')).distinct()
+    # no forced broadcast: the id set can be ~the whole graph (e.g.
+    # get_largest_component feeds the giant component here) — a forced
+    # hint ignores autoBroadcastJoinThreshold and OOMs the driver; Spark
+    # still auto-broadcasts small sets under the threshold / via AQE
     edges = (
         graph.edges
-        .join(F.broadcast(ids).withColumnRenamed('node_id', 'source_id'),
+        .join(ids.withColumnRenamed('node_id', 'source_id'),
               on='source_id', how='leftsemi')
-        .join(F.broadcast(ids).withColumnRenamed('node_id', 'target_id'),
+        .join(ids.withColumnRenamed('node_id', 'target_id'),
               on='target_id', how='leftsemi')
     )
-    nodes = graph.nodes.join(F.broadcast(ids), on='node_id', how='leftsemi')
+    nodes = graph.nodes.join(ids, on='node_id', how='leftsemi')
     return KG(nodes, edges)
 
 

@@ -14,6 +14,16 @@ import struct
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _unit_rows(arr):
+    """Row-normalize a 2-D numpy array; ZERO rows stay zero instead of
+    becoming NaN (a single placeholder embedding must not poison every
+    argmax/assignment downstream — code-review r4)."""
+    import numpy as np
+
+    norms = np.linalg.norm(arr, axis=1, keepdims=True)
+    return arr / np.where(norms == 0, 1.0, norms)
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
@@ -90,7 +100,16 @@ def lsh_signatures(vectors: DataFrame, n_planes=4, n_tables=8, seed=7,
     import numpy as np
     import pandas as pd
 
-    sample = vectors.select(F.size(vec_col).alias('d')).first()
+    sample = vectors.where(F.col(vec_col).isNotNull()) \
+        .select(F.size(vec_col).alias('d')).first()
+    if sample is None:  # empty input: empty signatures, not a TypeError
+        from pyspark.sql.types import StringType, StructField, StructType
+        id_field = vectors.schema[id_col]
+        vec_field = vectors.schema[vec_col]
+        return vectors.sparkSession.createDataFrame([], StructType([
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField(vec_col, vec_field.dataType, vec_field.nullable),
+            StructField('lsh_bucket', StringType(), False)]))
     dim = sample['d']
     # (dim, n_tables*n_planes) weight matrix, deterministic from seed
     planes = np.array([
@@ -211,8 +230,18 @@ def embedding_near_duplicates(vectors: DataFrame, threshold=0.95,
     else:
         sigs = lsh_signatures(vectors, n_planes, n_tables, seed,
                               id_col, vec_col)
+        # salt the self-join: a plain lsh_bucket key has at most
+        # n_tables × 2^n_planes distinct values (≤128 reducers no matter
+        # the cluster) and hot boilerplate buckets pin stragglers — the
+        # same treatment as lsh_topk/ivf_topk (code-review r4)
+        n_salt = 32
+        x = sigs.withColumn(
+            '_salt', F.pmod(F.xxhash64(F.col(id_col).cast('string')),
+                            F.lit(n_salt)).cast('int'))
+        y = sigs.withColumn(
+            '_salt', F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
         pairs = (
-            sigs.alias('x').join(sigs.alias('y'), on='lsh_bucket')
+            x.alias('x').join(y.alias('y'), on=['lsh_bucket', '_salt'])
             .where(F.col('x.{}'.format(id_col)) < F.col('y.{}'.format(id_col)))
             .select(F.col('x.{}'.format(id_col)).alias('vec_a'),
                     F.col('y.{}'.format(id_col)).alias('vec_b'),
@@ -273,7 +302,7 @@ def ivf_assignments(vectors: DataFrame, n_lists=16, seed=7,
     centroids = np.array([list(r[vec_col]) for r in seeds], dtype=np.float64)
 
     def assign_factory(cents):
-        normed = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        normed = _unit_rows(cents)
 
         def assign(batches):
             import pandas as pd
@@ -281,7 +310,7 @@ def ivf_assignments(vectors: DataFrame, n_lists=16, seed=7,
                 if not len(pdf):
                     continue
                 emb = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-                emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+                emb_n = _unit_rows(emb)
                 lists = np.argmax(emb_n @ normed.T, axis=1)
                 yield pd.DataFrame({
                     id_col: pdf[id_col],
@@ -290,7 +319,10 @@ def ivf_assignments(vectors: DataFrame, n_lists=16, seed=7,
                 })
         return assign
 
-    schema = '{} long, {} array<float>, list_id int'.format(id_col, vec_col)
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    vec_type = vectors.schema[vec_col].dataType.simpleString()
+    schema = '{} {}, {} {}, list_id int'.format(
+        id_col, id_type, vec_col, vec_type)
     assignments = vectors.select(id_col, vec_col) \
         .mapInPandas(assign_factory(centroids), schema=schema)
     for _ in range(refine_iterations):
@@ -342,7 +374,7 @@ def ivf_topk(vectors: DataFrame, k=5, n_lists=16, n_probe=4, seed=7,
     if query_ids is not None:
         queries = queries.where(F.col('q_id').isin(list(query_ids)))
 
-    normed = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    normed = _unit_rows(centroids)
     n_probe_eff = min(n_probe, len(centroids))
 
     def probe(batches):
@@ -351,7 +383,7 @@ def ivf_topk(vectors: DataFrame, k=5, n_lists=16, n_probe=4, seed=7,
             if not len(pdf):
                 continue
             emb = np.array(pdf['q_vec'].tolist(), dtype=np.float64)
-            emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            emb_n = _unit_rows(emb)
             sims = emb_n @ normed.T
             # stable sort: ties probe the lower list_id, deterministically
             order = np.argsort(-sims, axis=1, kind='stable')[:, :n_probe_eff]
@@ -362,7 +394,9 @@ def ivf_topk(vectors: DataFrame, k=5, n_lists=16, n_probe=4, seed=7,
             })
 
     probes = queries.mapInPandas(
-        probe, schema='q_id long, q_vec array<float>, list_id int')
+        probe, schema='q_id {}, q_vec {}, list_id int'.format(
+            vectors.schema[id_col].dataType.simpleString(),
+            vectors.schema[vec_col].dataType.simpleString()))
     join_keys = ['list_id']
     if query_ids is not None:
         probes = F.broadcast(probes)  # small filtered query set
@@ -469,12 +503,20 @@ def ivf_index_topk(spark, path: str, k=5, n_probe=4, query_ids=None,
     if queries is None:
         queries = assignments.select(F.col(id_col).alias('q_id'),
                                      F.col(vec_col).alias('q_vec'))
-        if query_ids is not None:
-            queries = queries.where(F.col('q_id').isin(list(query_ids)))
+    elif {'q_id', 'q_vec'} <= set(queries.columns):
+        queries = queries.select('q_id', 'q_vec')  # documented shape
+    else:
+        queries = queries.select(F.col(id_col).alias('q_id'),
+                                 F.col(vec_col).alias('q_vec'))
+    if query_ids is not None:
+        # applies to EXTERNAL query DataFrames too (code-review r4: the
+        # ids were silently ignored there while still forcing the
+        # broadcast of the unfiltered set)
+        queries = queries.where(F.col('q_id').isin(list(query_ids)))
     if broadcast_queries is None:
         broadcast_queries = query_ids is not None
 
-    normed = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    normed = _unit_rows(centroids)
     n_probe_eff = min(n_probe, len(centroids))
 
     def probe(batches):
@@ -483,7 +525,7 @@ def ivf_index_topk(spark, path: str, k=5, n_probe=4, query_ids=None,
             if not len(pdf):
                 continue
             emb = np.array(pdf['q_vec'].tolist(), dtype=np.float64)
-            emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            emb_n = _unit_rows(emb)
             sims = emb_n @ normed.T
             order = np.argsort(-sims, axis=1, kind='stable')[:, :n_probe_eff]
             yield pd.DataFrame({
@@ -493,7 +535,9 @@ def ivf_index_topk(spark, path: str, k=5, n_probe=4, query_ids=None,
             })
 
     probes = queries.mapInPandas(
-        probe, schema='q_id long, q_vec array<float>, list_id int').persist()
+        probe, schema='q_id {}, q_vec {}, list_id int'.format(
+            assignments.schema[id_col].dataType.simpleString(),
+            assignments.schema[vec_col].dataType.simpleString()))
     probed_lists = [r['list_id']
                     for r in probes.select('list_id').distinct().collect()]
     # the IN filter on the partition column prunes unprobed index files

@@ -1050,3 +1050,51 @@ def test_cosine_zero_vector_yields_zero_not_error(spark):
     assert {r['neighbor_id'] for r in by_query[1]} <= {0, 2}
     sims = {(r['vec_id'], r['neighbor_id']): r['similarity'] for r in out}
     assert sims[(0, 1)] == 0.0 and sims[(1, 0)] == 0.0
+
+
+class TestSimilarityRobustness:
+    """code-review r4 regressions: zero vectors, non-long ids, external
+    query filtering, empty inputs."""
+
+    def test_ivf_survives_zero_vector(self, spark):
+        rows = [(i, [float(i % 7 + 1), float(i % 3), 1.0])
+                for i in range(40)]
+        rows.append((99, [0.0, 0.0, 0.0]))  # placeholder embedding
+        vecs = spark.createDataFrame(
+            rows, 'vec_id long, embedding array<double>')
+        assignments, _ = similarity.ivf_assignments(
+            vecs, n_lists=4, refine_iterations=1)
+        n_lists_used = assignments.select('list_id').distinct().count()
+        assert n_lists_used > 1  # NaN centroid would collapse all to one
+        out = similarity.ivf_topk(vecs, k=3, n_lists=4,
+                                  query_ids=[0, 99]).collect()
+        assert out  # completes; zero vector scores 0 everywhere
+
+    def test_ivf_string_ids(self, spark):
+        rows = [('doc{}'.format(i), [float(i + 1), 1.0]) for i in range(12)]
+        vecs = spark.createDataFrame(
+            rows, 'vec_id string, embedding array<double>')
+        out = similarity.ivf_topk(vecs, k=2, n_lists=2,
+                                  query_ids=['doc0', 'doc5']).collect()
+        assert {r['vec_id'] for r in out} == {'doc0', 'doc5'}
+
+    def test_ivf_index_external_queries_respect_query_ids(self, spark,
+                                                          tmp_path):
+        rows = [(i, [float(i + 1), 1.0]) for i in range(16)]
+        vecs = spark.createDataFrame(
+            rows, 'vec_id long, embedding array<float>')
+        path = str(tmp_path / 'ivf')
+        similarity.ivf_index_write(vecs, path, n_lists=2)
+        external = spark.createDataFrame(
+            [(100, [3.0, 1.0]), (101, [9.0, 1.0]), (102, [1.0, 5.0])],
+            'vec_id long, embedding array<float>')
+        out = similarity.ivf_index_topk(
+            spark, path, k=2, queries=external, query_ids=[100, 102])
+        got_ids = {r['vec_id'] for r in out.collect()}
+        assert got_ids == {100, 102}  # 101 filtered out, not ignored
+
+    def test_lsh_empty_input(self, spark):
+        empty = spark.createDataFrame(
+            [], 'vec_id long, embedding array<double>')
+        assert similarity.lsh_signatures(empty).count() == 0
+        assert similarity.lsh_topk(empty, k=3).count() == 0
