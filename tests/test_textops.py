@@ -1098,3 +1098,59 @@ class TestSimilarityRobustness:
             [], 'vec_id long, embedding array<double>')
         assert similarity.lsh_signatures(empty).count() == 0
         assert similarity.lsh_topk(empty, k=3).count() == 0
+
+
+class TestNgramPerplexity:
+    """CCNet-style n-gram LM perplexity filter (textops.ngram_lm)."""
+
+    def _corpora(self, spark):
+        ref_rows = [(i, 'the engine reads the data and the engine writes '
+                        'the data') for i in range(20)]
+        ref = spark.createDataFrame(ref_rows, 'doc_id long, text string')
+        test_rows = [
+            (0, 'the engine reads the data'),              # in-distribution
+            (1, 'zq xv qqj kpl wmo zzv'),                  # out-of-distribution
+            (2, 'the engine writes the data'),             # in-distribution
+        ]
+        return ref, spark.createDataFrame(test_rows, 'doc_id long, text string')
+
+    def test_perplexity_orders_by_distribution_fit(self, spark):
+        from pybel_spark.textops import ngram_lm
+
+        ref, test = self._corpora(spark)
+        lm = ngram_lm.train_ngram_lm(ref)
+        ppl = {r['doc_id']: r['perplexity']
+               for r in ngram_lm.score_perplexity(test, lm).collect()}
+        assert ppl[0] < ppl[1] and ppl[2] < ppl[1]
+        assert all(p > 0 for p in ppl.values())
+
+        kept = ngram_lm.filter_by_perplexity(
+            test, lm, max_perplexity=(ppl[0] + ppl[1]) / 2)
+        assert {r['doc_id'] for r in kept.collect()} == {0, 2}
+
+    def test_matches_python_recomputation(self, spark):
+        """Bit-level check of the smoothing formula on a tiny model."""
+        import math
+
+        from pybel_spark.textops import ngram_lm
+
+        ref = spark.createDataFrame([(0, 'a b a b a c')],
+                                    'doc_id long, text string')
+        lm = ngram_lm.train_ngram_lm(ref)
+        counts = {(r['context'], r['word']): r['c'] for r in lm.collect()}
+        # model: (<s>,a):1 (a,b):2 (b,a):2 (a,c):1
+        assert counts == {('<s>', 'a'): 1, ('a', 'b'): 2, ('b', 'a'): 2,
+                          ('a', 'c'): 1}
+        V = ngram_lm.lm_vocab_size(lm)  # {a,b,c} + 1 = 4
+        assert V == 4
+        test = spark.createDataFrame([(9, 'a b x')], 'doc_id long, text string')
+        got = ngram_lm.score_perplexity(test, lm, vocab_size=V).collect()[0]
+        ctx_tot = {'<s>': 1, 'a': 3, 'b': 2}
+        logps = [
+            math.log((1 + 1) / (ctx_tot['<s>'] + V)),  # <s> a  (seen)
+            math.log((2 + 1) / (ctx_tot['a'] + V)),    # a b    (seen)
+            math.log((0 + 1) / (ctx_tot['b'] + V)),    # b x    (unseen word)
+        ]
+        want = round(math.exp(-sum(logps) / len(logps)), 6)
+        assert got['n_scored'] == 3
+        assert abs(got['perplexity'] - want) < 1e-6
