@@ -97,3 +97,41 @@ def filter_by_perplexity(docs: DataFrame, lm: DataFrame,
             .where(F.col('perplexity') <= max_perplexity)
             .select(F.col('doc_id').alias(id_col)))
     return docs.join(keep, on=id_col, how='leftsemi')
+
+
+def source_divergence(docs: DataFrame, source_col='source',
+                      text_col='text') -> DataFrame:
+    """(source, n_tokens, kl_divergence) — Laplace-smoothed unigram KL
+    of each source's token distribution against the whole corpus: the
+    mixture-drift monitor (which sources look least like the blend).
+
+    Exact smoothed KL needs every (source, vocab-word) pair: the vocab
+    table (one row per distinct corpus word) joins against the
+    source list — n_sources × |V| rows, fine for the dozens-of-sources
+    mixture shape this monitors; the underlying counts are plain
+    uniform-key aggregations."""
+    words = docs.select(
+        F.col(source_col).alias('source'),
+        F.explode(F.transform(whitespace_tokens(text_col),
+                              lambda t: F.lower(t))).alias('word'))
+    counts_s = words.groupBy('source', 'word') \
+        .agg(F.count(F.lit(1)).alias('c_s'))
+    counts_g = words.groupBy('word').agg(F.count(F.lit(1)).alias('c_g'))
+    totals_s = counts_s.groupBy('source').agg(F.sum('c_s').alias('n_s'))
+    n_g = words.count()
+    vocab_size = counts_g.count()
+
+    full = (
+        totals_s.crossJoin(counts_g)
+        .join(counts_s, on=['source', 'word'], how='left')
+        .withColumn('p', (F.coalesce('c_s', F.lit(0)) + 1).cast('double')
+                    / (F.col('n_s') + vocab_size))
+        .withColumn('q', (F.col('c_g') + 1).cast('double')
+                    / F.lit(float(n_g + vocab_size)))
+    )
+    return (
+        full.groupBy('source')
+        .agg(F.first('n_s').alias('n_tokens'),
+             F.round(F.sum(F.col('p') * F.log(F.col('p') / F.col('q'))), 6)
+             .alias('kl_divergence'))
+    )

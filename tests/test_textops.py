@@ -1154,3 +1154,22 @@ class TestNgramPerplexity:
         want = round(math.exp(-sum(logps) / len(logps)), 6)
         assert got['n_scored'] == 3
         assert abs(got['perplexity'] - want) < 1e-6
+
+
+def test_source_divergence_detects_drift(spark):
+    """A source writing from a different vocabulary diverges more from
+    the corpus blend than sources sharing the common distribution."""
+    from pybel_spark.textops import ngram_lm
+
+    rows = []
+    for i in range(30):
+        rows.append((i, 'common', 'the data engine runs the data jobs'))
+    for i in range(30, 60):
+        rows.append((i, 'alike', 'the data engine runs the data tasks'))
+    for i in range(60, 90):
+        rows.append((i, 'weird', 'zq qx jv kk wv pp mm nn'))
+    docs = spark.createDataFrame(rows, 'doc_id long, source string, text string')
+    kl = {r['source']: r['kl_divergence']
+          for r in ngram_lm.source_divergence(docs).collect()}
+    assert kl['weird'] > kl['common'] and kl['weird'] > kl['alike']
+    assert all(v >= 0 or abs(v) < 1e-9 for v in kl.values())
