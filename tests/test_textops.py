@@ -1173,3 +1173,26 @@ def test_source_divergence_detects_drift(spark):
           for r in ngram_lm.source_divergence(docs).collect()}
     assert kl['weird'] > kl['common'] and kl['weird'] > kl['alike']
     assert all(v >= 0 or abs(v) < 1e-9 for v in kl.values())
+
+
+def test_parse_urls_degenerate_inputs(spark):
+    """Degenerate urls (no scheme, empty, null, IPv6, bare scheme) flow
+    through as empty-string fields — never exceptions or nulls that
+    would poison downstream group keys."""
+    from pybel_spark.textops import urls
+
+    rows = [(0, None), (1, ''), (2, 'not a url at all'),
+            (3, 'https://'), (4, 'ftp://[::1]:21/x'),
+            (5, '//protocol-relative.example/x'), (6, 'mailto:a@b.c')]
+    df = spark.createDataFrame(rows, 'doc_id long, url string')
+    out = {r['doc_id']: r for r in urls.parse_urls(df).collect()}
+    assert out[0]['host'] is None      # null url stays null
+    for i in (1, 2, 3, 5, 6):
+        assert out[i]['host'] == ''    # unparseable -> empty, not crash
+        assert out[i]['domain'] == ''
+    assert out[4]['scheme'] == 'ftp'   # IPv6 host: scheme still extracted
+    # degenerate rows never collide with real canonical urls
+    real = urls.parse_urls(spark.createDataFrame(
+        [(9, 'https://example.com/x')], 'doc_id long, url string')).collect()[0]
+    assert all(out[i]['canonical_url'] != real['canonical_url']
+               for i in (1, 2, 3, 5, 6))
