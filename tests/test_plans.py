@@ -247,3 +247,47 @@ def test_iter_node_concepts_has_no_python_stage(spark):
     assert 'MapInPandas' not in plan, plan
     assert 'ArrowEvalPython' not in plan, plan
     assert 'BatchEvalPython' not in plan, plan
+
+
+def test_bucketed_join_elides_both_exchanges(spark, tmp_path):
+    """storage.write_bucketed: two tables bucketed on the same key with
+    the same bucket count join WITHOUT any Exchange — the pre-shuffled
+    layout replaces the per-query shuffle (the repeated-join scale
+    shape). A plain parquet round-trip of the same data shuffles both
+    sides; the assertion pins the difference."""
+    from pyspark.sql import functions as F
+
+    from pybel_spark import storage
+
+    docs = spark.range(10_000).select(
+        F.col('id').alias('doc_id'),
+        (F.col('id') % 97).alias('score'))
+    meta = spark.range(10_000).select(
+        F.col('id').alias('doc_id'),
+        (F.col('id') % 13).alias('lang_id'))
+    prev = spark.conf.get('spark.sql.autoBroadcastJoinThreshold')
+    spark.conf.set('spark.sql.autoBroadcastJoinThreshold', '-1')
+    try:
+        storage.write_bucketed(docs, 'b_docs',
+                               str(tmp_path / 'b_docs'), 'doc_id',
+                               n_buckets=8)
+        storage.write_bucketed(meta, 'b_meta',
+                               str(tmp_path / 'b_meta'), 'doc_id',
+                               n_buckets=8)
+        joined = storage.read_bucketed(spark, 'b_docs').join(
+            storage.read_bucketed(spark, 'b_meta'), on='doc_id')
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert 'Exchange' not in plan, plan
+        assert joined.count() == 10_000
+
+        # control: the same join over plain parquet shuffles
+        docs.write.mode('overwrite').parquet(str(tmp_path / 'p_docs'))
+        meta.write.mode('overwrite').parquet(str(tmp_path / 'p_meta'))
+        plain = spark.read.parquet(str(tmp_path / 'p_docs')).join(
+            spark.read.parquet(str(tmp_path / 'p_meta')), on='doc_id')
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert 'Exchange' in plain_plan or 'Broadcast' in plain_plan
+    finally:
+        spark.conf.set('spark.sql.autoBroadcastJoinThreshold', prev)
+        spark.sql('DROP TABLE IF EXISTS b_docs')
+        spark.sql('DROP TABLE IF EXISTS b_meta')
