@@ -381,3 +381,57 @@ def start_neardup_candidate_stream(spark, input_dir: str, out_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_domain_quality_stream(spark, input_dir: str, out_dir: str,
+                                window='1 hour', watermark='2 hours',
+                                max_files_per_trigger=16,
+                                trigger_available_now=True,
+                                quality_threshold=0.75):
+    """Windowed per-DOMAIN crawl-quality monitor: for each (event-time
+    window, registered domain) — document count, token mass, mean
+    heuristic quality score, and the count of below-threshold documents.
+
+    The curation layer's quality features are pure column expressions,
+    so they run unchanged inside the stream (no state beyond the
+    windowed aggregation, watermark-bounded). This is the live view of
+    "which domains started shipping junk this hour" that batch
+    urls.domain_stats gives retrospectively.
+    """
+    from .textops.quality import quality_score_col
+    from .textops.tokenize import whitespace_tokens
+    from .textops.urls import registered_domain
+
+    docs = read_document_stream(spark, input_dir, max_files_per_trigger)
+    enriched = (
+        docs.withColumn('text', F.coalesce('text', F.lit('')))
+        # quality as a pure column expression — a join against the
+        # feature table would be an illegal stream-stream self-join
+        .withColumn('quality_score', quality_score_col('text'))
+        .withColumn('domain', registered_domain(F.col('url')))
+        .withColumn('n_tokens', F.size(whitespace_tokens('text')))
+    )
+    stats = (
+        enriched.withWatermark('warc_ts', watermark)
+        .groupBy(F.window('warc_ts', window), 'domain')
+        .agg(F.count(F.lit(1)).alias('n_docs'),
+             F.sum('n_tokens').alias('n_tokens'),
+             F.round(F.avg('quality_score'), 6).alias('mean_quality'),
+             F.sum((F.col('quality_score') < quality_threshold)
+                   .cast('long')).alias('n_low_quality'))
+        .select(F.col('window.start').alias('window_start'),
+                F.col('window.end').alias('window_end'),
+                'domain', 'n_docs', 'n_tokens', 'mean_quality',
+                'n_low_quality')
+    )
+    writer = (
+        stats.writeStream
+        .format('parquet')
+        .option('path', os.path.join(out_dir, 'domain_quality'))
+        .option('checkpointLocation',
+                os.path.join(out_dir, 'domain_quality_checkpoint'))
+        .outputMode('append')
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

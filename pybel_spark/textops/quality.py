@@ -135,18 +135,34 @@ def quality_features(docs: DataFrame, id_col='doc_id',
     )
 
 
+def quality_score_col(text_col='text', min_tokens=10,
+                      max_mean_token_len=15.0) -> Column:
+    """The keep/drop signal as a pure COLUMN over the text — usable in
+    projections where a join against the feature table is illegal
+    (e.g. inside a stream). Same formula as :func:`quality_score`."""
+    tokens = whitespace_tokens(text_col)
+    n_tokens = F.size(tokens)
+    n_tokens_g = F.greatest(n_tokens, F.lit(1))
+    n_chars_g = F.greatest(F.length(text_col), F.lit(1))
+    token_chars = F.aggregate(
+        tokens, F.lit(0), lambda acc, t: acc + F.length(t))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r'[^A-Za-z]', ''))
+    length_ok = (n_tokens >= min_tokens).cast('int')
+    token_len_ok = (token_chars.cast('double') / n_tokens_g
+                    <= max_mean_token_len).cast('int')
+    alpha_ok = (alpha_chars.cast('double') / n_chars_g >= 0.6).cast('int')
+    stop_ok = (stopword_hits('en', text_col).cast('double') / n_tokens_g
+               >= 0.01).cast('int')
+    return (length_ok + token_len_ok + alpha_ok + stop_ok) / F.lit(4.0)
+
+
 def quality_score(docs: DataFrame, id_col='doc_id', text_col='text',
                   min_tokens=10, max_mean_token_len=15.0) -> DataFrame:
     """A simple keep/drop signal in [0,1] combining the features — the shape
     of a Gopher/C4-style heuristic filter."""
-    feats = quality_features(docs, id_col, text_col)
-    length_ok = (F.col('n_tokens') >= min_tokens).cast('int')
-    token_len_ok = (F.col('mean_token_len') <= max_mean_token_len).cast('int')
-    alpha_ok = (F.col('alpha_ratio') >= 0.6).cast('int')
-    stop_ok = (F.col('stopword_ratio') >= 0.01).cast('int')
-    return feats.select(
-        'doc_id',
-        ((length_ok + token_len_ok + alpha_ok + stop_ok) / F.lit(4.0))
+    return docs.select(
+        F.col(id_col).alias('doc_id'),
+        quality_score_col(text_col, min_tokens, max_mean_token_len)
         .alias('quality_score'),
     )
 

@@ -328,3 +328,82 @@ def test_neardup_candidate_stream_matches_batch(spark, dirs):
     docs.unpersist()
     assert got2 == want2
     assert len(want2) > len(want)
+
+
+def test_domain_quality_stream_matches_batch(spark, tmp_path):
+    """The windowed per-domain quality monitor must agree with the batch
+    computation of the same aggregation (emitted windows only — the
+    frontier wave exists to push the watermark past wave A's windows)."""
+    import datetime as dt
+    import time
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from pybel_spark.schemas import DOCUMENTS_SCHEMA
+    from pybel_spark.streaming import start_domain_quality_stream
+    from pybel_spark.textops.quality import quality_score_col
+    from pybel_spark.textops.tokenize import whitespace_tokens
+    from pybel_spark.textops.urls import registered_domain
+
+    in_dir = str(tmp_path / 'in')
+    out_dir = str(tmp_path / 'out')
+    os.makedirs(in_dir)
+
+    def doc(i, hour, domain, text):
+        return Row(url='https://sub.{}/p/{}'.format(domain, i),
+                   warc_ts=dt.datetime(2026, 1, 1, hour, 30),
+                   html=None, text=text, lang='en')
+
+    good = ('the engine processes the data with care and it is in good '
+            'shape for the corpus work today and beyond all doubt')
+    junk = 'zz zz zz zz'
+    wave_a = [doc(i, hour=i % 2, domain='alpha.example', text=good)
+              for i in range(6)]
+    wave_a += [doc(100 + i, hour=0, domain='beta.example', text=junk)
+               for i in range(4)]
+
+    spark.createDataFrame(wave_a, DOCUMENTS_SCHEMA).coalesce(1) \
+        .write.mode('overwrite').parquet(os.path.join(in_dir, 'a'))
+    time.sleep(1.2)
+    # frontier wave: pushes the watermark far past wave A's windows
+    spark.createDataFrame(
+        [doc(999, hour=12, domain='gamma.example', text=good)],
+        DOCUMENTS_SCHEMA).coalesce(1) \
+        .write.mode('overwrite').parquet(os.path.join(in_dir, 'b'))
+    time.sleep(1.2)
+    spark.createDataFrame(
+        [doc(998, hour=13, domain='gamma.example', text=good)],
+        DOCUMENTS_SCHEMA).coalesce(1) \
+        .write.mode('overwrite').parquet(os.path.join(in_dir, 'c'))
+
+    q = start_domain_quality_stream(spark, in_dir + '/*', out_dir,
+                                    window='1 hour', watermark='2 hours',
+                                    max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(os.path.join(out_dir, 'domain_quality'))
+    got_rows = {tuple(r) for r in got.select(
+        'window_start', 'domain', 'n_docs', 'n_tokens', 'mean_quality',
+        'n_low_quality').collect()}
+
+    batch = spark.createDataFrame(wave_a, DOCUMENTS_SCHEMA)
+    want = (
+        batch.withColumn('text', F.coalesce('text', F.lit('')))
+        .withColumn('quality_score', quality_score_col('text'))
+        .withColumn('domain', registered_domain(F.col('url')))
+        .withColumn('n_tokens', F.size(whitespace_tokens('text')))
+        .groupBy(F.window('warc_ts', '1 hour'), 'domain')
+        .agg(F.count(F.lit(1)).alias('n_docs'),
+             F.sum('n_tokens').alias('n_tokens'),
+             F.round(F.avg('quality_score'), 6).alias('mean_quality'),
+             F.sum((F.col('quality_score') < 0.75).cast('long'))
+             .alias('n_low_quality'))
+        .select(F.col('window.start').alias('window_start'), 'domain',
+                'n_docs', 'n_tokens', 'mean_quality', 'n_low_quality')
+    )
+    want_rows = {tuple(r) for r in want.collect()}
+    assert want_rows <= got_rows  # wave A's windows all emitted, exact
+    # the junk domain is flagged: every beta doc is below threshold
+    beta = [r for r in got_rows if r[1] == 'beta.example']
+    assert beta and all(r[2] == r[5] for r in beta)
