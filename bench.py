@@ -243,6 +243,13 @@ def main():
     timed(queries, 'embedding_knn_ivf', lambda: similarity.ivf_topk(
         vectors, k=5, n_lists=16, n_probe=4,
         query_ids=list(range(50))).count())
+
+    # corpus-vs-corpus near-dup: the salted all-pairs LSH join whose
+    # exchange now carries ids only (r4 verdict #1) — pinned here so a
+    # payload regression shows up as wall time
+    timed(queries, 'embedding_neardup_allpairs',
+          lambda: similarity.embedding_near_duplicates(
+              vectors, threshold=0.9).count())
     vectors.unpersist()
 
     # mixture sampling: map-side md5-threshold filter over the big corpus

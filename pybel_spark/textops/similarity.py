@@ -85,7 +85,8 @@ def _hyperplanes(dim, n_planes, seed=7):
 
 
 def lsh_signatures(vectors: DataFrame, n_planes=4, n_tables=8, seed=7,
-                   id_col='vec_id', vec_col='embedding') -> DataFrame:
+                   id_col='vec_id', vec_col='embedding',
+                   include_vector=True) -> DataFrame:
     """Multi-table random-hyperplane signatures: per table t, bucket =
     (t, bits of sign(v · plane_{t,p})). Output is exploded to one row per
     (vector, table) — the standard multi-probe trade-off: more tables →
@@ -96,6 +97,12 @@ def lsh_signatures(vectors: DataFrame, n_planes=4, n_tables=8, seed=7,
     formulation bloated the Catalyst plan with dim·planes·tables literals.
     Sign stability across engines is guaranteed in practice: |v·plane| of
     real embeddings is orders of magnitude above double rounding error.
+
+    ``include_vector=False`` drops the embedding column from the output —
+    the all-pairs candidate-generation paths join on (id, bucket) only
+    and re-attach vectors later, so the n_tables-exploded signature rows
+    (and the Arrow transfer back from Python) should not carry the
+    dim×8-byte payload.
     """
     import numpy as np
     import pandas as pd
@@ -106,10 +113,14 @@ def lsh_signatures(vectors: DataFrame, n_planes=4, n_tables=8, seed=7,
         from pyspark.sql.types import StringType, StructField, StructType
         id_field = vectors.schema[id_col]
         vec_field = vectors.schema[vec_col]
-        return vectors.sparkSession.createDataFrame([], StructType([
-            StructField(id_col, id_field.dataType, id_field.nullable),
-            StructField(vec_col, vec_field.dataType, vec_field.nullable),
-            StructField('lsh_bucket', StringType(), False)]))
+        fields = [
+            StructField(id_col, id_field.dataType, id_field.nullable)]
+        if include_vector:
+            fields.append(StructField(
+                vec_col, vec_field.dataType, vec_field.nullable))
+        fields.append(StructField('lsh_bucket', StringType(), False))
+        return vectors.sparkSession.createDataFrame(
+            [], StructType(fields))
     dim = sample['d']
     # (dim, n_tables*n_planes) weight matrix, deterministic from seed
     planes = np.array([
@@ -129,23 +140,26 @@ def lsh_signatures(vectors: DataFrame, n_planes=4, n_tables=8, seed=7,
             sigs = (bits.reshape(n, n_tables, n_planes)
                     * pow2).sum(axis=2)  # (n, n_tables)
             ids = np.repeat(pdf[id_col].to_numpy(), n_tables)
-            vecs = pdf[vec_col].to_numpy().repeat(n_tables)
             tables = np.tile(np.arange(n_tables), n)
             buckets = [
                 '{}:{}'.format(t, s)
                 for t, s in zip(tables, sigs.reshape(-1))
             ]
-            yield pd.DataFrame(
-                {id_col: ids, vec_col: vecs, 'lsh_bucket': buckets})
+            out = {id_col: ids}
+            if include_vector:
+                out[vec_col] = pdf[vec_col].to_numpy().repeat(n_tables)
+            out['lsh_bucket'] = buckets
+            yield pd.DataFrame(out)
 
     id_field = vectors.schema[id_col]
     vec_field = vectors.schema[vec_col]
     from pyspark.sql.types import StringType, StructField, StructType
-    schema = StructType([
-        StructField(id_col, id_field.dataType, id_field.nullable),
-        StructField(vec_col, vec_field.dataType, vec_field.nullable),
-        StructField('lsh_bucket', StringType(), False),
-    ])
+    fields = [StructField(id_col, id_field.dataType, id_field.nullable)]
+    if include_vector:
+        fields.append(StructField(
+            vec_col, vec_field.dataType, vec_field.nullable))
+    fields.append(StructField('lsh_bucket', StringType(), False))
+    schema = StructType(fields)
     return vectors.select(id_col, vec_col).mapInPandas(compute, schema=schema)
 
 
@@ -157,16 +171,27 @@ def lsh_topk(vectors: DataFrame, k=5, n_planes=4, n_tables=8, seed=7,
     At scale this replaces the cross join with a bucket-key equi-join whose
     fan-out is Σ|bucket|² — tune (n_planes, n_tables) to bound bucket size
     vs recall."""
-    sigs = lsh_signatures(vectors, n_planes, n_tables, seed, id_col, vec_col)
-    queries = sigs.select(F.col(id_col).alias('q_id'),
-                          F.col(vec_col).alias('q_vec'), 'lsh_bucket')
-    neighbors = sigs.select(F.col(id_col).alias('neighbor_id'),
-                            F.col(vec_col).alias('n_vec'), 'lsh_bucket')
-    join_keys = ['lsh_bucket']
     if query_ids is not None:
-        # selective serving: the filtered query set is small — broadcast it
+        # selective serving: the filtered query set is small — broadcast it.
+        # Similarity is computed BEFORE the pair dedup: a (q, n) pair
+        # sharing k buckets computes cosine k times (cheap, codegen) but
+        # the dedup shuffle then carries only (ids, double).
+        sigs = lsh_signatures(vectors, n_planes, n_tables, seed,
+                              id_col, vec_col)
         queries = F.broadcast(
-            queries.where(F.col('q_id').isin(list(query_ids))))
+            sigs.select(F.col(id_col).alias('q_id'),
+                        F.col(vec_col).alias('q_vec'), 'lsh_bucket')
+            .where(F.col('q_id').isin(list(query_ids))))
+        neighbors = sigs.select(F.col(id_col).alias('neighbor_id'),
+                                F.col(vec_col).alias('n_vec'), 'lsh_bucket')
+        candidates = (
+            neighbors
+            .join(queries, on='lsh_bucket')
+            .where(F.col('neighbor_id') != F.col('q_id'))
+            .withColumn('similarity', cosine(F.col('q_vec'), F.col('n_vec')))
+            .groupBy('q_id', 'neighbor_id')
+            .agg(F.first('similarity').alias('similarity'))
+        )
     else:
         # all-pairs shape: the "query" side is the whole corpus × n_tables —
         # broadcasting it OOMs at scale, and a plain equi-join has only
@@ -175,25 +200,42 @@ def lsh_topk(vectors: DataFrame, k=5, n_planes=4, n_tables=8, seed=7,
         # id, replicate the probe rows across the salt domain, join on
         # (bucket, salt) — fan-out spreads over n_salt × n_buckets
         # reducers regardless of bucket skew.
+        #
+        # The salted exchange carries IDS ONLY (r4 verdict finding #1):
+        # signatures are generated without the vector column, candidate
+        # pairs are deduped as bare (q_id, neighbor_id), and both vector
+        # sides are re-attached by id join AFTER the dedup — so the ×32
+        # salt replication never moves the dim×8-byte payload.
         n_salt = 32
-        neighbors = neighbors.withColumn(
-            '_salt', F.pmod(F.xxhash64(F.col('neighbor_id')), F.lit(n_salt))
-            .cast('int'))
-        queries = queries.withColumn(
-            '_salt', F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
-        join_keys = ['lsh_bucket', '_salt']
-    # similarity is computed BEFORE the pair dedup: a (q, n) pair sharing
-    # k buckets computes cosine k times (cheap, codegen) but the dedup
-    # shuffle then carries only (ids, double) — deduping first would
-    # shuffle the full embedding vectors (dim×8 bytes per row)
-    candidates = (
-        neighbors
-        .join(queries, on=join_keys)
-        .where(F.col('neighbor_id') != F.col('q_id'))
-        .withColumn('similarity', cosine(F.col('q_vec'), F.col('n_vec')))
-        .groupBy('q_id', 'neighbor_id')
-        .agg(F.first('similarity').alias('similarity'))
-    )
+        sigs = lsh_signatures(vectors, n_planes, n_tables, seed,
+                              id_col, vec_col, include_vector=False)
+        neighbors = (
+            sigs.select(F.col(id_col).alias('neighbor_id'), 'lsh_bucket')
+            .withColumn('_salt',
+                        F.pmod(F.xxhash64(F.col('neighbor_id')),
+                               F.lit(n_salt)).cast('int')))
+        queries = (
+            sigs.select(F.col(id_col).alias('q_id'), 'lsh_bucket')
+            .withColumn('_salt', F.explode(
+                F.array(*[F.lit(i) for i in range(n_salt)]))))
+        pair_ids = (
+            neighbors
+            .join(queries, on=['lsh_bucket', '_salt'])
+            .where(F.col('neighbor_id') != F.col('q_id'))
+            .select('q_id', 'neighbor_id')
+            .distinct()
+        )
+        q_vecs = vectors.select(F.col(id_col).alias('q_id'),
+                                F.col(vec_col).alias('q_vec'))
+        n_vecs = vectors.select(F.col(id_col).alias('neighbor_id'),
+                                F.col(vec_col).alias('n_vec'))
+        candidates = (
+            pair_ids
+            .join(q_vecs, on='q_id')
+            .join(n_vecs, on='neighbor_id')
+            .withColumn('similarity', cosine(F.col('q_vec'), F.col('n_vec')))
+            .select('q_id', 'neighbor_id', 'similarity')
+        )
     w = Window.partitionBy('q_id').orderBy(F.desc('similarity'), 'neighbor_id')
     return (
         candidates.withColumn('rank', F.row_number().over(w))
@@ -228,28 +270,38 @@ def embedding_near_duplicates(vectors: DataFrame, threshold=0.95,
             .withColumn('similarity', cosine(F.col('a_vec'), F.col('b_vec')))
         )
     else:
-        sigs = lsh_signatures(vectors, n_planes, n_tables, seed,
-                              id_col, vec_col)
         # salt the self-join: a plain lsh_bucket key has at most
         # n_tables × 2^n_planes distinct values (≤128 reducers no matter
         # the cluster) and hot boilerplate buckets pin stragglers — the
-        # same treatment as lsh_topk/ivf_topk (code-review r4)
+        # same treatment as lsh_topk/ivf_topk (code-review r4).
+        # The salted exchange carries IDS ONLY (r4 verdict finding #1):
+        # signatures without the vector column, bare (vec_a, vec_b) pair
+        # dedup, vectors re-attached by id join after the dedup.
+        sigs = lsh_signatures(vectors, n_planes, n_tables, seed,
+                              id_col, vec_col, include_vector=False)
         n_salt = 32
-        x = sigs.withColumn(
-            '_salt', F.pmod(F.xxhash64(F.col(id_col).cast('string')),
-                            F.lit(n_salt)).cast('int'))
-        y = sigs.withColumn(
-            '_salt', F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+        x = (sigs.select(F.col(id_col).alias('vec_a'), 'lsh_bucket')
+             .withColumn('_salt',
+                         F.pmod(F.xxhash64(F.col('vec_a').cast('string')),
+                                F.lit(n_salt)).cast('int')))
+        y = (sigs.select(F.col(id_col).alias('vec_b'), 'lsh_bucket')
+             .withColumn('_salt', F.explode(
+                 F.array(*[F.lit(i) for i in range(n_salt)]))))
+        pair_ids = (
+            x.join(y, on=['lsh_bucket', '_salt'])
+            .where(F.col('vec_a') < F.col('vec_b'))
+            .select('vec_a', 'vec_b')
+            .distinct()
+        )
+        a_vecs = vectors.select(F.col(id_col).alias('vec_a'),
+                                F.col(vec_col).alias('a_vec'))
+        b_vecs = vectors.select(F.col(id_col).alias('vec_b'),
+                                F.col(vec_col).alias('b_vec'))
         pairs = (
-            x.alias('x').join(y.alias('y'), on=['lsh_bucket', '_salt'])
-            .where(F.col('x.{}'.format(id_col)) < F.col('y.{}'.format(id_col)))
-            .select(F.col('x.{}'.format(id_col)).alias('vec_a'),
-                    F.col('y.{}'.format(id_col)).alias('vec_b'),
-                    F.col('x.{}'.format(vec_col)).alias('a_vec'),
-                    F.col('y.{}'.format(vec_col)).alias('b_vec'))
+            pair_ids
+            .join(a_vecs, on='vec_a')
+            .join(b_vecs, on='vec_b')
             .withColumn('similarity', cosine(F.col('a_vec'), F.col('b_vec')))
-            .groupBy('vec_a', 'vec_b')
-            .agg(F.first('similarity').alias('similarity'))
         )
     return (
         pairs.where(F.col('similarity') >= threshold)
@@ -267,6 +319,42 @@ def knn_recall(exact: DataFrame, approx: DataFrame) -> float:
 
 
 # ------------------------------- IVF ANN ------------------------------- #
+
+def _probe_rows(queries: DataFrame, centroids, n_probe, id_type, vec_type,
+                emit_vec) -> DataFrame:
+    """Distributed IVF probe selection: one numpy mapInPandas stage maps
+    each (q_id, q_vec) row to its ``n_probe`` nearest centroid lists.
+
+    ``emit_vec=False`` drops q_vec from the probe output — the salted
+    all-pairs join consumes (q_id, list_id) only and re-attaches vectors
+    after the candidate dedup, so the ×n_probe (and downstream ×n_salt)
+    replication never carries the embedding payload."""
+    import numpy as np
+
+    normed = _unit_rows(centroids)
+    n_probe_eff = min(n_probe, len(centroids))
+
+    def probe(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.array(pdf['q_vec'].tolist(), dtype=np.float64)
+            emb_n = _unit_rows(emb)
+            sims = emb_n @ normed.T
+            # stable sort: ties probe the lower list_id, deterministically
+            order = np.argsort(-sims, axis=1, kind='stable')[:, :n_probe_eff]
+            out = {'q_id': np.repeat(pdf['q_id'].to_numpy(), n_probe_eff)}
+            if emit_vec:
+                out['q_vec'] = pdf['q_vec'].to_numpy().repeat(n_probe_eff)
+            out['list_id'] = order.reshape(-1).astype('int32')
+            yield pd.DataFrame(out)
+
+    if emit_vec:
+        schema = 'q_id {}, q_vec {}, list_id int'.format(id_type, vec_type)
+    else:
+        schema = 'q_id {}, list_id int'.format(id_type)
+    return queries.mapInPandas(probe, schema=schema)
 
 def ivf_assignments(vectors: DataFrame, n_lists=16, seed=7,
                     id_col='vec_id', vec_col='embedding',
@@ -363,8 +451,6 @@ def ivf_topk(vectors: DataFrame, k=5, n_lists=16, n_probe=4, seed=7,
     is safe at any corpus size. Recall rises with n_probe (= brute force
     at n_probe = n_lists).
     """
-    import numpy as np
-
     assignments, centroids = ivf_assignments(
         vectors, n_lists, seed, id_col, vec_col, refine_iterations)
     assignments = assignments.persist()
@@ -374,54 +460,55 @@ def ivf_topk(vectors: DataFrame, k=5, n_lists=16, n_probe=4, seed=7,
     if query_ids is not None:
         queries = queries.where(F.col('q_id').isin(list(query_ids)))
 
-    normed = _unit_rows(centroids)
-    n_probe_eff = min(n_probe, len(centroids))
-
-    def probe(batches):
-        import pandas as pd
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            emb = np.array(pdf['q_vec'].tolist(), dtype=np.float64)
-            emb_n = _unit_rows(emb)
-            sims = emb_n @ normed.T
-            # stable sort: ties probe the lower list_id, deterministically
-            order = np.argsort(-sims, axis=1, kind='stable')[:, :n_probe_eff]
-            yield pd.DataFrame({
-                'q_id': np.repeat(pdf['q_id'].to_numpy(), n_probe_eff),
-                'q_vec': pdf['q_vec'].to_numpy().repeat(n_probe_eff),
-                'list_id': order.reshape(-1).astype('int32'),
-            })
-
-    probes = queries.mapInPandas(
-        probe, schema='q_id {}, q_vec {}, list_id int'.format(
-            vectors.schema[id_col].dataType.simpleString(),
-            vectors.schema[vec_col].dataType.simpleString()))
-    join_keys = ['list_id']
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    vec_type = vectors.schema[vec_col].dataType.simpleString()
     if query_ids is not None:
-        probes = F.broadcast(probes)  # small filtered query set
-        big_side = assignments
+        # small filtered query set: probes (with q_vec) are broadcast
+        probes = F.broadcast(_probe_rows(
+            queries, centroids, n_probe, id_type, vec_type, emit_vec=True))
+        candidates = (
+            assignments
+            .join(probes, on='list_id')
+            .where(F.col(id_col) != F.col('q_id'))
+            .withColumn('similarity', cosine(F.col('q_vec'), F.col(vec_col)))
+            .groupBy('q_id', F.col(id_col).alias('neighbor_id'))
+            .agg(F.first('similarity').alias('similarity'))
+        )
     else:
         # all-pairs shape: a plain equi-join on list_id has only n_lists
         # distinct keys (≤16 reducers no matter the cluster) — salt both
         # sides so the join fans out across n_salt × n_lists partitions.
-        # The probe side replicates ×n_salt (tiny vs the candidate fan-out).
+        # The salted exchange carries IDS ONLY (r4 verdict finding #1):
+        # probes emit (q_id, list_id), the big side joins as
+        # (id, list_id, salt), pairs dedup bare, vectors re-attach by id.
         n_salt = 32
-        big_side = assignments.withColumn(
-            '_salt', F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
-            .cast('int'))
-        probes = probes.withColumn(
+        probes = _probe_rows(
+            queries, centroids, n_probe, id_type, vec_type, emit_vec=False)
+        big_keys = (
+            assignments.select(F.col(id_col).alias('neighbor_id'), 'list_id')
+            .withColumn('_salt',
+                        F.pmod(F.xxhash64(F.col('neighbor_id')),
+                               F.lit(n_salt)).cast('int')))
+        probe_keys = probes.withColumn(
             '_salt', F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
-        join_keys = ['list_id', '_salt']
-
-    candidates = (
-        big_side
-        .join(probes, on=join_keys)
-        .where(F.col(id_col) != F.col('q_id'))
-        .withColumn('similarity', cosine(F.col('q_vec'), F.col(vec_col)))
-        .groupBy('q_id', F.col(id_col).alias('neighbor_id'))
-        .agg(F.first('similarity').alias('similarity'))
-    )
+        pair_ids = (
+            big_keys
+            .join(probe_keys, on=['list_id', '_salt'])
+            .where(F.col('neighbor_id') != F.col('q_id'))
+            .select('q_id', 'neighbor_id')
+            .distinct()
+        )
+        q_vecs = assignments.select(F.col(id_col).alias('q_id'),
+                                    F.col(vec_col).alias('q_vec'))
+        n_vecs = assignments.select(F.col(id_col).alias('neighbor_id'),
+                                    F.col(vec_col).alias('n_vec'))
+        candidates = (
+            pair_ids
+            .join(q_vecs, on='q_id')
+            .join(n_vecs, on='neighbor_id')
+            .withColumn('similarity', cosine(F.col('q_vec'), F.col('n_vec')))
+            .select('q_id', 'neighbor_id', 'similarity')
+        )
     w = Window.partitionBy('q_id').orderBy(F.desc('similarity'), 'neighbor_id')
     out = (
         candidates.withColumn('rank', F.row_number().over(w))
@@ -516,54 +603,61 @@ def ivf_index_topk(spark, path: str, k=5, n_probe=4, query_ids=None,
     if broadcast_queries is None:
         broadcast_queries = query_ids is not None
 
-    normed = _unit_rows(centroids)
-    n_probe_eff = min(n_probe, len(centroids))
-
-    def probe(batches):
-        import pandas as pd
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            emb = np.array(pdf['q_vec'].tolist(), dtype=np.float64)
-            emb_n = _unit_rows(emb)
-            sims = emb_n @ normed.T
-            order = np.argsort(-sims, axis=1, kind='stable')[:, :n_probe_eff]
-            yield pd.DataFrame({
-                'q_id': np.repeat(pdf['q_id'].to_numpy(), n_probe_eff),
-                'q_vec': pdf['q_vec'].to_numpy().repeat(n_probe_eff),
-                'list_id': order.reshape(-1).astype('int32'),
-            })
-
-    probes = queries.mapInPandas(
-        probe, schema='q_id {}, q_vec {}, list_id int'.format(
-            assignments.schema[id_col].dataType.simpleString(),
-            assignments.schema[vec_col].dataType.simpleString()))
+    id_type = assignments.schema[id_col].dataType.simpleString()
+    vec_type = assignments.schema[vec_col].dataType.simpleString()
+    probes = _probe_rows(queries, centroids, n_probe, id_type, vec_type,
+                         emit_vec=broadcast_queries)
+    # probes feeds TWO consumers (the probed_lists collect and the join):
+    # persist so both see the same rows — with a nondeterministic external
+    # `queries` DataFrame a recomputed probe stage could emit list_ids
+    # absent from probed_lists, silently dropped by the isin prune
+    # (code-review r5). Left cached; Spark evicts LRU, and the probe table
+    # is rows×n_probe ids, not vectors, in the non-broadcast path.
+    probes = probes.persist()
     probed_lists = [r['list_id']
                     for r in probes.select('list_id').distinct().collect()]
     # the IN filter on the partition column prunes unprobed index files
     pruned = assignments.where(F.col('list_id').isin(probed_lists))
-    join_keys = ['list_id']
     if broadcast_queries:
-        probes = F.broadcast(probes)
+        candidates = (
+            pruned
+            .join(F.broadcast(probes), on='list_id')
+            .where(F.col(id_col) != F.col('q_id'))
+            .withColumn('similarity', cosine(F.col('q_vec'), F.col(vec_col)))
+            .groupBy('q_id', F.col(id_col).alias('neighbor_id'))
+            .agg(F.first('similarity').alias('similarity'))
+        )
     else:
         # unknown-size query batch: salt the n_lists-key join exactly as
         # ivf_topk does — ≤n_lists distinct keys would otherwise cap the
-        # reducer count and a hot list would own the whole join
+        # reducer count and a hot list would own the whole join. The
+        # salted exchange carries IDS ONLY (r4 verdict finding #1):
+        # q_vec re-attaches from the query table, n_vec from the pruned
+        # index, both AFTER the bare-id candidate dedup.
         n_salt = 32
-        pruned = pruned.withColumn(
-            '_salt', F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
-            .cast('int'))
-        probes = probes.withColumn(
+        big_keys = (
+            pruned.select(F.col(id_col).alias('neighbor_id'), 'list_id')
+            .withColumn('_salt',
+                        F.pmod(F.xxhash64(F.col('neighbor_id')),
+                               F.lit(n_salt)).cast('int')))
+        probe_keys = probes.withColumn(
             '_salt', F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
-        join_keys = ['list_id', '_salt']
-    candidates = (
-        pruned
-        .join(probes, on=join_keys)
-        .where(F.col(id_col) != F.col('q_id'))
-        .withColumn('similarity', cosine(F.col('q_vec'), F.col(vec_col)))
-        .groupBy('q_id', F.col(id_col).alias('neighbor_id'))
-        .agg(F.first('similarity').alias('similarity'))
-    )
+        pair_ids = (
+            big_keys
+            .join(probe_keys, on=['list_id', '_salt'])
+            .where(F.col('neighbor_id') != F.col('q_id'))
+            .select('q_id', 'neighbor_id')
+            .distinct()
+        )
+        n_vecs = pruned.select(F.col(id_col).alias('neighbor_id'),
+                               F.col(vec_col).alias('n_vec'))
+        candidates = (
+            pair_ids
+            .join(queries, on='q_id')
+            .join(n_vecs, on='neighbor_id')
+            .withColumn('similarity', cosine(F.col('q_vec'), F.col('n_vec')))
+            .select('q_id', 'neighbor_id', 'similarity')
+        )
     w = Window.partitionBy('q_id').orderBy(F.desc('similarity'), 'neighbor_id')
     return (
         candidates.withColumn('rank', F.row_number().over(w))

@@ -291,3 +291,94 @@ def test_bucketed_join_elides_both_exchanges(spark, tmp_path):
         spark.conf.set('spark.sql.autoBroadcastJoinThreshold', prev)
         spark.sql('DROP TABLE IF EXISTS b_docs')
         spark.sql('DROP TABLE IF EXISTS b_meta')
+
+
+def formatted_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode='formatted')
+    return buf.getvalue()
+
+
+def _salted_exchange_inputs(plan: str):
+    """Yield the Input column list of every Exchange node whose
+    partitioning includes the _salt key (formatted-explain sections)."""
+    sections = re.split(r'\n\(\d+\) ', plan)
+    for sec in sections:
+        if not sec.startswith('Exchange'):
+            continue
+        args = re.search(r'Arguments: (.*)', sec)
+        if args is None or '_salt' not in args.group(1):
+            continue
+        inputs = re.search(r'Input \[\d+\]: \[([^\]]*)\]', sec)
+        assert inputs is not None, sec
+        yield inputs.group(1)
+
+
+VEC_COLS = ('embedding', 'q_vec', 'n_vec', 'a_vec', 'b_vec')
+
+
+def test_lsh_topk_salted_exchange_carries_no_vector(spark):
+    """r4 verdict finding #1: the ×32 salt replication in the all-pairs
+    LSH join must move (bucket, id) rows only — the embedding payload
+    (dim×8 bytes/row) re-attaches by id join AFTER the candidate dedup."""
+    from pybel_spark.textops import similarity
+
+    vectors = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    with _no_auto_broadcast(spark):
+        out = similarity.lsh_topk(vectors, k=3, n_planes=4, n_tables=2,
+                                  query_ids=None)
+        plan = formatted_plan(out)
+    salted = list(_salted_exchange_inputs(plan))
+    assert salted, plan  # the salted join must still exist
+    for cols in salted:
+        assert not any(v in cols for v in VEC_COLS), cols
+
+
+def test_near_duplicates_salted_exchange_carries_no_vector(spark):
+    from pybel_spark.textops import similarity
+
+    vectors = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    with _no_auto_broadcast(spark):
+        out = similarity.embedding_near_duplicates(vectors, threshold=0.9,
+                                                   n_planes=4, n_tables=2)
+        plan = formatted_plan(out)
+    salted = list(_salted_exchange_inputs(plan))
+    assert salted, plan
+    for cols in salted:
+        assert not any(v in cols for v in VEC_COLS), cols
+
+
+def test_ivf_topk_salted_exchange_carries_no_vector(spark):
+    from pybel_spark.textops import similarity
+
+    vectors = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    with _no_auto_broadcast(spark):
+        out = similarity.ivf_topk(vectors, k=3, n_lists=4, n_probe=2,
+                                  query_ids=None)
+        plan = formatted_plan(out)
+    salted = list(_salted_exchange_inputs(plan))
+    assert salted, plan
+    for cols in salted:
+        assert not any(v in cols for v in VEC_COLS), cols
+
+
+def test_ivf_index_salted_exchange_carries_no_vector(spark, tmp_path):
+    from pybel_spark.textops import similarity
+
+    vectors = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    path = str(tmp_path / 'ivf_novec_index')
+    similarity.ivf_index_write(vectors, path, n_lists=4)
+    q = vectors.select(F.col('vec_id').alias('q_id'),
+                       F.col('embedding').alias('q_vec'))
+    with _no_auto_broadcast(spark):
+        out = similarity.ivf_index_topk(spark, path, k=3, n_probe=2,
+                                        queries=q)
+        plan = formatted_plan(out)
+    salted = list(_salted_exchange_inputs(plan))
+    assert salted, plan
+    for cols in salted:
+        assert not any(v in cols for v in VEC_COLS), cols
