@@ -530,6 +530,48 @@ class _OutputFS:
         if self._fs.exists(path):
             self._fs.delete(path, False)
 
+    def rename_file(self, src: str, dst: str) -> bool:
+        """Move ``src`` to ``dst``; False if ``src`` is gone (someone
+        else moved/deleted it first). Local os.rename and HDFS rename
+        are both atomic, so two racers can never BOTH win the same
+        source file — the primitive the lease break is built on."""
+        if not self.remote:
+            import os
+
+            try:
+                os.rename(self._full(src), self._full(dst))
+            except FileNotFoundError:
+                return False
+            return True
+        try:
+            return bool(self._fs.rename(self._jpath(self._full(src)),
+                                        self._jpath(self._full(dst))))
+        except Exception:
+            return False
+
+    def restore_no_clobber(self, src: str, dst: str) -> bool:
+        """Put ``src`` back at ``dst`` WITHOUT overwriting a newer file;
+        ``src`` is removed either way. Local: hard-link (O_EXCL-like,
+        fails on EEXIST) then unlink; HDFS rename refuses an existing
+        destination. Used to undo an accidental capture of a fresh lock."""
+        if not self.remote:
+            import os
+
+            ok = True
+            try:
+                os.link(self._full(src), self._full(dst))
+            except (FileExistsError, FileNotFoundError, OSError):
+                ok = False
+            try:
+                os.remove(self._full(src))
+            except FileNotFoundError:
+                pass
+            return ok
+        ok = self.rename_file(src, dst)
+        if not ok:
+            self.delete_file(src)
+        return ok
+
     def has_part_files(self, *parts) -> bool:
         if not self.remote:
             import os
@@ -584,7 +626,11 @@ class _WriterLease:
     - Stale-lock takeover: a lock whose pid is dead on this host, or whose
       ``ts`` is older than ``lease_seconds`` (cross-host, clock-based), is
       broken and re-acquired — this is what lets the kill/resume drill
-      restart immediately after a SIGKILL.
+      restart immediately after a SIGKILL. The break is an atomic RENAME
+      to a per-acquirer tombstone, so of two concurrent breakers exactly
+      one wins the stale file; a breaker that discovers it captured a
+      competitor's fresh lock instead restores it no-clobber and backs
+      off.
     - check()/renew(): fencing — before EVERY manifest swap the writer
       verifies the lock still carries its own token and refreshes ``ts``.
       A writer whose lease was taken over refuses to publish.
@@ -664,11 +710,30 @@ class _WriterLease:
                     'one writer per output directory — see CONCURRENCY.md'
                     .format(self.fs.out_dir, cur.get('pid'),
                             cur.get('host')))
-            # break the stale lock ONLY if it is still byte-identical to
-            # what we judged stale — a concurrent acquirer's fresh lock
-            # (different token/ts) is left alone and we retry instead
-            if self.fs.read_bytes(_LOCK) == raw:
-                self.fs.delete_file(_LOCK)
+            # break the stale lock by RENAMING it to a per-acquirer
+            # tombstone: rename is atomic, so of two concurrent breakers
+            # only ONE can win the source file — the earlier
+            # read-compare-then-DELETE break let a second breaker delete
+            # the first breaker's freshly created lock, leaving two
+            # writers holding leases until the next fencing point
+            # (code-review r5).
+            tomb = _LOCK + '.broken.' + self.token + str(_attempt)
+            if not self.fs.rename_file(_LOCK, tomb):
+                continue  # lost the break race; re-read the winner's lock
+            moved = self.fs.read_bytes(tomb)
+            if moved == raw:
+                # we broke exactly the lock we judged stale
+                self.fs.delete_file(tomb)
+                continue  # retry the exclusive create
+            # the lock changed between our read and our rename — we
+            # captured a COMPETITOR'S FRESH lock. Put it back without
+            # clobbering anything newer and back off: there is a live
+            # writer.
+            self.fs.restore_no_clobber(tomb, _LOCK)
+            raise ConcurrentWriteError(
+                'out_dir {} already has a live writer (lost a lease-break '
+                'race); one writer per output directory — see '
+                'CONCURRENCY.md'.format(self.fs.out_dir))
         raise ConcurrentWriteError(
             'could not acquire writer lock under ' + self.fs.out_dir)
 

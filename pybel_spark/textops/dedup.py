@@ -608,10 +608,21 @@ def band_index_append(new_docs: DataFrame, path: str, id_col='doc_id',
 def duplicated_kgram_positions(docs: DataFrame, k: int = 20,
                                id_col='doc_id', text_col='text',
                                min_df: int = 2) -> DataFrame:
-    """(doc_id, pos) of every token position starting a k-gram whose md5
-    occurs >= ``min_df`` times corpus-wide (counting every occurrence, so
-    a within-document repeat counts too). The k-gram hash is the group
-    key — uniform, skew-free; the heavy explode is map-side."""
+    """(doc_id, pos) of every token position starting a k-gram whose
+    xxhash64 occurs >= ``min_df`` times corpus-wide (counting every
+    occurrence, so a within-document repeat counts too). The k-gram hash
+    is the group key — uniform, skew-free; the heavy explode is map-side.
+
+    The key is xxhash64 (8-byte bigint), not md5 hex (32-char string):
+    this groupBy moves one key per corpus token position — the single
+    most expensive byte stream in the curation suite — and the 4×
+    narrower key cuts it proportionally (r4 verdict finding #2). A
+    64-bit collision under min_df=2 semantics needs two distinct grams
+    hashing equal (~n²/2⁶⁵ expected false duplicate positions — at 10¹²
+    tokens that is ~30 spurious k-gram starts corpus-wide, each still
+    needing k=20 consecutive collisions to cut a full span). The DuckDB
+    oracle groups by md5 of the same gram — hash choice is internal, the
+    (doc_id, pos) output is what must match."""
     from .tokenize import whitespace_tokens
 
     toks = docs.select(F.col(id_col).alias('doc_id'),
@@ -620,19 +631,19 @@ def duplicated_kgram_positions(docs: DataFrame, k: int = 20,
         toks.where(F.size('_toks') >= k)
         .select('doc_id', F.posexplode(F.transform(
             F.sequence(F.lit(0), F.size('_toks') - k),
-            lambda i: F.md5(F.concat_ws(' ', F.slice(F.col('_toks'),
-                                                     i + 1, k)))))
-            .alias('pos', 'gram_md5'))
+            lambda i: F.xxhash64(F.concat_ws(' ', F.slice(F.col('_toks'),
+                                                          i + 1, k)))))
+            .alias('pos', 'gram_h'))
     )
     # deliberately NOT persisted: the k-gram table is the job's largest
-    # intermediate (one md5 per token position corpus-wide) — caching it
+    # intermediate (one hash per token position corpus-wide) — caching it
     # for the two consumers would pin more blocks than the corpus itself
     # at design scale, and both consumers re-derive it map-side
-    hot = (grams.groupBy('gram_md5')
+    hot = (grams.groupBy('gram_h')
            .agg(F.count(F.lit(1)).alias('_df'))
            .where(F.col('_df') >= min_df)
-           .select('gram_md5'))
-    return grams.join(hot, on='gram_md5', how='leftsemi') \
+           .select('gram_h'))
+    return grams.join(hot, on='gram_h', how='leftsemi') \
         .select('doc_id', 'pos')
 
 
@@ -673,8 +684,11 @@ def cut_duplicate_spans(docs: DataFrame, k: int = 20, id_col='doc_id',
     ``min_df`` for softer variants). Documents left empty are dropped.
 
     Token-level surgery: each doc joins only its OWN spans (join on the
-    id column), tokens are filtered by span membership in one projection
-    — no per-token explode of the corpus."""
+    id column). The spans from the islands merge are DISJOINT maximal
+    runs, so the kept text is exactly the gaps between them in sorted
+    order — one slice per gap, O(tokens + spans) per document (the
+    earlier per-token ``exists`` scan was O(tokens × spans), quadratic
+    on span-dense documents — r4 verdict nit #3)."""
     from .tokenize import whitespace_tokens
 
     spans = (
@@ -685,22 +699,27 @@ def cut_duplicate_spans(docs: DataFrame, k: int = 20, id_col='doc_id',
     )
     toks = docs.select(F.col(id_col).alias('doc_id'),
                        whitespace_tokens(text_col).alias('_toks'))
+    # struct sort orders by span_start; gap i runs from the previous
+    # span's end (or 0) to the next span's start (or len) — zero-length
+    # gaps between touching spans slice to empty arrays
+    sorted_spans = F.array_sort('_spans')
+    gap_starts = F.concat(
+        F.array(F.lit(0)),
+        F.transform(sorted_spans, lambda sp: sp['span_end_excl']))
+    gap_ends = F.concat(
+        F.transform(sorted_spans, lambda sp: sp['span_start']),
+        F.array(F.size('_toks')))
     kept = (
         toks.join(spans, on='doc_id', how='left')
         .select(
             'doc_id',
             F.when(F.col('_spans').isNull(),
                    F.array_join('_toks', ' '))
-            .otherwise(F.array_join(F.transform(F.filter(
-                F.transform(F.sequence(F.lit(0), F.size('_toks') - 1),
-                            lambda i: F.struct(
-                                i.alias('i'),
-                                F.col('_toks')[i].alias('t'))),
-                lambda s: ~F.exists(
-                    '_spans',
-                    lambda sp: (s['i'] >= sp['span_start'])
-                    & (s['i'] < sp['span_end_excl']))),
-                lambda s: s['t']), ' ')).alias(text_col))
+            .otherwise(F.array_join(F.flatten(F.zip_with(
+                gap_starts, gap_ends,
+                lambda s, e: F.slice(F.col('_toks'), s + 1,
+                                     F.greatest(e - s, F.lit(0))))),
+                ' ')).alias(text_col))
     )
     return kept.where(F.length(text_col) > 0) \
         .select(F.col('doc_id').alias(id_col), text_col)

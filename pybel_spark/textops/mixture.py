@@ -112,7 +112,8 @@ def token_budget_select(docs: DataFrame, budget_per_source: int,
 def token_budget_select_approx(docs: DataFrame, budget_per_source: int,
                                quality: DataFrame = None, id_col='doc_id',
                                source_col='source', text_col='text',
-                               n_bins: int = 1000) -> DataFrame:
+                               n_bins: int = 1000,
+                               boundary_seed='budget-boundary') -> DataFrame:
     """Scale-path token budgeting: per-source QUALITY-HISTOGRAM cutoff
     instead of a per-source sort.
 
@@ -132,6 +133,16 @@ def token_budget_select_approx(docs: DataFrame, budget_per_source: int,
     tokens). No task ever holds more than a histogram. This is the
     formulation that survives a source with 10^9+ documents; use
     :func:`token_budget_select` when the budget must be a hard bound.
+
+    ``boundary_seed`` salts the boundary-bin hash DISTINCTLY from the
+    seed-0 hash used by ``stratified_sample`` / ``urls.cap_per_domain``:
+    when those filters run upstream (sample → budget, the normal mixture
+    pipeline), every survivor of a seed-0 threshold filter already has
+    hash(0, doc) below that threshold — reusing the same hash here would
+    make the boundary take perfectly correlated with the upstream keep
+    decisions and overshoot the budget by up to the whole boundary bin
+    (code-review r5). A distinct seed keeps the two md5 thresholds
+    independent, restoring the documented binomial noise bound.
     """
     from .quality import quality_score
 
@@ -184,6 +195,7 @@ def token_budget_select_approx(docs: DataFrame, budget_per_source: int,
         scored.join(F.broadcast(cutoff_df), on='source')
         .where((F.col('bin') >= F.col('cutoff'))
                | ((F.col('bin') == F.col('boundary_bin'))
-                  & (sampling_hash('doc_id') < F.col('boundary_thr'))))
+                  & (sampling_hash('doc_id', boundary_seed)
+                     < F.col('boundary_thr'))))
         .select('doc_id', 'source', 'n_tokens', 'quality_score')
     )

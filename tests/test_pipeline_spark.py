@@ -448,6 +448,78 @@ class TestSingleWriterLease:
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 
+    def test_stale_break_is_atomic_rename(self):
+        """Two breakers racing on the same stale lock: rename_file is
+        atomic, so exactly one wins the source file — the loser gets
+        False and must re-read instead of deleting anything."""
+        import json
+        import tempfile
+        import time
+
+        out_dir = tempfile.mkdtemp(prefix='pybel_spark_lock_')
+        try:
+            fs = self._fs(out_dir)
+            fs.write_atomic('WRITER.lock', json.dumps(
+                {'token': 'stale', 'pid': 1, 'host': 'elsewhere',
+                 'ts': time.time() - 10_000}).encode())
+            assert fs.rename_file('WRITER.lock', 'WRITER.lock.broken.a')
+            assert not fs.rename_file('WRITER.lock', 'WRITER.lock.broken.b')
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    def test_break_race_loser_restores_stolen_fresh_lock(self):
+        """The r5 break-path fix: an acquirer whose rename captures a
+        COMPETITOR'S FRESH lock (the competitor broke the same stale
+        lock and re-created between our read and our rename) must
+        restore the fresh lock no-clobber and back off — previously the
+        delete-based break left two writers holding leases."""
+        import json
+        import tempfile
+        import time
+
+        from pybel_spark.pipeline import ConcurrentWriteError, _WriterLease
+
+        out_dir = tempfile.mkdtemp(prefix='pybel_spark_lock_')
+        try:
+            fs = self._fs(out_dir)
+            stale = json.dumps({'token': 'stale', 'pid': 1,
+                                'host': 'elsewhere',
+                                'ts': time.time() - 10_000}).encode()
+            fs.write_atomic('WRITER.lock', stale)
+
+            competitor = _WriterLease(self._fs(out_dir))
+
+            class RacingFS:
+                """Delegates to fs, but lets the competitor break the
+                stale lock and acquire FIRST, right before our rename —
+                the exact interleaving of the race."""
+
+                def __init__(self, inner):
+                    self._inner = inner
+                    self._raced = False
+
+                def __getattr__(self, name):
+                    return getattr(self._inner, name)
+
+                def rename_file(self, src, dst):
+                    if not self._raced:
+                        self._raced = True
+                        assert self._inner.rename_file(
+                            src, src + '.competitor')
+                        self._inner.delete_file(src + '.competitor')
+                        competitor.fs = self._inner
+                        competitor.acquire()
+                    return self._inner.rename_file(src, dst)
+
+            loser = _WriterLease(RacingFS(self._fs(out_dir)))
+            with pytest.raises(ConcurrentWriteError, match='live writer'):
+                loser.acquire()
+            # the competitor's fresh lock survived the loser's attempt
+            competitor.check()
+            competitor.release()
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
     def test_fencing_refuses_publish_after_takeover(self):
         import tempfile
 

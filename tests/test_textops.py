@@ -650,6 +650,34 @@ class TestMixture:
         finally:
             docs.unpersist()
 
+    def test_boundary_take_independent_of_upstream_sample(self, spark):
+        """Composed pipeline (stratified_sample → approx budget): the
+        boundary-bin hash must be salted DISTINCTLY from the seed-0
+        sampling hash, else every sample survivor also passes the
+        boundary threshold and the kept mass overshoots the budget by
+        the whole boundary bin (code-review r5)."""
+        from pybel_spark.textops import mixture
+
+        # one source, uniform quality → everything lands in one bin, so
+        # the budget is met ONLY by the boundary-bin partial take
+        docs = spark.createDataFrame(
+            [(i, 'src', 'tok ' * 10) for i in range(2000)],
+            'doc_id long, source string, text string')
+        sampled = mixture.stratified_sample(
+            docs, {'src': 0.3}, id_col='doc_id', seed=0).persist()
+        try:
+            n_sampled = sampled.count()
+            sampled_tokens = n_sampled * 10
+            budget = sampled_tokens // 2
+            kept = mixture.token_budget_select_approx(sampled, budget)
+            kept_tokens = kept.agg(F.sum('n_tokens')).first()[0]
+            # correlated hashes keep ~100% of survivors (~2x budget);
+            # independent hashes keep ~budget ± binomial noise
+            assert kept_tokens < 1.3 * budget, (kept_tokens, budget)
+            assert kept_tokens > 0.7 * budget, (kept_tokens, budget)
+        finally:
+            sampled.unpersist()
+
 
 class TestUrls:
     """URL canonicalization / domain ops (textops.urls)."""
@@ -937,6 +965,32 @@ class TestDuplicateSpans:
              (1, 'z0 z1 z2 ' + shared + ' w0 w1 w2 w3 w4 w5 w6')],
             'doc_id long, text string')
         assert dedup.duplicate_spans(df, k=10).count() == 0
+
+    def test_cut_pathological_span_dense_doc(self, spark):
+        """1000 disjoint duplicated spans in ONE document: the sorted-gap
+        merge must produce exactly the unique separator tokens, in order
+        (the r4 per-token exists scan was quadratic here — r5 rewrite is
+        linear in tokens + spans)."""
+        from pybel_spark.textops import dedup
+
+        k = 10
+        dup_block = ' '.join('d{}'.format(i) for i in range(k))
+        # victim doc: 1000 copies of the duplicated block, each followed
+        # by a UNIQUE separator token that must survive the cut
+        parts = []
+        for s in range(1000):
+            parts.append(dup_block)
+            parts.append('sep{}'.format(s))
+        victim = ' '.join(parts)
+        # partner doc: one more copy so the block is corpus-duplicated
+        # (the within-doc repeats already make it hot, but be explicit)
+        df = spark.createDataFrame(
+            [(0, victim), (1, dup_block + ' zfiller0 zfiller1')],
+            'doc_id long, text string')
+        out = {r['doc_id']: r['text']
+               for r in dedup.cut_duplicate_spans(df, k=k).collect()}
+        assert out[0] == ' '.join('sep{}'.format(s) for s in range(1000))
+        assert out[1] == 'zfiller0 zfiller1'
 
 
 class TestQualityClassifier:
