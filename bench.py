@@ -167,6 +167,16 @@ def main():
         'doc_id', F.size(F.split(F.trim('text'), r'\s+')).alias('n_tokens')
     ).agg(F.sum('n_tokens')).collect())
 
+    # real BPE with the 32k-merge table: cost must stay bounded by the
+    # DISTINCT pre-token count (vocabulary), not the corpus or the merge
+    # table size — the claim the r4 verdict asked to prove at scale
+    from pybel_spark.textops.bpe import (MERGES_32K_PATH, bpe_token_counts,
+                                         load_merges)
+    _ranks_32k = load_merges(MERGES_32K_PATH)
+    timed(queries, 'text_bpe_32k', lambda: bpe_token_counts(
+        ddocs, ranks=_ranks_32k).agg(
+        F.sum('n_bpe_real_tokens')).collect())
+
     # the headline `value` is the kg-pipeline e2e wall: the sum of the
     # per-query medians of the kg family (comparable across rounds)
     total = round(sum(queries[k] for k in (
@@ -258,6 +268,14 @@ def main():
     timed(queries, 'corpus_mixture_sample', lambda: _mixture
           .stratified_sample(bdocs, {}, default_fraction=0.1,
                              id_col='url').count())
+
+    # the composed curation pipeline (cap → exact dedup → minhash
+    # near-dedup → decontaminate → quality gate → sample) as ONE lineage
+    # — the realistic 100-TB job shape; drift in any stage contract or
+    # plan shows up here as wall
+    import __spark_entry__ as _entry
+    timed(queries, 'corpus_curation_e2e',
+          lambda: _entry._q_corpus_curation_e2e(spark, sf_dir).count())
 
     # whole-graph analytics at scale: hub-skewed synthetic web graph
     # (500k nodes, ~4M directed edges, in-degree(0) ~ d*ln n) — the corpus

@@ -383,6 +383,87 @@ def start_neardup_candidate_stream(spark, input_dir: str, out_dir: str,
     return writer.start()
 
 
+def start_neardup_index_stream(spark, input_dir: str, index_path: str,
+                               out_dir: str, n=3, num_hashes=16, bands=4,
+                               trigger_available_now=True,
+                               max_files_per_trigger=16):
+    """Streaming near-dup candidates AGAINST THE PERSISTED BAND INDEX —
+    the unification of :func:`start_neardup_candidate_stream` with the
+    batch ``dedup_against_index`` loop (r4 verdict task #9): each
+    micro-batch probes the same parquet band index the batch pipeline
+    serves, emits (index-doc, new-doc) + within-batch candidate pairs,
+    then folds its own signatures into the index
+    (``band_index_append``). Batch and streaming consumers share ONE
+    incremental index; a batch recompute over everything ever streamed
+    yields the same candidate set (pinned by the restart test).
+
+    Idempotence: ``foreachBatch`` is at-least-once on restart, so each
+    completed batch leaves a marker under ``index_path + '/applied/'``
+    and a replayed batch id is skipped. A crash strictly MID-batch (after
+    the candidate append, before the marker) can re-fold one batch's
+    signatures — that only duplicates (doc, band, sig) rows, which
+    produce duplicate candidate PAIRS (removed by the consumer's
+    distinct, same contract as the state-store stream) and never new
+    false pairs; self-pairs are filtered on doc id. State lives entirely
+    in the index files: no state-store bound to tune and no overflow cap
+    (the index is disk, not executor memory), at the cost of re-reading
+    the probed band partitions per batch."""
+    import os as _os
+
+    from .textops.dedup import (
+        _band_index_params, band_index_append, band_index_write,
+        dedup_against_index, minhash_lsh_candidates,
+    )
+
+    cand_path = _os.path.join(out_dir, 'neardup_candidates')
+    applied_dir = _os.path.join(index_path, 'applied')
+
+    def process_batch(batch_df, batch_id):
+        _os.makedirs(applied_dir, exist_ok=True)
+        marker = _os.path.join(applied_dir, 'batch-{}'.format(batch_id))
+        if _os.path.exists(marker):
+            return  # replayed micro-batch: already folded into the index
+        batch_df = batch_df.withColumn(
+            'doc_key', F.coalesce(
+                F.col('url'),
+                F.concat(F.lit('sha:'),
+                         F.md5(F.coalesce('text', F.lit(''))))))
+        docs = batch_df.select(F.col('doc_key').alias('doc_id'), 'text') \
+            .persist()
+        try:
+            _band_index_params(spark, index_path)
+            have_index = True
+        except Exception:
+            have_index = False
+        if have_index:
+            pairs = dedup_against_index(docs, index_path)
+            pairs.write.mode('append').parquet(cand_path)
+            band_index_append(docs, index_path)
+        else:
+            # first batch bootstraps the index; candidates are the
+            # within-batch self-join (same band parameters)
+            pairs = minhash_lsh_candidates(docs, n=n,
+                                           num_hashes=num_hashes,
+                                           bands=bands)
+            pairs.write.mode('append').parquet(cand_path)
+            band_index_write(docs, index_path, n=n,
+                             num_hashes=num_hashes, bands=bands)
+        docs.unpersist()
+        with open(marker, 'w') as fh:
+            fh.write('done')
+
+    writer = (
+        read_document_stream(spark, input_dir, max_files_per_trigger)
+        .writeStream
+        .foreachBatch(process_batch)
+        .option('checkpointLocation',
+                _os.path.join(out_dir, 'neardup_index_checkpoint'))
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_domain_quality_stream(spark, input_dir: str, out_dir: str,
                                 window='1 hour', watermark='2 hours',
                                 max_files_per_trigger=16,

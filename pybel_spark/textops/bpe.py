@@ -30,9 +30,14 @@ from pyspark.sql import DataFrame, functions as F
 
 from .tokenize import BPE_ISH_PATTERN
 
-DEFAULT_MERGES_PATH = os.path.join(
+_FIXTURES_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), 'fixtures', 'bpe_merges.txt')
+        os.path.abspath(__file__)))), 'fixtures')
+DEFAULT_MERGES_PATH = os.path.join(_FIXTURES_DIR, 'bpe_merges.txt')
+#: realistic-vocabulary-scale table (32k merges over the deterministic
+#: morphology vocabulary of synthetic_word_counts) — proves the
+#: distinct-word join path is vocabulary-bounded, not toy-bounded
+MERGES_32K_PATH = os.path.join(_FIXTURES_DIR, 'bpe_merges_32k.txt')
 
 
 def load_merges(path=None):
@@ -100,6 +105,138 @@ def train_bpe(word_counts: dict, n_merges: int) -> list:
             new_vocab[key] = new_vocab.get(key, 0) + c
         vocab = new_vocab
     return merges
+
+
+def _word_pairs(toks):
+    return [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
+
+
+def _merge_word(toks, pair):
+    """One left-to-right merge-all pass of ``pair`` over a symbol list
+    (identical to the inner loop of train_bpe)."""
+    out, i = [], 0
+    merged = pair[0] + pair[1]
+    while i < len(toks):
+        if (i + 1 < len(toks)
+                and toks[i] == pair[0] and toks[i + 1] == pair[1]):
+            out.append(merged)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def train_bpe_fast(word_counts: dict, n_merges: int) -> list:
+    """Indexed BPE trainer — output IDENTICAL to :func:`train_bpe`
+    (same greedy most-frequent pair, same lexicographic tie-break),
+    but each merge touches only the words that contain the pair instead
+    of rescanning the whole vocabulary. O(merges × affected-words)
+    instead of O(merges × vocab) — what makes a 32k-merge table
+    trainable in seconds (equivalence pinned by pytest)."""
+    import heapq
+
+    vocab = {}
+    for w, c in word_counts.items():
+        if w:
+            key = tuple(w)
+            vocab[key] = vocab.get(key, 0) + c
+    words = list(vocab.items())  # [(symbols tuple, count)]
+    pair_counts = {}
+    pair_words = {}  # pair -> set of word indices containing it
+    for idx, (toks, c) in enumerate(words):
+        for p in _word_pairs(list(toks)):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(idx)
+
+    # lazy-deletion heap keyed by (-count, pair): stale entries are
+    # skipped when their recorded count no longer matches
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges = []
+    while len(merges) < n_merges and heap:
+        neg_c, best = heapq.heappop(heap)
+        cur = pair_counts.get(best, 0)
+        if cur != -neg_c or cur == 0:
+            continue  # stale heap entry
+        if cur < 2:
+            break
+        merges.append(best)
+        affected = pair_words.pop(best, set())
+        pair_counts.pop(best, None)
+        touched = set()
+        for idx in affected:
+            toks, c = words[idx]
+            old = list(toks)
+            new = _merge_word(old, best)
+            for p in _word_pairs(old):
+                if p == best:
+                    continue
+                pair_counts[p] = pair_counts.get(p, 0) - c
+                if pair_counts[p] <= 0:
+                    pair_counts.pop(p, None)
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(idx)
+                        if not s:
+                            pair_words.pop(p, None)
+                else:
+                    touched.add(p)
+            words[idx] = (tuple(new), c)
+            new_pairs = _word_pairs(new)
+            for p in new_pairs:
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                pair_words.setdefault(p, set()).add(idx)
+                touched.add(p)
+            # membership cleanup: old pairs no longer present in the word
+            present = set(new_pairs)
+            for p in set(_word_pairs(old)):
+                if p != best and p not in present:
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(idx)
+                        if not s:
+                            pair_words.pop(p, None)
+        for p in touched:
+            c = pair_counts.get(p)
+            if c:
+                heapq.heappush(heap, (-c, p))
+    return merges
+
+
+def synthetic_word_counts(n_stems=4000, n_suffixes=24, seed=7) -> dict:
+    """Deterministic Zipf-weighted morphology-shaped vocabulary for
+    training a REALISTIC-scale merge table without external data: words
+    are stem+suffix (stems/suffixes derived from md5 bytes, so shared
+    sub-units exist for BPE to discover, like natural morphology), and
+    word i gets count ~ N/(i+1). Pure function of the parameters —
+    retraining reproduces the fixture byte-for-byte."""
+    import hashlib
+
+    consonants = 'bcdfghjklmnpqrstvwz'
+    vowels = 'aeiou'
+
+    def syllables(tag, i, n_syll):
+        h = hashlib.md5('{}:{}:{}'.format(seed, tag, i).encode()).digest()
+        out = []
+        for s in range(n_syll):
+            out.append(consonants[h[2 * s] % len(consonants)])
+            out.append(vowels[h[2 * s + 1] % len(vowels)])
+        return ''.join(out)
+
+    stems = [syllables('stem', i, 2 + (i % 3)) for i in range(n_stems)]
+    suffixes = [''] + [syllables('suf', j, 1) + ('s' if j % 2 else '')
+                       for j in range(n_suffixes - 1)]
+    n_words = n_stems * n_suffixes
+    counts = {}
+    i = 0
+    for stem in stems:
+        for suf in suffixes:
+            w = stem + suf
+            counts[w] = counts.get(w, 0) + max(1, n_words // (i + 1))
+            i += 1
+    return counts
 
 
 def word_token_counts(words: DataFrame, ranks: dict,

@@ -316,6 +316,107 @@ DECODERS = {
 }
 
 
+# -------------------- compressed formats (injectable) -------------------- #
+
+def sniff_format(payload: bytes) -> str:
+    """Container sniffing from magic bytes — the dispatch key for the
+    per-FORMAT decoder registry (a crawl's media column mixes formats
+    within one modality; routing must come from the bytes, not the
+    often-lying mime column)."""
+    if payload.startswith(b'P6'):
+        return 'ppm'
+    if payload[:4] == b'RIFF' and payload[8:12] == b'WAVE':
+        return 'wav'
+    if payload.startswith(b'YUV4MPEG2'):
+        return 'y4m'
+    if payload.startswith(b'\xff\xd8\xff'):
+        return 'jpeg'
+    if payload.startswith(b'\x89PNG\r\n\x1a\n'):
+        return 'png'
+    if payload.startswith(b'ID3') or payload[:2] in (b'\xff\xfb',
+                                                     b'\xff\xf3',
+                                                     b'\xff\xf2'):
+        return 'mp3'
+    if payload[4:8] == b'ftyp':
+        return 'mp4'
+    return 'unknown'
+
+
+#: format → decoder returning the modality's 8-dim feature list. The
+#: codec-free formats ship real pure-Python decoders; compressed formats
+#: (jpeg/png/mp3/mp4) have NO in-environment codec — inject one with
+#: :func:`register_format_decoder` (production: Pillow/ffmpeg wrappers).
+#: An unregistered compressed payload decodes to feature = NULL, never a
+#: task failure.
+FORMAT_DECODERS = {
+    'ppm': _decode_image,
+    'wav': _decode_audio,
+    'y4m': _decode_video,
+}
+
+
+def register_format_decoder(fmt: str, decoder) -> None:
+    """Inject an external decoder (``payload bytes -> feature list``) for
+    a sniffed format, e.g. a Pillow-backed jpeg/png decoder. The Spark
+    plumbing (Arrow batching, null-on-corrupt, schema) is unchanged —
+    this is the production swap-in point for compressed codecs."""
+    FORMAT_DECODERS[fmt] = decoder
+
+
+def try_register_pillow_decoders() -> bool:
+    """Best-effort registration of Pillow-backed jpeg/png decoders (the
+    external-codec path); returns False untouched when Pillow is absent
+    (this container). The decoded RGB array feeds the SAME 8-dim image
+    feature as the PPM path."""
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image
+    except ImportError:
+        return False
+
+    def _decode_compressed_image(payload: bytes):
+        img = Image.open(io.BytesIO(payload)).convert('RGB')
+        arr = np.asarray(img, dtype=np.uint8).reshape(-1, 3)
+        n = arr.shape[0]
+        rgb = arr.astype(np.float64)
+        mean_r, mean_g, mean_b = (rgb.sum(axis=0) / n / 255.0).tolist()
+        lum = (rgb @ np.array([0.299, 0.587, 0.114])) / 255.0
+        mean_l = lum.sum() / n
+        std_l = float(np.sqrt(((lum - mean_l) ** 2).sum() / n))
+        bins = np.minimum((lum * 4).astype(np.int64), 3)
+        hist = np.bincount(bins, minlength=4)
+        return [mean_r, mean_g, mean_b, std_l] + (hist / n).tolist()
+
+    register_format_decoder('jpeg', _decode_compressed_image)
+    register_format_decoder('png', _decode_compressed_image)
+    return True
+
+
+def decode_payload(modality: str, payload: bytes, format_decoders=None):
+    """Format-sniffed decode: a registered per-format decoder wins;
+    an unsniffable payload falls back to the modality decoder (legacy
+    headerless callers); a sniffed-but-unregistered compressed format
+    raises (the extract stage maps that to feature = NULL).
+
+    ``format_decoders`` is the registry snapshot to dispatch against —
+    the Spark stage captures it in its closure at plan time, because
+    executor Python workers re-import this module and would NOT see
+    driver-side mutations of the module-global dict."""
+    if format_decoders is None:
+        format_decoders = FORMAT_DECODERS
+    fmt = sniff_format(payload)
+    decoder = format_decoders.get(fmt)
+    if decoder is not None:
+        return decoder(payload)
+    if fmt == 'unknown':
+        return DECODERS[modality](payload)
+    raise NotImplementedError(
+        'no decoder registered for sniffed format {!r} — inject one via '
+        'register_format_decoder'.format(fmt))
+
+
 def deterministic_fake_feature(payload: bytes, dim=8):
     """Deterministic stand-in feature (payload sha256 → dim floats) for
     modalities/formats without an in-environment decoder."""
@@ -327,10 +428,14 @@ def deterministic_fake_feature(payload: bytes, dim=8):
 
 
 def extract_features(media: DataFrame, use_fake_decoder=False,
-                     feature_dim=8) -> DataFrame:
+                     feature_dim=8, format_decoders=None) -> DataFrame:
     """Arrow-batched feature extraction over a media table.
 
-    One mapInPandas stage; per-batch the decoder runs on raw bytes. With
+    One mapInPandas stage; per-batch the decoder runs on raw bytes,
+    format-sniffed from magic bytes and dispatched through the decoder
+    registry (``format_decoders`` overrides it per call; by default the
+    module registry is SNAPSHOTTED here on the driver so injected
+    decoders reach the executors through the closure). With
     ``use_fake_decoder=True`` every modality uses the sha256-derived fake
     (useful when payloads are in formats without in-environment codecs).
 
@@ -339,6 +444,9 @@ def extract_features(media: DataFrame, use_fake_decoder=False,
     per-row decode is wrapped, and failures emit ``feature = NULL`` so
     downstream filters can drop or count them."""
     import pandas as pd
+
+    if format_decoders is None:
+        format_decoders = dict(FORMAT_DECODERS)
 
     def extract(batches):
         for pdf in batches:
@@ -351,7 +459,8 @@ def extract_features(media: DataFrame, use_fake_decoder=False,
                         feature = deterministic_fake_feature(
                             payload, feature_dim)
                     else:
-                        feature = DECODERS[modality](payload)
+                        feature = decode_payload(modality, payload,
+                                                 format_decoders)
                 except Exception:
                     feature = None  # corrupt payload: null sentinel, not a
                     #                 task failure

@@ -7,12 +7,37 @@ lexicographically. Re-running this script reproduces the fixture byte-
 for-byte.
 
 Usage: python scripts/train_bpe.py [n_docs] [n_merges]
+       python scripts/train_bpe.py large [n_merges]
+
+The ``large`` mode trains fixtures/bpe_merges_32k.txt (default 32768
+merges) over the deterministic morphology vocabulary of
+textops.bpe.synthetic_word_counts with the indexed trainer — no Spark,
+no external data, reproducible byte-for-byte.
 """
 import os
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+
+def main_large():
+    from pybel_spark.textops.bpe import (
+        MERGES_32K_PATH, synthetic_word_counts, train_bpe_fast,
+    )
+
+    n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 32768
+    word_counts = synthetic_word_counts()
+    print('synthetic vocabulary: {} words'.format(len(word_counts)))
+    merges = train_bpe_fast(word_counts, n_merges)
+    print('learned merges: {}'.format(len(merges)))
+    with open(MERGES_32K_PATH, 'w', encoding='utf8') as fh:
+        fh.write('# BPE merges learned by scripts/train_bpe.py large '
+                 '(synthetic_word_counts defaults, n_merges={}); '
+                 'rank = line order\n'.format(n_merges))
+        for left, right in merges:
+            fh.write('{} {}\n'.format(left, right))
+    print('wrote {}'.format(MERGES_32K_PATH))
 
 
 def main():
@@ -52,4 +77,7 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == 'large':
+        main_large()
+    else:
+        main()

@@ -330,6 +330,60 @@ def test_neardup_candidate_stream_matches_batch(spark, dirs):
     assert len(want2) > len(want)
 
 
+def test_neardup_index_stream_matches_batch_recompute(spark, dirs,
+                                                      tmp_path):
+    """The unified index-backed stream (r5): candidates accumulated
+    across two stream runs against the SHARED persisted band index must
+    equal the batch self-join recompute over everything streamed — and
+    the index afterwards serves the batch dedup_against_index path
+    directly (one index, both consumers)."""
+    import pyspark.sql.functions as F
+
+    from pybel_spark.streaming import start_neardup_index_stream
+    from pybel_spark.textops import dedup
+
+    index_path = str(tmp_path / 'band_index')
+    docs = generate_documents(spark, 50, partitions=2).persist()
+    docs.write.mode('append').parquet(dirs['input'])
+    q = start_neardup_index_stream(spark, dirs['input'], index_path,
+                                   dirs['out'])
+    q.awaitTermination(180)
+
+    out_path = os.path.join(dirs['out'], 'neardup_candidates')
+    got = {tuple(sorted((r['doc_a'], r['doc_b'])))
+           for r in spark.read.parquet(out_path).collect()}
+    want = {tuple(sorted((r['doc_a'], r['doc_b'])))
+            for r in dedup.minhash_lsh_candidates(
+                docs.select(F.col('url').alias('doc_id'), 'text'))
+            .collect()}
+    assert got == want
+    assert want
+
+    # restart with a second wave: cross-batch pairs come from the INDEX
+    docs2 = generate_documents(spark, 70, partitions=2) \
+        .where(F.split(F.col('url'), '/').getItem(4).cast('int') >= 50)
+    docs2.write.mode('append').parquet(dirs['input'])
+    q2 = start_neardup_index_stream(spark, dirs['input'], index_path,
+                                    dirs['out'])
+    q2.awaitTermination(180)
+
+    all_docs = docs.unionByName(docs2)
+    got2 = {tuple(sorted((r['doc_a'], r['doc_b'])))
+            for r in spark.read.parquet(out_path).collect()}
+    want2 = {tuple(sorted((r['doc_a'], r['doc_b'])))
+             for r in dedup.minhash_lsh_candidates(
+                 all_docs.select(F.col('url').alias('doc_id'), 'text'))
+             .collect()}
+    assert got2 == want2
+    assert len(want2) > len(want)
+
+    # the SAME index now serves the batch probe path
+    probe = docs.limit(3).select(F.col('url').alias('doc_id'), 'text')
+    batch_pairs = dedup.dedup_against_index(probe, index_path)
+    assert batch_pairs.count() > 0
+    docs.unpersist()
+
+
 def test_domain_quality_stream_matches_batch(spark, tmp_path):
     """The windowed per-domain quality monitor must agree with the batch
     computation of the same aggregation (emitted windows only — the

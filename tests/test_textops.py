@@ -390,6 +390,65 @@ def test_ivf_skewed_assignment_no_megabuffer(spark):
     assert all(r['count'] <= 3 for r in got)
 
 
+def test_format_sniffing_magic_bytes():
+    """Dispatch comes from payload magic bytes, never the mime column —
+    incl. the vendored hand-built baseline JPEG fixture."""
+    import os
+
+    jpg = open(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'fixtures', 'tiny.jpg'), 'rb').read()
+    assert multimodal.sniff_format(jpg) == 'jpeg'
+    assert jpg.endswith(b'\xff\xd9')  # well-formed: SOI..EOI
+    assert multimodal.sniff_format(
+        multimodal.encode_ppm(1, 1, [(1, 2, 3)])) == 'ppm'
+    assert multimodal.sniff_format(multimodal.encode_wav([0, 1])) == 'wav'
+    assert multimodal.sniff_format(
+        multimodal.encode_y4m(
+            2, 2, [(b'\x00' * 4, b'\x00' * 4, b'\x00' * 4)])) == 'y4m'
+    assert multimodal.sniff_format(
+        b'\x89PNG\r\n\x1a\n' + b'x' * 8) == 'png'
+    assert multimodal.sniff_format(b'ID3\x04aaaa') == 'mp3'
+    assert multimodal.sniff_format(b'\x00\x00\x00\x18ftypisom') == 'mp4'
+    assert multimodal.sniff_format(b'garbage') == 'unknown'
+
+
+def test_injected_jpeg_decoder_routes_through_arrow_stage(spark):
+    """The injectable-compressed-codec path (r4 verdict task #8): with
+    NO jpeg decoder registered the vendored JPEG yields feature NULL
+    (plumbing intact, no task failure); with an injected decoder the
+    SAME Spark stage produces its features — the registry snapshot
+    travels to executors via the closure."""
+    import os
+
+    jpg = open(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'fixtures', 'tiny.jpg'), 'rb').read()
+    ppm = multimodal.encode_ppm(2, 2, [(10, 20, 30)] * 4)
+    rows = [('a-jpg', 'image', 'image/jpeg', jpg, None, None, None),
+            ('b-ppm', 'image', 'image/x-portable-pixmap', ppm,
+             2, 2, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    # default registry: jpeg sniffed but unregistered -> NULL, ppm real
+    feats = {r['media_id']: r['feature']
+             for r in multimodal.extract_features(media).collect()}
+    assert feats['a-jpg'] is None
+    assert feats['b-ppm'] is not None
+
+    # injected stub decoder (stands in for Pillow, absent here)
+    decoders = dict(multimodal.FORMAT_DECODERS)
+    decoders['jpeg'] = multimodal.deterministic_fake_feature
+    feats2 = {r['media_id']: r['feature']
+              for r in multimodal.extract_features(
+                  media, format_decoders=decoders).collect()}
+    assert feats2['a-jpg'] == [
+        __import__('pytest').approx(v)
+        for v in multimodal.deterministic_fake_feature(jpg)]
+    assert feats2['b-ppm'] == feats['b-ppm']
+
+    # Pillow registration is a clean no-op in this container
+    assert multimodal.try_register_pillow_decoders() is False
+
+
 def test_corrupt_media_yields_null_feature_not_task_failure(spark):
     """ADVICE r2: a truncated/hostile payload must not kill the Spark task —
     the row comes back with feature NULL while healthy rows decode."""
@@ -485,6 +544,34 @@ def test_bpe_train_apply_roundtrip():
                      10) == merges
 
 
+def test_bpe_fast_trainer_matches_reference():
+    """train_bpe_fast (indexed, what trains the 32k fixture) must emit
+    the EXACT merge sequence of the O(merges×vocab) reference trainer —
+    same greedy counts, same lexicographic tie-break, same <2 stop."""
+    from pybel_spark.textops.bpe import (
+        synthetic_word_counts, train_bpe, train_bpe_fast,
+    )
+
+    wc = {'low': 5, 'lower': 2, 'newest': 6, 'widest': 3, 'aaa': 4}
+    assert train_bpe_fast(wc, 50) == train_bpe(wc, 50)
+    big = synthetic_word_counts(n_stems=80, n_suffixes=5)
+    assert train_bpe_fast(big, 300) == train_bpe(big, 300)
+
+
+def test_bpe_32k_fixture_loads_and_applies():
+    """The vendored realistic-scale table: 32768 merges, reproducible
+    header, and bpe_apply compresses vocabulary words with it."""
+    from pybel_spark.textops.bpe import (
+        MERGES_32K_PATH, bpe_apply, load_merges, synthetic_word_counts,
+    )
+
+    ranks = load_merges(MERGES_32K_PATH)
+    assert len(ranks) == 32768
+    # a high-frequency vocabulary word must compress far below chars
+    word = sorted(synthetic_word_counts(n_stems=10, n_suffixes=2))[0]
+    assert len(bpe_apply(word, ranks)) < len(word)
+
+
 def test_bpe_token_counts_spark_matches_python(spark):
     """The distributed distinct-word pipeline must equal driver-side
     bpe_apply word by word, including zero-token docs."""
@@ -551,6 +638,39 @@ def test_detect_language_sql_parity_multilingual(spark):
                  pd.DataFrame(MULTILINGUAL, columns=['doc_id', 'text']))
     sql_rows = con.execute(entry._language_detect_sql()).fetchall()
     assert spark_rows == [(int(a), b) for a, b in sql_rows]
+
+
+def test_detect_language_eval_corpus_accuracy(spark):
+    """ACCURACY floor on the vendored multilingual eval corpus
+    (fixtures/langid_eval.tsv — 4 natural sentences per language, 14
+    languages): the earlier tests pin SQL parity, this one pins that
+    the detector is actually RIGHT (r4 verdict task #10). Current
+    measured accuracy is 56/56; floors leave headroom for heuristic
+    evolution without letting a regression through."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'fixtures', 'langid_eval.tsv')
+    rows = []
+    with open(path, encoding='utf8') as fh:
+        for i, line in enumerate(fh):
+            lang, text = line.rstrip('\n').split('\t')
+            rows.append((i, lang, text))
+    df = spark.createDataFrame(rows, 'doc_id long, lang string, text string')
+    got = {r['doc_id']: r['detected_lang']
+           for r in quality.detect_language(df).collect()}
+    per = {}
+    for i, lang, _text in rows:
+        ok, n = per.get(lang, (0, 0))
+        per[lang] = (ok + (got[i] == lang), n + 1)
+    langs = sorted(per)
+    assert len(langs) == 14
+    for lang in langs:
+        ok, n = per[lang]
+        assert ok >= 3, (lang, per[lang])  # per-language floor 3/4
+    total_ok = sum(ok for ok, _ in per.values())
+    total = sum(n for _, n in per.values())
+    assert total_ok / total >= 0.9, (total_ok, total)
 
 
 class TestMixture:
