@@ -700,3 +700,221 @@ def ivf_index_topk(spark, path: str, k=5, n_probe=4, query_ids=None,
         .select(F.col('q_id').alias('vec_id'), 'neighbor_id', 'rank',
                 'similarity')
     )
+
+
+# ------------------------- Product quantization ------------------------- #
+#
+# IVF-PQ: the memory-bounded ANN serving shape for corpora whose raw
+# embeddings do not fit the cluster's memory budget (Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search" — public method, as
+# in FAISS's IndexIVFPQ). Each vector is split into ``m`` subspaces;
+# each subspace is vector-quantized against its own ``k``-entry codebook
+# (k ≤ 256 → one byte per subspace). A 768-dim float64 row (6 KB)
+# becomes m bytes (e.g. 16) + the codebooks (m × k × d/m floats, a few
+# hundred KB TOTAL, broadcast everywhere). Query-time ranking is ADC
+# (asymmetric distance computation): one m×k lookup table per query,
+# candidate distance = sum of m table lookups — no decompression.
+
+def pq_train(vectors: DataFrame, m=8, k=16, seed=7, id_col='vec_id',
+             vec_col='embedding', refine_iterations=2):
+    """Train per-subspace codebooks: deterministic seeded init (the k
+    vectors with the smallest md5(seed:id), same convention as
+    ivf_assignments) + distributed Lloyd refinement.
+
+    The Lloyd step never moves vectors to the driver: per-subspace
+    assignment happens in one numpy mapInPandas stage, the new centroid
+    means are scalar sums per (subspace, code, dimension) — posexplode →
+    partial agg, identical scale shape to the IVF quantizer. Returns a
+    numpy array of shape (m, k, d/m).
+
+    All PQ stages operate on UNIT-normalized vectors: squared L2 on unit
+    vectors is 2·(1 − cosine), so the ADC ranking is monotone with the
+    cosine ranking the rest of the ANN suite uses (without this, raw-L2
+    ADC against cosine ground truth is a metric mismatch and recall
+    collapses)."""
+    import numpy as np
+
+    seeds = (
+        vectors.select(id_col, vec_col)
+        .withColumn('_h', F.md5(F.concat_ws(':', F.lit(seed),
+                                            F.col(id_col).cast('string'))))
+        .orderBy('_h')
+        .limit(k)
+        .collect()
+    )
+    init = _unit_rows(
+        np.array([list(r[vec_col]) for r in seeds], dtype=np.float64))
+    d = init.shape[1]
+    assert d % m == 0, 'dim {} must divide into m={} subspaces'.format(d, m)
+    sub = d // m
+    codebooks = init.reshape(k, m, sub).transpose(1, 0, 2).copy()  # (m,k,sub)
+
+    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
+                              lambda a, x: a + x * x))
+    unit = F.when(norm > 0, F.transform(
+        F.col(vec_col), lambda x: x / norm)).otherwise(F.col(vec_col))
+    unit_vectors = vectors.select(id_col, unit.alias(vec_col))
+    for _ in range(refine_iterations):
+        codes = pq_encode(vectors, codebooks, id_col, vec_col)
+        # scalar sums per (subspace, code, dim) over the UNIT vectors:
+        # posexplode, derive (subspace, within-subspace dim) from the
+        # position
+        agg = (
+            codes.join(unit_vectors, on=id_col)
+            .select(F.col('pq_codes'),
+                    F.posexplode(vec_col).alias('pos', 'val'))
+            .select((F.col('pos') / sub).cast('int').alias('sub_id'),
+                    F.pmod(F.col('pos'), F.lit(sub)).cast('int')
+                    .alias('dim'),
+                    F.element_at(F.col('pq_codes'),
+                                 (F.col('pos') / sub).cast('int') + 1)
+                    .alias('code'),
+                    'val')
+            .groupBy('sub_id', 'code', 'dim')
+            .agg(F.sum('val').alias('s'), F.count(F.lit(1)).alias('n'))
+            .collect()
+        )
+        sums = np.zeros_like(codebooks)
+        counts = np.zeros((m, k), dtype=np.int64)
+        for row in agg:
+            sums[row['sub_id'], row['code'], row['dim']] = row['s']
+            counts[row['sub_id'], row['code']] = row['n']
+        nonempty = counts > 0
+        codebooks[nonempty] = sums[nonempty] / counts[nonempty][:, None]
+    return codebooks
+
+
+def pq_encode(vectors: DataFrame, codebooks, id_col='vec_id',
+              vec_col='embedding') -> DataFrame:
+    """(id, pq_codes array<int>) — nearest codebook entry per subspace,
+    one numpy stage (argmin over k per subspace, vectorized for the
+    whole Arrow batch). Vectors are unit-normalized first (cosine
+    parity — see pq_train)."""
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+    m, _k, sub = cb.shape
+
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = _unit_rows(
+                np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            n = emb.shape[0]
+            parts = emb.reshape(n, m, sub)
+            # dists[n, m, k] = |part - centroid|² per subspace
+            dists = ((parts[:, :, None, :] - cb[None, :, :, :]) ** 2) \
+                .sum(axis=3)
+            codes = dists.argmin(axis=2).astype('int32')
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                'pq_codes': list(codes),
+            })
+
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    return vectors.select(id_col, vec_col).mapInPandas(
+        encode, schema='{} {}, pq_codes array<int>'.format(id_col, id_type))
+
+
+def pq_topk(codes: DataFrame, codebooks, queries, k=5,
+            id_col='vec_id', rerank_vectors: DataFrame = None,
+            rerank_factor=4, vec_col='embedding') -> DataFrame:
+    """ADC top-k against a PQ-compressed corpus.
+
+    ``codes`` is the (id, pq_codes) table; ``queries`` is a driver-side
+    list of (q_id, vector) pairs (the selective-serving shape — the
+    query batch is small, the CORPUS is the big compressed side). Each
+    Arrow batch ranks its code rows against every query via the m×k
+    lookup tables; per-batch partial top-k keeps the shuffle at
+    n_batches × queries × k rows, then a window takes the global top-k.
+    Output: (vec_id=q_id, neighbor_id, rank, adc_distance) — ascending
+    distance, ties by neighbor_id.
+
+    ``rerank_vectors`` switches on the standard two-stage shape: the ADC
+    pass shortlists k × ``rerank_factor`` candidates per query from the
+    COMPRESSED codes (the corpus-wide scan never touches raw vectors),
+    then only the shortlist joins the raw-vector table for exact-cosine
+    re-ranking — output (vec_id, neighbor_id, rank, similarity). This
+    recovers most of the recall PQ loses to quantization while reading
+    k × factor raw rows per query instead of the corpus."""
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _kk, sub = cb.shape
+    q_ids = [q for q, _v in queries]
+    q_mat = _unit_rows(
+        np.array([list(v) for _q, v in queries], dtype=np.float64))
+    nq = len(q_ids)
+    # LUT[q, m, k] = |q_sub - centroid|² per subspace
+    q_parts = q_mat.reshape(nq, m, sub)
+    luts = ((q_parts[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+
+    shortlist = k * rerank_factor if rerank_vectors is not None else k
+
+    def score(batches):
+        import pandas as pd
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            c = np.array(pdf['pq_codes'].tolist(), dtype=np.int64)  # (n, m)
+            ids = pdf[id_col].to_numpy()
+            out_q, out_n, out_d = [], [], []
+            for qi in range(nq):
+                # ADC: sum LUT entries selected by each row's codes
+                dist = luts[qi, np.arange(m)[None, :], c].sum(axis=1)
+                take = min(shortlist, n)
+                part = np.argpartition(dist, take - 1)[:take]
+                out_q.extend([q_ids[qi]] * take)
+                out_n.extend(ids[part])
+                out_d.extend(dist[part])
+            yield pd.DataFrame({'q_id': out_q, 'neighbor_id': out_n,
+                                'adc_distance': out_d})
+
+    id_type = codes.schema[id_col].dataType.simpleString()
+    partial = codes.mapInPandas(
+        score, schema='q_id {idt}, neighbor_id {idt}, adc_distance double'
+        .format(idt=id_type))
+    w = Window.partitionBy('q_id').orderBy('adc_distance', 'neighbor_id')
+    adc = (
+        partial.where(F.col('neighbor_id') != F.col('q_id'))
+        .withColumn('rank', F.row_number().over(w))
+        .where(F.col('rank') <= shortlist)
+    )
+    if rerank_vectors is None:
+        return adc.select(F.col('q_id').alias('vec_id'), 'neighbor_id',
+                          'rank', 'adc_distance')
+
+    # exact-cosine re-rank of the shortlist: only k×factor raw rows per
+    # query are ever read; queries stay in the closure (driver-side list)
+    q_index = {q: i for i, q in enumerate(q_ids)}
+    n_vecs = rerank_vectors.select(F.col(id_col).alias('neighbor_id'),
+                                   F.col(vec_col).alias('n_vec'))
+    cand = adc.select('q_id', 'neighbor_id').join(n_vecs, on='neighbor_id')
+
+    def exact(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nv = _unit_rows(
+                np.array(pdf['n_vec'].tolist(), dtype=np.float64))
+            qi = np.array([q_index[q] for q in pdf['q_id']])
+            sim = (nv * q_mat[qi]).sum(axis=1)
+            yield pd.DataFrame({'q_id': pdf['q_id'],
+                                'neighbor_id': pdf['neighbor_id'],
+                                'similarity': sim})
+
+    rer = cand.mapInPandas(
+        exact, schema='q_id {idt}, neighbor_id {idt}, similarity double'
+        .format(idt=id_type))
+    w2 = Window.partitionBy('q_id').orderBy(F.desc('similarity'),
+                                            'neighbor_id')
+    return (
+        rer.withColumn('rank', F.row_number().over(w2))
+        .where(F.col('rank') <= k)
+        .select(F.col('q_id').alias('vec_id'), 'neighbor_id', 'rank',
+                'similarity')
+    )

@@ -449,6 +449,101 @@ def test_injected_jpeg_decoder_routes_through_arrow_stage(spark):
     assert multimodal.try_register_pillow_decoders() is False
 
 
+class TestProductQuantization:
+    """IVF-PQ building blocks: per-subspace codebooks, byte codes, ADC
+    ranking — the memory-bounded serving path (m bytes/vector instead of
+    dim×8)."""
+
+    def _vectors(self, spark, n=400, dim=32):
+        rows = []
+        for i in range(n):
+            # two well-separated clusters + deterministic jitter
+            base = 10.0 if i % 2 == 0 else -10.0
+            v = [base + ((i * 13 + d * 7) % 11) / 11.0
+                 for d in range(dim)]
+            rows.append((i, v))
+        return spark.createDataFrame(rows, 'vec_id long, embedding array<double>')
+
+    def test_encode_deterministic_and_compact(self, spark):
+        from pybel_spark.textops import similarity
+
+        vecs = self._vectors(spark)
+        cb = similarity.pq_train(vecs, m=8, k=16, refine_iterations=1)
+        assert cb.shape == (8, 16, 4)
+        a = {r['vec_id']: list(r['pq_codes'])
+             for r in similarity.pq_encode(vecs, cb).collect()}
+        b = {r['vec_id']: list(r['pq_codes'])
+             for r in similarity.pq_encode(vecs, cb).collect()}
+        assert a == b and len(a) == 400
+        assert all(len(c) == 8 and all(0 <= x < 16 for x in c)
+                   for c in a.values())
+
+    def test_adc_topk_recall_floor(self, spark):
+        """ADC top-k against the compressed codes must substantially
+        agree with the exact cosine top-k (these clusters are far apart,
+        so a correct PQ easily clears 0.6 mean recall at m=8, k=16)."""
+        from pybel_spark.textops import similarity
+
+        vecs = self._vectors(spark).persist()
+        try:
+            cb = similarity.pq_train(vecs, m=8, k=16, refine_iterations=2)
+            codes = similarity.pq_encode(vecs, cb)
+            queries = [(r['vec_id'], r['embedding'])
+                       for r in vecs.where('vec_id < 10').collect()]
+            approx = similarity.pq_topk(codes, cb, queries, k=5)
+            exact = similarity.cosine_topk(vecs, k=5,
+                                           query_ids=list(range(10)))
+            a = {(r['vec_id'], r['neighbor_id']) for r in approx.collect()}
+            e = {(r['vec_id'], r['neighbor_id']) for r in exact.collect()}
+            assert len(a) == 50  # 10 queries × k
+            recall = len(a & e) / len(e)
+            assert recall >= 0.6, recall
+            # ADC distances are ascending per query
+            rows = approx.orderBy('vec_id', 'rank').collect()
+            by_q = {}
+            for r in rows:
+                by_q.setdefault(r['vec_id'], []).append(r['adc_distance'])
+            for dists in by_q.values():
+                assert dists == sorted(dists)
+        finally:
+            vecs.unpersist()
+
+    def test_rerank_recovers_exact_topk(self, spark):
+        """Two-stage retrieval: ADC shortlist (k×factor) + exact-cosine
+        re-rank must recover (nearly) the exact top-k even where raw ADC
+        alone is lossy — on these separable clusters it is exact."""
+        from pybel_spark.textops import similarity
+
+        vecs = self._vectors(spark).persist()
+        try:
+            cb = similarity.pq_train(vecs, m=8, k=16, refine_iterations=2)
+            codes = similarity.pq_encode(vecs, cb)
+            queries = [(r['vec_id'], r['embedding'])
+                       for r in vecs.where('vec_id < 10').collect()]
+            rer = similarity.pq_topk(codes, cb, queries, k=5,
+                                     rerank_vectors=vecs, rerank_factor=8)
+            exact = similarity.cosine_topk(vecs, k=5,
+                                           query_ids=list(range(10)))
+            a = {(r['vec_id'], r['neighbor_id']) for r in rer.collect()}
+            e = {(r['vec_id'], r['neighbor_id']) for r in exact.collect()}
+            assert len(a & e) / len(e) >= 0.9, len(a & e) / len(e)
+        finally:
+            vecs.unpersist()
+
+    def test_empty_and_degenerate_inputs(self, spark):
+        from pybel_spark.textops import similarity
+
+        vecs = self._vectors(spark, n=20)
+        cb = similarity.pq_train(vecs, m=4, k=8, refine_iterations=0)
+        empty = vecs.where('vec_id < 0')
+        assert similarity.pq_encode(empty, cb).count() == 0
+        queries = [(0, [0.0] * 32)]  # zero query: valid LUT, no NaN
+        out = similarity.pq_topk(similarity.pq_encode(vecs, cb), cb,
+                                 queries, k=3).collect()
+        assert len(out) == 3
+        assert all(r['adc_distance'] == r['adc_distance'] for r in out)
+
+
 def test_corrupt_media_yields_null_feature_not_task_failure(spark):
     """ADVICE r2: a truncated/hostile payload must not kill the Spark task —
     the row comes back with feature NULL while healthy rows decode."""
