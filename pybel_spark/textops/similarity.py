@@ -918,3 +918,156 @@ def pq_topk(codes: DataFrame, codebooks, queries, k=5,
         .select(F.col('q_id').alias('vec_id'), 'neighbor_id', 'rank',
                 'similarity')
     )
+
+
+def pq_index_write(vectors: DataFrame, path: str, n_lists=16, m=8, k=16,
+                   seed=7, id_col='vec_id', vec_col='embedding',
+                   refine_iterations=1) -> None:
+    """Materialize an IVF×PQ index: one parquet table
+    (id, vector, pq_codes) PARTITIONED BY list_id, plus a sidecar with
+    the coarse centroids and the PQ codebooks.
+
+    The columnar layout is what makes this the 100-TB serving shape
+    WITHOUT a separate compressed copy: the ADC scan reads ONLY the
+    (id, list_id, pq_codes) columns (m×4 bytes of codes per row reaches
+    the scan, the dim×8-byte vector column is never materialized), and
+    the exact re-rank reads the vector column for the k×factor
+    shortlist rows only — both out of the same files, via parquet
+    column pruning + list_id partition pruning."""
+    import json
+
+    assignments, centroids = ivf_assignments(
+        vectors, n_lists, seed, id_col, vec_col, refine_iterations)
+    cb = pq_train(vectors, m=m, k=k, seed=seed, id_col=id_col,
+                  vec_col=vec_col, refine_iterations=refine_iterations)
+    codes = pq_encode(vectors, cb, id_col, vec_col)
+    table = assignments.join(codes, on=id_col)
+    table.write.mode('overwrite').partitionBy('list_id') \
+        .parquet(path + '/table')
+    meta = json.dumps({
+        'centroids': [list(map(float, c)) for c in centroids],
+        'codebooks': [[list(map(float, e)) for e in book] for book in cb],
+        'n_lists': n_lists, 'm': m, 'k': k, 'seed': seed,
+        'id_col': id_col, 'vec_col': vec_col,
+    }).encode('utf8')
+    spark = vectors.sparkSession
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path + '/pq_meta.json')
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(meta)
+    finally:
+        out.close()
+
+
+def pq_index_topk(spark, path: str, queries, k=5, n_probe=4,
+                  rerank_factor=4) -> DataFrame:
+    """Serve approximate top-k from a materialized IVF×PQ index.
+
+    Per query: pick the ``n_probe`` nearest coarse lists (driver-side —
+    ``queries`` is a small (q_id, vector) list, the selective-serving
+    shape), scan ONLY those partitions' code columns with ADC, exact-
+    cosine re-rank the k×``rerank_factor`` shortlist from the vector
+    column of the same pruned partitions. Output
+    (vec_id, neighbor_id, rank, similarity)."""
+    import json
+
+    import numpy as np
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path + '/pq_meta.json')
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        meta = json.loads(bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode('utf8'))
+    finally:
+        stream.close()
+    centroids = np.array(meta['centroids'], dtype=np.float64)
+    cb = np.array(meta['codebooks'], dtype=np.float64)
+    id_col, vec_col = meta['id_col'], meta['vec_col']
+    m, _kk, sub = cb.shape
+
+    q_ids = [q for q, _v in queries]
+    q_mat = _unit_rows(
+        np.array([list(v) for _q, v in queries], dtype=np.float64))
+    normed_cents = _unit_rows(centroids)
+    n_probe_eff = min(n_probe, len(centroids))
+    sims = q_mat @ normed_cents.T
+    order = np.argsort(-sims, axis=1, kind='stable')[:, :n_probe_eff]
+    probe_lists = {q_ids[i]: set(int(x) for x in order[i])
+                   for i in range(len(q_ids))}
+    probed = sorted(set().union(*probe_lists.values())) if q_ids else []
+
+    table = spark.read.parquet(path + '/table') \
+        .where(F.col('list_id').isin(probed))
+    codes = table.select(id_col, 'list_id', 'pq_codes')
+
+    nq = len(q_ids)
+    q_parts = q_mat.reshape(nq, m, sub)
+    luts = ((q_parts[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+    shortlist = k * rerank_factor
+
+    def score(batches):
+        import pandas as pd
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            c = np.array(pdf['pq_codes'].tolist(), dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            lists = pdf['list_id'].to_numpy()
+            out_q, out_n, out_d = [], [], []
+            for qi in range(nq):
+                mask = np.isin(lists, list(probe_lists[q_ids[qi]]))
+                if not mask.any():
+                    continue
+                dist = luts[qi, np.arange(m)[None, :], c[mask]].sum(axis=1)
+                take = min(shortlist, int(mask.sum()))
+                part = np.argpartition(dist, take - 1)[:take]
+                out_q.extend([q_ids[qi]] * take)
+                out_n.extend(ids[mask][part])
+                out_d.extend(dist[part])
+            if out_q:
+                yield pd.DataFrame({'q_id': out_q, 'neighbor_id': out_n,
+                                    'adc_distance': out_d})
+
+    id_type = codes.schema[id_col].dataType.simpleString()
+    partial = codes.mapInPandas(
+        score, schema='q_id {idt}, neighbor_id {idt}, adc_distance double'
+        .format(idt=id_type))
+    w = Window.partitionBy('q_id').orderBy('adc_distance', 'neighbor_id')
+    adc = (
+        partial.where(F.col('neighbor_id') != F.col('q_id'))
+        .withColumn('rank', F.row_number().over(w))
+        .where(F.col('rank') <= shortlist)
+    )
+    q_index = {q: i for i, q in enumerate(q_ids)}
+    n_vecs = table.select(F.col(id_col).alias('neighbor_id'),
+                          F.col(vec_col).alias('n_vec'))
+    cand = adc.select('q_id', 'neighbor_id').join(n_vecs, on='neighbor_id')
+
+    def exact(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nv = _unit_rows(
+                np.array(pdf['n_vec'].tolist(), dtype=np.float64))
+            qi = np.array([q_index[q] for q in pdf['q_id']])
+            sim = (nv * q_mat[qi]).sum(axis=1)
+            yield pd.DataFrame({'q_id': pdf['q_id'],
+                                'neighbor_id': pdf['neighbor_id'],
+                                'similarity': sim})
+
+    rer = cand.mapInPandas(
+        exact, schema='q_id {idt}, neighbor_id {idt}, similarity double'
+        .format(idt=id_type))
+    w2 = Window.partitionBy('q_id').orderBy(F.desc('similarity'),
+                                            'neighbor_id')
+    return (
+        rer.withColumn('rank', F.row_number().over(w2))
+        .where(F.col('rank') <= k)
+        .select(F.col('q_id').alias('vec_id'), 'neighbor_id', 'rank',
+                'similarity')
+    )

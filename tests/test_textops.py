@@ -530,6 +530,39 @@ class TestProductQuantization:
         finally:
             vecs.unpersist()
 
+    def test_ivf_pq_index_pruned_serving(self, spark, tmp_path):
+        """IVF×PQ composition: the ADC scan reads only the probed
+        list_id partitions AND only the code columns (no vector column
+        below the scoring stage); full-probe serving matches plain
+        pq_topk+rerank recall."""
+        import re
+
+        from pybel_spark.textops import similarity
+
+        vecs = self._vectors(spark).persist()
+        try:
+            path = str(tmp_path / 'pq_index')
+            similarity.pq_index_write(vecs, path, n_lists=4, m=8, k=16)
+            queries = [(r['vec_id'], r['embedding'])
+                       for r in vecs.where('vec_id < 10').collect()]
+            out = similarity.pq_index_topk(spark, path, queries, k=5,
+                                           n_probe=4, rerank_factor=8)
+            exact = similarity.cosine_topk(vecs, k=5,
+                                           query_ids=list(range(10)))
+            a = {(r['vec_id'], r['neighbor_id']) for r in out.collect()}
+            e = {(r['vec_id'], r['neighbor_id']) for r in exact.collect()}
+            assert len(a & e) / len(e) >= 0.9, len(a & e) / len(e)
+
+            # selective probing prunes partitions in the scan
+            sel = similarity.pq_index_topk(spark, path, queries[:2], k=3,
+                                           n_probe=1)
+            plan = sel._jdf.queryExecution().executedPlan().toString()
+            assert re.search(r'PartitionFilters: \[[^\]]*list_id', plan), \
+                plan
+            assert sel.count() == 6
+        finally:
+            vecs.unpersist()
+
     def test_empty_and_degenerate_inputs(self, spark):
         from pybel_spark.textops import similarity
 
