@@ -411,17 +411,22 @@ def start_neardup_index_stream(spark, input_dir: str, index_path: str,
     import os as _os
 
     from .textops.dedup import (
-        _band_index_params, band_index_append, band_index_write,
+        band_index_append, band_index_exists, band_index_write,
         dedup_against_index, minhash_lsh_candidates,
     )
+    from .textops.sidecar import sidecar_exists, write_json_sidecar
 
     cand_path = _os.path.join(out_dir, 'neardup_candidates')
-    applied_dir = _os.path.join(index_path, 'applied')
+    applied_dir = index_path.rstrip('/') + '/applied'
 
     def process_batch(batch_df, batch_id):
-        _os.makedirs(applied_dir, exist_ok=True)
-        marker = _os.path.join(applied_dir, 'batch-{}'.format(batch_id))
-        if _os.path.exists(marker):
+        # markers go through the SAME filesystem API as the index itself
+        # (Hadoop FS — local paths resolve against the default FS), so a
+        # driver restart on another node still sees them; local
+        # os.path markers would silently stop protecting an HDFS/S3
+        # index (code-review r5)
+        marker = '{}/batch-{}'.format(applied_dir, batch_id)
+        if sidecar_exists(spark, marker):
             return  # replayed micro-batch: already folded into the index
         batch_df = batch_df.withColumn(
             'doc_key', F.coalesce(
@@ -430,12 +435,12 @@ def start_neardup_index_stream(spark, input_dir: str, index_path: str,
                          F.md5(F.coalesce('text', F.lit(''))))))
         docs = batch_df.select(F.col('doc_key').alias('doc_id'), 'text') \
             .persist()
-        try:
-            _band_index_params(spark, index_path)
-            have_index = True
-        except Exception:
-            have_index = False
-        if have_index:
+        # EXISTENCE probe, not try/except around the read: a transient
+        # FS error while reading an existing index's sidecar must fail
+        # the batch (structured streaming retries it), never route into
+        # the bootstrap branch whose mode('overwrite') would destroy the
+        # accumulated index (code-review r5)
+        if band_index_exists(spark, index_path):
             pairs = dedup_against_index(docs, index_path)
             pairs.write.mode('append').parquet(cand_path)
             band_index_append(docs, index_path)
@@ -449,8 +454,7 @@ def start_neardup_index_stream(spark, input_dir: str, index_path: str,
             band_index_write(docs, index_path, n=n,
                              num_hashes=num_hashes, bands=bands)
         docs.unpersist()
-        with open(marker, 'w') as fh:
-            fh.write('done')
+        write_json_sidecar(spark, marker, {'batch_id': batch_id})
 
     writer = (
         read_document_stream(spark, input_dir, max_files_per_trigger)

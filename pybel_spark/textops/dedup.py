@@ -518,35 +518,29 @@ def band_index_write(docs: DataFrame, path: str, id_col='doc_id',
     from the shuffle-free row-wise formulation, the only exchange is the
     partitioned write. Parameters are recorded in a sidecar so probes
     can't silently mismatch the index."""
-    import json
+    from .sidecar import write_json_sidecar
 
     band_signatures(docs, id_col, text_col, n, num_hashes, bands) \
         .write.mode('overwrite').partitionBy('band') \
         .parquet(path + '/bands')
-    meta = json.dumps({'n': n, 'num_hashes': num_hashes,
-                       'bands': bands}).encode('utf8')
-    spark = docs.sparkSession
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path + '/params.json')
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(jpath, True)
-    try:
-        out.write(meta)
-    finally:
-        out.close()
+    write_json_sidecar(docs.sparkSession, path + '/params.json',
+                       {'n': n, 'num_hashes': num_hashes, 'bands': bands})
 
 
 def _band_index_params(spark, path: str) -> dict:
-    import json
+    from .sidecar import read_json_sidecar
 
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path + '/params.json')
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    stream = fs.open(jpath)
-    try:
-        return json.loads(bytes(
-            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        ).decode('utf8'))
-    finally:
-        stream.close()
+    return read_json_sidecar(spark, path + '/params.json')
+
+
+def band_index_exists(spark, path: str) -> bool:
+    """True iff the index sidecar EXISTS — the bootstrap-or-probe
+    decision must not conflate 'no index yet' with 'index unreadable
+    right now' (a transient FS error during a read must propagate, not
+    trigger a destructive overwrite bootstrap — code-review r5)."""
+    from .sidecar import sidecar_exists
+
+    return sidecar_exists(spark, path + '/params.json')
 
 
 def dedup_against_index(new_docs: DataFrame, path: str, id_col='doc_id',
@@ -569,12 +563,18 @@ def dedup_against_index(new_docs: DataFrame, path: str, id_col='doc_id',
     new_sigs = band_signatures(new_docs, id_col, text_col,
                                p['n'], p['num_hashes'], p['bands'])
     index = spark.read.parquet(path + '/bands')
+    # pairs are orientation-NORMALIZED (doc_a < doc_b) for the cross
+    # rows too: if a batch's own signatures are already in the index (a
+    # mid-batch replay after a crash between append and marker), the
+    # same pair would otherwise surface as both (a,b) within and (b,a)
+    # cross, and a consumer's distinct() could not collapse them
+    # (code-review r5)
     cross = (
         index.alias('old').join(
             new_sigs.alias('new'), on=['band', 'band_sig'])
         .where(F.col('old.doc_id') != F.col('new.doc_id'))
-        .select(F.col('old.doc_id').alias('doc_a'),
-                F.col('new.doc_id').alias('doc_b'))
+        .select(F.least('old.doc_id', 'new.doc_id').alias('doc_a'),
+                F.greatest('old.doc_id', 'new.doc_id').alias('doc_b'))
     )
     within = (
         new_sigs.alias('a').join(new_sigs.alias('b'),

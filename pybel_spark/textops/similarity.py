@@ -20,8 +20,30 @@ def _unit_rows(arr):
     argmax/assignment downstream — code-review r4)."""
     import numpy as np
 
+    if arr.ndim != 2:  # empty input: normalize shape, not values
+        return arr.reshape(0, arr.shape[-1] if arr.ndim else 0)
     norms = np.linalg.norm(arr, axis=1, keepdims=True)
     return arr / np.where(norms == 0, 1.0, norms)
+
+
+def _matrix(series, dim=None):
+    """Pandas series of array-typed cells → float64 matrix. NULL or
+    ragged (wrong-length) cells become ZERO rows — the Column-based
+    cosine() yields 0.0 for them, and a numpy stage must not let one
+    hostile row kill the Spark task (code-review r5). ``dim`` overrides
+    inference when the batch might contain no valid row."""
+    import numpy as np
+
+    vals = series.tolist()
+    if dim is None:
+        dim = next((len(v) for v in vals if v is not None), 0)
+    out = np.zeros((len(vals), dim), dtype=np.float64)
+    for i, v in enumerate(vals):
+        if v is not None and len(v) == dim:
+            row = np.asarray(v, dtype=np.float64)
+            if np.isfinite(row).all():
+                out[i] = row
+    return out
 
 
 def _dot(a, b):
@@ -63,8 +85,8 @@ def cosine_pairs(pairs: DataFrame, a_col: str, b_col: str, keep_cols,
         for pdf in batches:
             if not len(pdf):
                 continue
-            a = np.array(pdf[a_col].tolist(), dtype=np.float64)
-            b = np.array(pdf[b_col].tolist(), dtype=np.float64)
+            a = _matrix(pdf[a_col])
+            b = _matrix(pdf[b_col], dim=a.shape[1])
             dot = (a * b).sum(axis=1)
             denom = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
             sim = np.where(denom > 0,
@@ -169,7 +191,7 @@ def lsh_signatures(vectors: DataFrame, n_planes=4, n_tables=8, seed=7,
             n = len(pdf)
             if n == 0:
                 continue
-            emb = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            emb = _matrix(pdf[vec_col], dim=dim)
             bits = (emb @ weights) > 0
             sigs = (bits.reshape(n, n_tables, n_planes)
                     * pow2).sum(axis=2)  # (n, n_tables)
@@ -370,7 +392,7 @@ def _probe_rows(queries: DataFrame, centroids, n_probe, id_type, vec_type,
         for pdf in batches:
             if not len(pdf):
                 continue
-            emb = np.array(pdf['q_vec'].tolist(), dtype=np.float64)
+            emb = _matrix(pdf['q_vec'], dim=normed.shape[1])
             emb_n = _unit_rows(emb)
             sims = emb_n @ normed.T
             # stable sort: ties probe the lower list_id, deterministically
@@ -428,7 +450,7 @@ def ivf_assignments(vectors: DataFrame, n_lists=16, seed=7,
             for pdf in batches:
                 if not len(pdf):
                     continue
-                emb = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                emb = _matrix(pdf[vec_col], dim=cents.shape[1])
                 emb_n = _unit_rows(emb)
                 lists = np.argmax(emb_n @ normed.T, axis=1)
                 yield pd.DataFrame({
@@ -568,20 +590,13 @@ def ivf_index_write(vectors: DataFrame, path: str, n_lists=16, seed=7,
         vectors, n_lists, seed, id_col, vec_col, refine_iterations)
     assignments.write.mode('overwrite').partitionBy('list_id') \
         .parquet(path + '/assignments')
-    meta = json.dumps({
+    from .sidecar import write_json_sidecar
+
+    write_json_sidecar(vectors.sparkSession, path + '/centroids.json', {
         'centroids': [list(map(float, c)) for c in centroids],
         'n_lists': n_lists, 'seed': seed, 'id_col': id_col,
         'vec_col': vec_col,
-    }).encode('utf8')
-    # small sidecar via the session's Hadoop FS (works on any scheme)
-    spark = vectors.sparkSession
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path + '/centroids.json')
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(jpath, True)
-    try:
-        out.write(meta)
-    finally:
-        out.close()
+    })
 
 
 def ivf_index_topk(spark, path: str, k=5, n_probe=4, query_ids=None,
@@ -607,15 +622,9 @@ def ivf_index_topk(spark, path: str, k=5, n_probe=4, query_ids=None,
 
     import numpy as np
 
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path + '/centroids.json')
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    stream = fs.open(jpath)
-    try:
-        meta = json.loads(bytes(
-            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        ).decode('utf8'))
-    finally:
-        stream.close()
+    from .sidecar import read_json_sidecar
+
+    meta = read_json_sidecar(spark, path + '/centroids.json')
     centroids = np.array(meta['centroids'], dtype=np.float64)
     id_col, vec_col = meta['id_col'], meta['vec_col']
 
@@ -633,6 +642,10 @@ def ivf_index_topk(spark, path: str, k=5, n_probe=4, query_ids=None,
         # ids were silently ignored there while still forcing the
         # broadcast of the unfiltered set)
         queries = queries.where(F.col('q_id').isin(list(query_ids)))
+    # a duplicated q_id in an external serving batch would re-multiply
+    # every candidate pair after the id-only dedup, letting repeated
+    # neighbor rows crowd the top-k window (code-review r5)
+    queries = queries.dropDuplicates(['q_id'])
     if broadcast_queries is None:
         broadcast_queries = query_ids is not None
 
@@ -800,8 +813,7 @@ def pq_encode(vectors: DataFrame, codebooks, id_col='vec_id',
         for pdf in batches:
             if not len(pdf):
                 continue
-            emb = _unit_rows(
-                np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            emb = _unit_rows(_matrix(pdf[vec_col], dim=m * sub))
             n = emb.shape[0]
             parts = emb.reshape(n, m, sub)
             # dists[n, m, k] = |part - centroid|² per subspace
@@ -820,7 +832,8 @@ def pq_encode(vectors: DataFrame, codebooks, id_col='vec_id',
 
 def pq_topk(codes: DataFrame, codebooks, queries, k=5,
             id_col='vec_id', rerank_vectors: DataFrame = None,
-            rerank_factor=4, vec_col='embedding') -> DataFrame:
+            rerank_factor=4, vec_col='embedding',
+            probe_lists=None, list_col='list_id') -> DataFrame:
     """ADC top-k against a PQ-compressed corpus.
 
     ``codes`` is the (id, pq_codes) table; ``queries`` is a driver-side
@@ -838,12 +851,23 @@ def pq_topk(codes: DataFrame, codebooks, queries, k=5,
     then only the shortlist joins the raw-vector table for exact-cosine
     re-ranking — output (vec_id, neighbor_id, rank, similarity). This
     recovers most of the recall PQ loses to quantization while reading
-    k × factor raw rows per query instead of the corpus."""
+    k × factor raw rows per query instead of the corpus.
+
+    ``probe_lists`` (IVF×PQ serving, used by :func:`pq_index_topk`)
+    maps q_id → set of coarse list ids; ``codes`` must then carry
+    ``list_col`` and each query scores only its probed lists' rows."""
     import numpy as np
 
     cb = np.asarray(codebooks, dtype=np.float64)
     m, _kk, sub = cb.shape
     q_ids = [q for q, _v in queries]
+    id_type = codes.schema[id_col].dataType.simpleString()
+    if not q_ids:  # empty serving batch: empty result, not an AxisError
+        out_cols = 'similarity' if rerank_vectors is not None \
+            else 'adc_distance'
+        return codes.sparkSession.createDataFrame(
+            [], 'vec_id {idt}, neighbor_id {idt}, rank int, {oc} double'
+            .format(idt=id_type, oc=out_cols))
     q_mat = _unit_rows(
         np.array([list(v) for _q, v in queries], dtype=np.float64))
     nq = len(q_ids)
@@ -861,19 +885,30 @@ def pq_topk(codes: DataFrame, codebooks, queries, k=5,
                 continue
             c = np.array(pdf['pq_codes'].tolist(), dtype=np.int64)  # (n, m)
             ids = pdf[id_col].to_numpy()
+            lists = pdf[list_col].to_numpy() if probe_lists is not None \
+                else None
             out_q, out_n, out_d = [], [], []
             for qi in range(nq):
+                # self-exclusion BEFORE the shortlist cut: the query's
+                # own row has distance ~0 and would otherwise burn one
+                # of the k slots in a single-batch corpus (r5 review)
+                mask = ids != q_ids[qi]
+                if lists is not None:
+                    mask &= np.isin(lists, list(probe_lists[q_ids[qi]]))
+                nm = int(mask.sum())
+                if nm == 0:
+                    continue
                 # ADC: sum LUT entries selected by each row's codes
-                dist = luts[qi, np.arange(m)[None, :], c].sum(axis=1)
-                take = min(shortlist, n)
+                dist = luts[qi, np.arange(m)[None, :], c[mask]].sum(axis=1)
+                take = min(shortlist, nm)
                 part = np.argpartition(dist, take - 1)[:take]
                 out_q.extend([q_ids[qi]] * take)
-                out_n.extend(ids[part])
+                out_n.extend(ids[mask][part])
                 out_d.extend(dist[part])
-            yield pd.DataFrame({'q_id': out_q, 'neighbor_id': out_n,
-                                'adc_distance': out_d})
+            if out_q:
+                yield pd.DataFrame({'q_id': out_q, 'neighbor_id': out_n,
+                                    'adc_distance': out_d})
 
-    id_type = codes.schema[id_col].dataType.simpleString()
     partial = codes.mapInPandas(
         score, schema='q_id {idt}, neighbor_id {idt}, adc_distance double'
         .format(idt=id_type))
@@ -899,8 +934,7 @@ def pq_topk(codes: DataFrame, codebooks, queries, k=5,
         for pdf in batches:
             if not len(pdf):
                 continue
-            nv = _unit_rows(
-                np.array(pdf['n_vec'].tolist(), dtype=np.float64))
+            nv = _unit_rows(_matrix(pdf['n_vec'], dim=q_mat.shape[1]))
             qi = np.array([q_index[q] for q in pdf['q_id']])
             sim = (nv * q_mat[qi]).sum(axis=1)
             yield pd.DataFrame({'q_id': pdf['q_id'],
@@ -944,20 +978,14 @@ def pq_index_write(vectors: DataFrame, path: str, n_lists=16, m=8, k=16,
     table = assignments.join(codes, on=id_col)
     table.write.mode('overwrite').partitionBy('list_id') \
         .parquet(path + '/table')
-    meta = json.dumps({
+    from .sidecar import write_json_sidecar
+
+    write_json_sidecar(vectors.sparkSession, path + '/pq_meta.json', {
         'centroids': [list(map(float, c)) for c in centroids],
         'codebooks': [[list(map(float, e)) for e in book] for book in cb],
         'n_lists': n_lists, 'm': m, 'k': k, 'seed': seed,
         'id_col': id_col, 'vec_col': vec_col,
-    }).encode('utf8')
-    spark = vectors.sparkSession
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path + '/pq_meta.json')
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(jpath, True)
-    try:
-        out.write(meta)
-    finally:
-        out.close()
+    })
 
 
 def pq_index_topk(spark, path: str, queries, k=5, n_probe=4,
@@ -966,29 +994,27 @@ def pq_index_topk(spark, path: str, queries, k=5, n_probe=4,
 
     Per query: pick the ``n_probe`` nearest coarse lists (driver-side —
     ``queries`` is a small (q_id, vector) list, the selective-serving
-    shape), scan ONLY those partitions' code columns with ADC, exact-
-    cosine re-rank the k×``rerank_factor`` shortlist from the vector
-    column of the same pruned partitions. Output
+    shape), then delegate to :func:`pq_topk` with the per-query
+    ``probe_lists`` restriction over the partition-pruned table read:
+    the ADC scan touches only the probed partitions' (id, list_id,
+    pq_codes) columns, the exact re-rank reads the vector column for
+    the shortlist rows of the same pruned files. Output
     (vec_id, neighbor_id, rank, similarity)."""
-    import json
-
     import numpy as np
 
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path + '/pq_meta.json')
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    stream = fs.open(jpath)
-    try:
-        meta = json.loads(bytes(
-            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        ).decode('utf8'))
-    finally:
-        stream.close()
+    from .sidecar import read_json_sidecar
+
+    meta = read_json_sidecar(spark, path + '/pq_meta.json')
     centroids = np.array(meta['centroids'], dtype=np.float64)
     cb = np.array(meta['codebooks'], dtype=np.float64)
     id_col, vec_col = meta['id_col'], meta['vec_col']
-    m, _kk, sub = cb.shape
 
     q_ids = [q for q, _v in queries]
+    if not q_ids:
+        table = spark.read.parquet(path + '/table')
+        return pq_topk(table.select(id_col, 'list_id', 'pq_codes'), cb,
+                       [], k=k, id_col=id_col, rerank_vectors=table,
+                       rerank_factor=rerank_factor, vec_col=vec_col)
     q_mat = _unit_rows(
         np.array([list(v) for _q, v in queries], dtype=np.float64))
     normed_cents = _unit_rows(centroids)
@@ -997,77 +1023,11 @@ def pq_index_topk(spark, path: str, queries, k=5, n_probe=4,
     order = np.argsort(-sims, axis=1, kind='stable')[:, :n_probe_eff]
     probe_lists = {q_ids[i]: set(int(x) for x in order[i])
                    for i in range(len(q_ids))}
-    probed = sorted(set().union(*probe_lists.values())) if q_ids else []
+    probed = sorted(set().union(*probe_lists.values()))
 
     table = spark.read.parquet(path + '/table') \
         .where(F.col('list_id').isin(probed))
-    codes = table.select(id_col, 'list_id', 'pq_codes')
-
-    nq = len(q_ids)
-    q_parts = q_mat.reshape(nq, m, sub)
-    luts = ((q_parts[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
-    shortlist = k * rerank_factor
-
-    def score(batches):
-        import pandas as pd
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            c = np.array(pdf['pq_codes'].tolist(), dtype=np.int64)
-            ids = pdf[id_col].to_numpy()
-            lists = pdf['list_id'].to_numpy()
-            out_q, out_n, out_d = [], [], []
-            for qi in range(nq):
-                mask = np.isin(lists, list(probe_lists[q_ids[qi]]))
-                if not mask.any():
-                    continue
-                dist = luts[qi, np.arange(m)[None, :], c[mask]].sum(axis=1)
-                take = min(shortlist, int(mask.sum()))
-                part = np.argpartition(dist, take - 1)[:take]
-                out_q.extend([q_ids[qi]] * take)
-                out_n.extend(ids[mask][part])
-                out_d.extend(dist[part])
-            if out_q:
-                yield pd.DataFrame({'q_id': out_q, 'neighbor_id': out_n,
-                                    'adc_distance': out_d})
-
-    id_type = codes.schema[id_col].dataType.simpleString()
-    partial = codes.mapInPandas(
-        score, schema='q_id {idt}, neighbor_id {idt}, adc_distance double'
-        .format(idt=id_type))
-    w = Window.partitionBy('q_id').orderBy('adc_distance', 'neighbor_id')
-    adc = (
-        partial.where(F.col('neighbor_id') != F.col('q_id'))
-        .withColumn('rank', F.row_number().over(w))
-        .where(F.col('rank') <= shortlist)
-    )
-    q_index = {q: i for i, q in enumerate(q_ids)}
-    n_vecs = table.select(F.col(id_col).alias('neighbor_id'),
-                          F.col(vec_col).alias('n_vec'))
-    cand = adc.select('q_id', 'neighbor_id').join(n_vecs, on='neighbor_id')
-
-    def exact(batches):
-        import pandas as pd
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            nv = _unit_rows(
-                np.array(pdf['n_vec'].tolist(), dtype=np.float64))
-            qi = np.array([q_index[q] for q in pdf['q_id']])
-            sim = (nv * q_mat[qi]).sum(axis=1)
-            yield pd.DataFrame({'q_id': pdf['q_id'],
-                                'neighbor_id': pdf['neighbor_id'],
-                                'similarity': sim})
-
-    rer = cand.mapInPandas(
-        exact, schema='q_id {idt}, neighbor_id {idt}, similarity double'
-        .format(idt=id_type))
-    w2 = Window.partitionBy('q_id').orderBy(F.desc('similarity'),
-                                            'neighbor_id')
-    return (
-        rer.withColumn('rank', F.row_number().over(w2))
-        .where(F.col('rank') <= k)
-        .select(F.col('q_id').alias('vec_id'), 'neighbor_id', 'rank',
-                'similarity')
-    )
+    return pq_topk(table.select(id_col, 'list_id', 'pq_codes'), cb,
+                   queries, k=k, id_col=id_col, rerank_vectors=table,
+                   rerank_factor=rerank_factor, vec_col=vec_col,
+                   probe_lists=probe_lists, list_col='list_id')

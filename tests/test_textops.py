@@ -390,6 +390,41 @@ def test_ivf_skewed_assignment_no_megabuffer(spark):
     assert all(r['count'] <= 3 for r in got)
 
 
+def test_cosine_pairs_null_and_ragged_rows_dont_kill_the_task(spark):
+    """r5 review: the vectorized scoring stage must map NULL / ragged /
+    non-finite embeddings to similarity 0.0 (the Column-based cosine()'s
+    zero-vector behavior) instead of raising inside mapInPandas."""
+    rows = [(0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),
+            (2, None),               # failed embedding
+            (3, [1.0, 0.0]),         # ragged width
+            (4, [float('nan')] * 3)]  # non-finite
+    vecs = spark.createDataFrame(rows, 'vec_id long, embedding array<double>')
+    out = {(r['vec_id'], r['neighbor_id']): r['similarity']
+           for r in similarity.cosine_topk(vecs, k=4,
+                                           query_ids=[0]).collect()}
+    assert out[(0, 1)] == __import__('pytest').approx(1.0)
+    assert out[(0, 2)] == 0.0
+    assert out[(0, 3)] == 0.0
+    assert out[(0, 4)] == 0.0
+
+
+def test_ivf_index_duplicate_external_queries(spark, tmp_path):
+    """r5 review: a duplicated q_id in an external serving batch must
+    not multiply candidate rows past the dedup (k distinct neighbors,
+    no repeats)."""
+    vecs = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    path = str(tmp_path / 'ivf_dupq')
+    similarity.ivf_index_write(vecs, path, n_lists=4)
+    one = vecs.limit(1).select(F.col('vec_id').alias('q_id'),
+                               F.col('embedding').alias('q_vec'))
+    dup_queries = one.unionByName(one).unionByName(one)
+    out = similarity.ivf_index_topk(spark, path, k=3,
+                                    queries=dup_queries).collect()
+    assert len(out) == 3
+    assert len({r['neighbor_id'] for r in out}) == 3
+
+
 def test_format_sniffing_magic_bytes():
     """Dispatch comes from payload magic bytes, never the mime column —
     incl. the vendored hand-built baseline JPEG fixture."""
@@ -575,6 +610,26 @@ class TestProductQuantization:
                                  queries, k=3).collect()
         assert len(out) == 3
         assert all(r['adc_distance'] == r['adc_distance'] for r in out)
+        # empty queries: empty result, not a numpy AxisError (r5 review)
+        assert similarity.pq_topk(similarity.pq_encode(vecs, cb), cb,
+                                  [], k=3).count() == 0
+
+    def test_single_batch_corpus_still_returns_k(self, spark):
+        """r5 review: the query's own row must be excluded BEFORE the
+        per-batch shortlist cut — a single-partition corpus otherwise
+        returns k-1 neighbors for in-corpus queries."""
+        from pybel_spark.textops import similarity
+
+        vecs = self._vectors(spark, n=50).coalesce(1)
+        cb = similarity.pq_train(vecs, m=4, k=8, refine_iterations=1)
+        codes = similarity.pq_encode(vecs, cb).coalesce(1)
+        queries = [(r['vec_id'], r['embedding'])
+                   for r in vecs.where('vec_id < 3').collect()]
+        out = similarity.pq_topk(codes, cb, queries, k=5)
+        counts = {r['vec_id']: r['cnt'] for r in
+                  out.groupBy('vec_id').agg(
+                      F.count('*').alias('cnt')).collect()}
+        assert counts == {0: 5, 1: 5, 2: 5}, counts
 
 
 def test_corrupt_media_yields_null_feature_not_task_failure(spark):
