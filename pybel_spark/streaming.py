@@ -468,6 +468,52 @@ def start_neardup_index_stream(spark, input_dir: str, index_path: str,
     return writer.start()
 
 
+def start_decontaminate_stream(spark, input_dir: str, out_dir: str,
+                               benchmark, n=8,
+                               max_files_per_trigger=16,
+                               trigger_available_now=True):
+    """Decontaminate AT INGEST: stream documents, drop any that share a
+    word ``n``-gram with the benchmark suite, append the clean rows.
+
+    The batch operator's decision per document is stateless (a
+    broadcast join against the static, vocabulary-sized benchmark
+    n-gram index), but its internals aggregate per (doc, bench) pair —
+    illegal as a bare streaming transformation — so each micro-batch
+    runs the UNCHANGED batch `textops.decontaminate.decontaminate`
+    through ``foreachBatch`` (same marker-idempotent pattern as
+    :func:`start_neardup_index_stream`: a replayed batch id is skipped
+    before it can append twice). ``benchmark`` is a static DataFrame
+    with (bench_id, text). Contaminated documents never reach the clean
+    log (the GPT-3 protocol applied before data lands, instead of a
+    retrospective sweep)."""
+    from .textops.decontaminate import decontaminate
+    from .textops.sidecar import sidecar_exists, write_json_sidecar
+
+    clean_path = os.path.join(out_dir, 'clean_docs')
+    applied_dir = out_dir.rstrip('/') + '/decontaminate_applied'
+
+    def process_batch(batch_df, batch_id):
+        marker = '{}/batch-{}'.format(applied_dir, batch_id)
+        if sidecar_exists(spark, marker):
+            return
+        clean = decontaminate(
+            batch_df.withColumn('text', F.coalesce('text', F.lit(''))),
+            benchmark, n=n, id_col='url')
+        clean.write.mode('append').parquet(clean_path)
+        write_json_sidecar(spark, marker, {'batch_id': batch_id})
+
+    writer = (
+        read_document_stream(spark, input_dir, max_files_per_trigger)
+        .writeStream
+        .foreachBatch(process_batch)
+        .option('checkpointLocation',
+                os.path.join(out_dir, 'decontaminate_checkpoint'))
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_domain_quality_stream(spark, input_dir: str, out_dir: str,
                                 window='1 hour', watermark='2 hours',
                                 max_files_per_trigger=16,

@@ -1,0 +1,132 @@
+"""Stage-checkpointed curation runs (pybel_spark/curation.py)."""
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pybel_spark.curation import (
+    default_curation_stages, run_curation_checkpointed,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = []
+    for i in range(120):
+        # 8 domains, one oversized; some exact dups; quality-passing text
+        domain = 'big.example.com' if i % 3 == 0 \
+            else 'site{}.example.com'.format(i % 8)
+        text = ('the quick brown fox jumps over the lazy dog and then '
+                'the dog chases the fox around the garden number {}'
+                .format(i if i % 10 else 'DUP'))
+        rows.append((i, 'https://{}/p/{}'.format(domain, i),
+                     'src{}'.format(i % 3), text))
+    return spark.createDataFrame(
+        rows, 'doc_id long, url string, source string, text string') \
+        .persist()
+
+
+def _direct(docs, stages):
+    cur = docs
+    for _name, fn in stages:
+        cur = fn(cur)
+    return cur
+
+
+class TestCurationCheckpointed:
+    def test_single_shot_matches_direct_composition(self, spark, docs):
+        out_dir = tempfile.mkdtemp(prefix='pybel_spark_cur_')
+        try:
+            stages = default_curation_stages(domain_cap=20,
+                                             default_fraction=0.8)
+            r = run_curation_checkpointed(spark, docs, out_dir, stages)
+            assert [s['name'] for s in r['stages']] == [
+                'domain_cap', 'exact_dedup', 'near_dedup',
+                'quality_gate', 'mixture_sample']
+            assert r['skipped'] == 0
+            got = {x['doc_id'] for x in
+                   spark.read.parquet(r['output']).collect()}
+            want = {x['doc_id'] for x in
+                    _direct(docs, stages).collect()}
+            assert got == want and 0 < len(want) < 120
+            # monotone attrition, all stages produced rows
+            counts = [s['rows_out'] for s in r['stages']]
+            assert counts == sorted(counts, reverse=True)
+            assert counts[-1] > 0
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    def test_crash_resume_skips_committed_stages(self, spark, docs):
+        """A stage that dies mid-run: the rerun must NOT recompute the
+        committed predecessors, and the final output must equal the
+        single-shot result."""
+        out_dir = tempfile.mkdtemp(prefix='pybel_spark_cur_')
+        try:
+            stages = default_curation_stages(domain_cap=20,
+                                             default_fraction=0.8)
+            boom = dict(fail=True)
+
+            def exploding(cur):
+                if boom['fail']:
+                    raise RuntimeError('simulated executor loss')
+                return stages[2][1](cur)
+
+            broken = stages[:2] + [('near_dedup', exploding)] + stages[3:]
+            with pytest.raises(RuntimeError, match='simulated'):
+                run_curation_checkpointed(spark, docs, out_dir, broken)
+
+            boom['fail'] = False
+            r = run_curation_checkpointed(spark, docs, out_dir, broken)
+            assert r['skipped'] == 2  # domain_cap + exact_dedup reused
+            assert [s['name'] for s in r['stages'][:2]] == [
+                'domain_cap', 'exact_dedup']
+            assert all(s['skipped'] for s in r['stages'][:2])
+            got = {x['doc_id'] for x in
+                   spark.read.parquet(r['output']).collect()}
+            want = {x['doc_id'] for x in _direct(docs, stages).collect()}
+            assert got == want
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    def test_rerun_of_complete_pipeline_skips_everything(self, spark,
+                                                         docs):
+        out_dir = tempfile.mkdtemp(prefix='pybel_spark_cur_')
+        try:
+            stages = default_curation_stages(domain_cap=20,
+                                             default_fraction=0.8)
+            first = run_curation_checkpointed(spark, docs, out_dir, stages)
+            again = run_curation_checkpointed(spark, docs, out_dir, stages)
+            assert again['skipped'] == len(stages)
+            assert again['rows_out'] == first['rows_out']
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    def test_mixed_pipelines_rejected(self, spark, docs):
+        out_dir = tempfile.mkdtemp(prefix='pybel_spark_cur_')
+        try:
+            stages = default_curation_stages(domain_cap=20,
+                                             default_fraction=0.8)
+            run_curation_checkpointed(spark, docs, out_dir, stages[:2])
+            other = [('something_else', lambda d: d)]
+            with pytest.raises(ValueError, match='refusing to mix'):
+                run_curation_checkpointed(spark, docs, out_dir, other)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    def test_second_live_writer_fails_fast(self, spark, docs):
+        from pybel_spark.pipeline import (
+            ConcurrentWriteError, _OutputFS, _WriterLease,
+        )
+
+        out_dir = tempfile.mkdtemp(prefix='pybel_spark_cur_')
+        try:
+            holder = _WriterLease(_OutputFS(spark, out_dir)).acquire()
+            stages = default_curation_stages(domain_cap=20)
+            with pytest.raises(ConcurrentWriteError, match='live writer'):
+                run_curation_checkpointed(spark, docs, out_dir, stages)
+            holder.check()
+            holder.release()
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)

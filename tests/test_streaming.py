@@ -384,6 +384,37 @@ def test_neardup_index_stream_matches_batch_recompute(spark, dirs,
     docs.unpersist()
 
 
+def test_decontaminate_stream_matches_batch(spark, dirs):
+    """Streaming decontamination must keep exactly the documents the
+    batch operator keeps (the broadcast-index join is stateless, so
+    stream and batch are the same code path)."""
+    import pyspark.sql.functions as F
+
+    from pybel_spark.streaming import start_decontaminate_stream
+    from pybel_spark.textops.decontaminate import decontaminate
+
+    docs = generate_documents(spark, 40, partitions=2).persist()
+    docs.write.mode('append').parquet(dirs['input'])
+    # benchmark = ONE corpus doc's text (docs share pool units, so a
+    # handful of docs overlap its 8-grams; most don't)
+    bench = (docs.where(F.split(F.col('url'), '/').getItem(4)
+                        .cast('int') == 0)
+             .select(F.col('url').alias('bench_id'), 'text').persist())
+    q = start_decontaminate_stream(spark, dirs['input'], dirs['out'],
+                                   bench)
+    q.awaitTermination(120)
+
+    got = {r['url'] for r in spark.read.parquet(
+        os.path.join(dirs['out'], 'clean_docs')).collect()}
+    want = {r['url'] for r in decontaminate(
+        docs.withColumn('text', F.coalesce('text', F.lit(''))),
+        bench, id_col='url').collect()}
+    assert got == want
+    assert 0 < len(want) < docs.count()  # some dropped, some kept
+    docs.unpersist()
+    bench.unpersist()
+
+
 def test_domain_quality_stream_matches_batch(spark, tmp_path):
     """The windowed per-domain quality monitor must agree with the batch
     computation of the same aggregation (emitted windows only — the
