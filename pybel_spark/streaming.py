@@ -480,12 +480,20 @@ def start_decontaminate_stream(spark, input_dir: str, out_dir: str,
     n-gram index), but its internals aggregate per (doc, bench) pair —
     illegal as a bare streaming transformation — so each micro-batch
     runs the UNCHANGED batch `textops.decontaminate.decontaminate`
-    through ``foreachBatch`` (same marker-idempotent pattern as
-    :func:`start_neardup_index_stream`: a replayed batch id is skipped
-    before it can append twice). ``benchmark`` is a static DataFrame
+    through ``foreachBatch``. ``benchmark`` is a static DataFrame
     with (bench_id, text). Contaminated documents never reach the clean
     log (the GPT-3 protocol applied before data lands, instead of a
-    retrospective sweep)."""
+    retrospective sweep).
+
+    Idempotence is stronger than the candidate-pair streams' marker
+    pattern, because duplicate DOCUMENT rows (unlike duplicate candidate
+    pairs) would corrupt the curation contract: each micro-batch lands
+    in its own ``clean_docs/ingest_batch=<id>/`` partition directory
+    with ``mode('overwrite')``, so a replay after a mid-batch crash
+    REPLACES the partial output instead of appending a second copy.
+    The marker only skips redundant recomputation; correctness never
+    depends on it. Readers get the batch id back as an ``ingest_batch``
+    partition column — per-partition lineage for the clean log."""
     from .textops.decontaminate import decontaminate
     from .textops.sidecar import sidecar_exists, write_json_sidecar
 
@@ -499,7 +507,8 @@ def start_decontaminate_stream(spark, input_dir: str, out_dir: str,
         clean = decontaminate(
             batch_df.withColumn('text', F.coalesce('text', F.lit(''))),
             benchmark, n=n, id_col='url')
-        clean.write.mode('append').parquet(clean_path)
+        clean.write.mode('overwrite').parquet(
+            '{}/ingest_batch={}'.format(clean_path, batch_id))
         write_json_sidecar(spark, marker, {'batch_id': batch_id})
 
     writer = (

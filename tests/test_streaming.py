@@ -404,13 +404,25 @@ def test_decontaminate_stream_matches_batch(spark, dirs):
                                    bench)
     q.awaitTermination(120)
 
-    got = {r['url'] for r in spark.read.parquet(
-        os.path.join(dirs['out'], 'clean_docs')).collect()}
+    clean_path = os.path.join(dirs['out'], 'clean_docs')
+    got = {r['url'] for r in spark.read.parquet(clean_path).collect()}
     want = {r['url'] for r in decontaminate(
         docs.withColumn('text', F.coalesce('text', F.lit(''))),
         bench, id_col='url').collect()}
     assert got == want
     assert 0 < len(want) < docs.count()  # some dropped, some kept
+
+    # replay drill: wipe the checkpoint AND the applied markers, rerun
+    # the whole input — per-batch ingest_batch=<id> overwrite partitions
+    # must REPLACE the prior output, leaving zero duplicate documents
+    shutil.rmtree(os.path.join(dirs['out'], 'decontaminate_checkpoint'))
+    shutil.rmtree(os.path.join(dirs['out'], 'decontaminate_applied'))
+    q2 = start_decontaminate_stream(spark, dirs['input'], dirs['out'],
+                                    bench)
+    q2.awaitTermination(120)
+    replayed = spark.read.parquet(clean_path)
+    assert {r['url'] for r in replayed.collect()} == want
+    assert replayed.count() == len(want)  # overwrite, not append
     docs.unpersist()
     bench.unpersist()
 
