@@ -134,55 +134,33 @@ def extract_triples(documents: DataFrame, catalog=None,
     return triples.distinct() if distinct else triples
 
 
-def extract_triples_deduped(documents: DataFrame, catalog=None,
-                            compiler_options=None) -> DataFrame:
-    """Distinct triples via statement-level pre-parse dedup.
+def _dedup_parse_options(compiler_options):
+    """Split compiler options into the stage-1 context-gate knobs and the
+    stage-3 re-parse options: the qualified-context gate (incl.
+    ``required_annotations``) is applied in stage 1 against the real
+    per-document state; the stage-3 re-parse runs under a dummy context
+    that deliberately can't satisfy annotation requirements, so they are
+    dropped there."""
+    options = dict(compiler_options or {})
+    citation_clearing = options.get('citation_clearing', True)
+    required_annotations = options.get('required_annotations')
+    parse_options = dict(options)
+    parse_options.pop('required_annotations', None)
+    return citation_clearing, required_annotations, parse_options
 
-    Web corpora are syndication/boilerplate heavy: the same BEL statement
-    under the same definition header appears on many pages. A (subject,
-    predicate, object) triple is a pure function of (definition header,
-    statement line, *was-the-statement-in-a-qualified-context*): the
-    citation/evidence TEXT never reaches the triple, but its PRESENCE
-    gates whether a qualified relation emits one at all
-    (compiler._handle_qualified raises MissingCitationException /
-    MissingSupportWarning / MissingAnnotationWarning otherwise), while
-    structural statements (hasMembers, hasComponent, hasVariant, term-only
-    lines) emit their triples regardless of context. So the pipeline can
-    parse each DISTINCT (header, statement, qualified-flag) triple ONCE:
 
-    stage 1 (cheap, map-only): split each page into header + candidate
-    statement lines, running the SAME ``ControlState`` machine the full
-    compiler runs (same annotation definitions, same warning-on-mutation
-    semantics) to tag each statement with its in-situ qualified flag;
-    stage 2: shuffle-distinct on md5(header)+statement+flag (short
-    strings, uniform keys); stage 3: parse the survivors — qualified ones
-    under a dummy citation/evidence, unqualified ones bare (so qualified
-    relations are rejected exactly as they were in situ). Parse cost
-    scales with UNIQUE content, not corpus size. The output equals
-    :func:`extract_triples` on ANY corpus, including hostile pages with
-    statements outside citation context and under ``required_annotations``
-    (see tests). Use :func:`extract_triples` when per-document context
-    (warnings, metrics, edges) is needed.
-    """
+def _statement_split_func(catalog_bc, citation_clearing,
+                          required_annotations):
+    """Stage-1 mapInPandas function: split each page into its definition
+    header + candidate statement lines, tagging each statement with its
+    in-situ qualified-context flag (see :func:`extract_triples_deduped`
+    for why this flag, and only this flag, of the surrounding control
+    state reaches the triple)."""
     import pandas as pd
 
     from .bel.compiler import _DEFINE_RE, _unquote, sanitize_lines, \
         split_sections
     from .bel.control import ControlState, is_control_line
-    from .schemas import TRIPLES_SCHEMA
-
-    if catalog is None:
-        catalog = load_corpus_catalog()
-    options = dict(compiler_options or {})
-    citation_clearing = options.get('citation_clearing', True)
-    required_annotations = options.get('required_annotations')
-    # the qualified-context gate (incl. required_annotations) is applied in
-    # stage 1 against the real per-document state; the stage-3 re-parse runs
-    # under a dummy context that deliberately can't satisfy annotation
-    # requirements, so drop them there
-    parse_options = dict(options)
-    parse_options.pop('required_annotations', None)
-    catalog_bc = documents.sparkSession.sparkContext.broadcast(catalog)
 
     def split(batches):
         import hashlib as _hashlib
@@ -262,6 +240,18 @@ def extract_triples_deduped(documents: DataFrame, catalog=None,
                             else:
                                 control.handle_unset(s, line, number)
                         except Exception:
+                            # Expected: BELSyntaxError subclasses raised by
+                            # handle_set/handle_unset on malformed control
+                            # lines (UndefinedAnnotation, MissingCitation,
+                            # InvalidCitation*, IllegalAnnotationValue,
+                            # ScannerError...). The real compile downstream
+                            # re-parses every line and RECORDS these as
+                            # warnings — here they only mean "this control
+                            # line mutates nothing", which is exactly what
+                            # the reference parser does after it logs.
+                            # Equivalence with the full compile is fuzzed in
+                            # tests (hostile-control corpus). Do not "fix"
+                            # this into a re-raise.
                             pass
                         continue
                     qualified = bool(
@@ -273,20 +263,49 @@ def extract_triples_deduped(documents: DataFrame, catalog=None,
             yield pd.DataFrame({'header': headers, 'statement': stmts,
                                 'qualified': quals})
 
-    unique = (
+    return split
+
+
+def statement_keys(documents: DataFrame, catalog=None, compiler_options=None,
+                   _catalog_bc=None) -> DataFrame:
+    """Distinct (header, statement, qualified) statement keys of a corpus
+    — stages 1+2 of the dedup-parse pipeline, exposed for the cross-batch
+    parse index (:mod:`pybel_spark.parse_index`). The header column is
+    md5-prefixed exactly as :func:`extract_triples_deduped` stage 3
+    expects; the distinct shuffles short uniform strings only."""
+    if catalog is None and _catalog_bc is None:
+        catalog = load_corpus_catalog()
+    citation_clearing, required_annotations, _ = \
+        _dedup_parse_options(compiler_options)
+    catalog_bc = _catalog_bc if _catalog_bc is not None else \
+        documents.sparkSession.sparkContext.broadcast(catalog)
+    split = _statement_split_func(
+        catalog_bc, citation_clearing, required_annotations)
+    return (
         documents.select('html', 'text')
         .mapInPandas(
             split, schema='header string, statement string, qualified boolean')
         .distinct()
     )
 
+
+def _statement_parse_func(catalog_bc, parse_options, with_key_hash=False):
+    """Stage-3 mapInPandas function: parse each distinct statement key
+    under a context reconstructed from its qualified flag. With
+    ``with_key_hash`` the input rows carry a ``key_hash`` column that is
+    propagated onto every emitted triple (the parse-index layout)."""
+    import pandas as pd
+
     def parse(batches):
         compiler = DocumentCompiler(resources=catalog_bc.value,
                                     **parse_options)
         for pdf in batches:
-            subjects, predicates, objects = [], [], []
-            for header, stmt, qualified in zip(
-                    pdf['header'], pdf['statement'], pdf['qualified']):
+            keys, subjects, predicates, objects = [], [], [], []
+            key_vals = pdf['key_hash'] if with_key_hash else \
+                [None] * len(pdf)
+            for khash, header, stmt, qualified in zip(
+                    key_vals, pdf['header'], pdf['statement'],
+                    pdf['qualified']):
                 header_lines = header.split('\n')[1:]  # drop the md5 prefix
                 if qualified:
                     # the in-situ context had citation+evidence(+required
@@ -303,13 +322,60 @@ def extract_triples_deduped(documents: DataFrame, catalog=None,
                 result = compiler.compile(doc_lines)
                 for e in result['edges']:
                     if e['triple_subject'] is not None:
+                        keys.append(khash)
                         subjects.append(e['triple_subject'])
                         predicates.append(e['triple_predicate'])
                         objects.append(e['triple_object'])
-            yield pd.DataFrame({
-                'subject': subjects, 'predicate': predicates,
-                'object': objects})
+            out = {}
+            if with_key_hash:
+                out['key_hash'] = keys
+            out['subject'] = subjects
+            out['predicate'] = predicates
+            out['object'] = objects
+            yield pd.DataFrame(out)
 
+    return parse
+
+
+def extract_triples_deduped(documents: DataFrame, catalog=None,
+                            compiler_options=None) -> DataFrame:
+    """Distinct triples via statement-level pre-parse dedup.
+
+    Web corpora are syndication/boilerplate heavy: the same BEL statement
+    under the same definition header appears on many pages. A (subject,
+    predicate, object) triple is a pure function of (definition header,
+    statement line, *was-the-statement-in-a-qualified-context*): the
+    citation/evidence TEXT never reaches the triple, but its PRESENCE
+    gates whether a qualified relation emits one at all
+    (compiler._handle_qualified raises MissingCitationException /
+    MissingSupportWarning / MissingAnnotationWarning otherwise), while
+    structural statements (hasMembers, hasComponent, hasVariant, term-only
+    lines) emit their triples regardless of context. So the pipeline can
+    parse each DISTINCT (header, statement, qualified-flag) triple ONCE:
+
+    stage 1 (cheap, map-only): split each page into header + candidate
+    statement lines, running the SAME ``ControlState`` machine the full
+    compiler runs (same annotation definitions, same warning-on-mutation
+    semantics) to tag each statement with its in-situ qualified flag;
+    stage 2: shuffle-distinct on md5(header)+statement+flag (short
+    strings, uniform keys); stage 3: parse the survivors — qualified ones
+    under a dummy citation/evidence, unqualified ones bare (so qualified
+    relations are rejected exactly as they were in situ). Parse cost
+    scales with UNIQUE content, not corpus size. The output equals
+    :func:`extract_triples` on ANY corpus, including hostile pages with
+    statements outside citation context and under ``required_annotations``
+    (see tests). Use :func:`extract_triples` when per-document context
+    (warnings, metrics, edges) is needed.
+    """
+    from .schemas import TRIPLES_SCHEMA
+
+    if catalog is None:
+        catalog = load_corpus_catalog()
+    _, _, parse_options = _dedup_parse_options(compiler_options)
+    catalog_bc = documents.sparkSession.sparkContext.broadcast(catalog)
+    unique = statement_keys(documents, catalog, compiler_options,
+                            _catalog_bc=catalog_bc)
+    parse = _statement_parse_func(catalog_bc, parse_options)
     return unique.mapInPandas(parse, schema=TRIPLES_SCHEMA).distinct()
 
 
