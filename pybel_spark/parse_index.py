@@ -42,6 +42,17 @@ record keys whose triples were never written — silently LOST output —
 so do not "optimize" the write order. A full replay of an
 already-folded batch is a no-op: the anti-join leaves nothing novel.
 
+Consistency contract: the sidecar fingerprints the COMPILER OPTIONS;
+the resource CATALOG is the caller's responsibility (namespace/
+annotation resolution feeds the qualified flag, so probing with a
+different catalog than the index was built with can produce keys the
+index has never seen — they are parsed as novel, never silently
+dropped, but the index then mixes two groundings). Concurrent updaters
+are safe in the at-least-once sense: both may parse the same novel
+keys and double-append; read-side distinct collapses the output, and
+the anti-join semantics are unaffected by duplicate key rows. Wrap
+updates in the pipeline's writer lease if exactly-once metrics matter.
+
 Reference parity: the reference compiler has no incremental mode (it
 re-parses every document per run, ``/root/reference/src/pybel/io``);
 this is a from-scratch capability the north rule's checkpoint-resumable
