@@ -523,6 +523,78 @@ def start_decontaminate_stream(spark, input_dir: str, out_dir: str,
     return writer.start()
 
 
+def start_kg_index_stream(spark, input_dir: str, index_path: str,
+                          catalog=None, compiler_options=None,
+                          max_files_per_trigger=16,
+                          trigger_available_now=True):
+    """Incremental KG construction AT INGEST: each micro-batch folds its
+    documents into the cross-batch parse index
+    (:mod:`pybel_spark.parse_index`) — only statements the index has
+    never seen across ALL prior batches and streams are parsed. The
+    index IS the output: ``triples_from_index`` serves whole-corpus or
+    batch-restricted reads, and the batch updater
+    (``parse_index_update``) shares the same files, so batch and
+    streaming ingestion interleave on one accumulated state — the same
+    unification contract as ``start_neardup_index_stream`` over the
+    band index.
+
+    Idempotence: a completed batch leaves a marker under
+    ``index_path + '/applied/'`` whose CONTENT is the batch's metrics
+    (batch_keys / novel_keys) — per-batch lineage is exactly-once by
+    construction because the metrics record and the replay guard are
+    the same atomic file. A replayed batch id is skipped outright; a
+    crash strictly mid-batch re-runs ``parse_index_update``, which is
+    itself replay-safe (the anti-join sees whatever keys already
+    landed; a crash between the triples and keys appends re-parses
+    those keys and duplicates triple rows, collapsed by the read-side
+    distinct — the batch updater's documented contract). State lives
+    entirely in the index files: no state store, no executor-memory
+    bound."""
+    from . import parse_index as PI
+    from .textops.sidecar import sidecar_exists, write_json_sidecar
+
+    applied_dir = index_path.rstrip('/') + '/applied'
+
+    def process_batch(batch_df, batch_id):
+        marker = '{}/batch-{}'.format(applied_dir, batch_id)
+        if sidecar_exists(spark, marker):
+            return  # replayed micro-batch: already folded
+        # EXISTENCE probe, not try/except: transient sidecar read errors
+        # must fail (and retry) the batch, never route into the
+        # bootstrap branch whose overwrite would destroy the index
+        if PI.parse_index_exists(spark, index_path):
+            metrics = PI.parse_index_update(
+                batch_df, index_path, catalog, compiler_options)
+        else:
+            metrics = PI.parse_index_write(
+                batch_df, index_path, catalog, compiler_options)
+        write_json_sidecar(spark, marker,
+                           dict(metrics, batch_id=batch_id))
+
+    writer = (
+        read_document_stream(spark, input_dir, max_files_per_trigger)
+        .writeStream
+        .foreachBatch(process_batch)
+        .option('checkpointLocation',
+                index_path.rstrip('/') + '/stream_checkpoint')
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_kg_index_metrics(spark, index_path: str) -> list:
+    """Per-micro-batch lineage of a KG index stream: one metrics dict
+    (batch_id, batch_keys, novel_keys) per applied batch, in batch-id
+    order. Exactly-once: the metrics ARE the replay markers."""
+    from .textops.sidecar import list_sidecars, read_json_sidecar
+
+    applied_dir = index_path.rstrip('/') + '/applied'
+    out = [read_json_sidecar(spark, applied_dir + '/' + name)
+           for name in list_sidecars(spark, applied_dir)]
+    return sorted(out, key=lambda m: m['batch_id'])
+
+
 def start_domain_quality_stream(spark, input_dir: str, out_dir: str,
                                 window='1 hour', watermark='2 hours',
                                 max_files_per_trigger=16,

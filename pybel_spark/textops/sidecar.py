@@ -31,6 +31,17 @@ def read_json_sidecar(spark, path: str):
         stream.close()
 
 
+def list_sidecars(spark, dir_path: str) -> list:
+    """Names of the files directly under ``dir_path`` (sorted), or []
+    if the directory doesn't exist — for enumerating marker/metrics
+    sidecars (e.g. one per applied micro-batch)."""
+    fs, jpath = _fs_path(spark, dir_path)
+    if not fs.exists(jpath):
+        return []
+    return sorted(str(st.getPath().getName())
+                  for st in fs.listStatus(jpath))
+
+
 def sidecar_exists(spark, path: str) -> bool:
     """Existence probe that does NOT swallow transient read errors the
     way try/except-around-read does — a caller deciding whether to

@@ -504,3 +504,58 @@ def test_domain_quality_stream_matches_batch(spark, tmp_path):
     # the junk domain is flagged: every beta doc is below threshold
     beta = [r for r in got_rows if r[1] == 'beta.example']
     assert beta and all(r[2] == r[5] for r in beta)
+
+
+def test_kg_index_stream_matches_batch_recompute(spark, dirs, tmp_path):
+    """Streaming incremental KG construction over the shared parse index:
+    triples accumulated across two stream runs must equal the batch
+    dedup-parse recompute over everything streamed; per-batch lineage
+    metrics are exactly-once (they ARE the replay markers); and the
+    same index then serves the BATCH updater directly."""
+    import pyspark.sql.functions as F
+
+    from pybel_spark import parse_index as PI
+    from pybel_spark.pipeline import extract_triples_deduped
+    from pybel_spark.streaming import (read_kg_index_metrics,
+                                       start_kg_index_stream)
+
+    index_path = str(tmp_path / 'kg_index')
+    docs = generate_documents(spark, 40, partitions=2).persist()
+    docs.write.mode('append').parquet(dirs['input'])
+    q = start_kg_index_stream(spark, dirs['input'], index_path)
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in
+           PI.triples_from_index(spark, index_path).collect()}
+    want = {tuple(r) for r in extract_triples_deduped(docs).collect()}
+    assert got == want and want
+
+    metrics = read_kg_index_metrics(spark, index_path)
+    assert metrics and all(m['batch_keys'] >= m['novel_keys']
+                           for m in metrics)
+    assert metrics[0]['novel_keys'] == metrics[0]['batch_keys'] > 0
+
+    # restart with a second wave: only never-seen statements are parsed
+    docs2 = generate_documents(spark, 60, partitions=2) \
+        .where(F.split(F.col('url'), '/').getItem(4).cast('int') >= 40)
+    docs2.write.mode('append').parquet(dirs['input'])
+    q2 = start_kg_index_stream(spark, dirs['input'], index_path)
+    q2.awaitTermination(180)
+
+    all_docs = docs.unionByName(docs2)
+    got2 = {tuple(r) for r in
+            PI.triples_from_index(spark, index_path).collect()}
+    want2 = {tuple(r) for r in extract_triples_deduped(all_docs).collect()}
+    assert got2 == want2
+
+    metrics2 = read_kg_index_metrics(spark, index_path)
+    assert len(metrics2) > len(metrics)  # new batches left lineage rows
+    # replay run with nothing new: no extra markers, no state change
+    q3 = start_kg_index_stream(spark, dirs['input'], index_path)
+    q3.awaitTermination(180)
+    assert read_kg_index_metrics(spark, index_path) == metrics2
+
+    # the SAME index serves the batch updater: full replay is a no-op
+    m = PI.parse_index_update(all_docs, index_path)
+    assert m['novel_keys'] == 0
+    docs.unpersist()
