@@ -103,14 +103,18 @@ def _run_stages_locked(spark, documents, fs, lease, stages):
 def default_curation_stages(domain_cap=1000, benchmark: DataFrame = None,
                             fractions=None, default_fraction=1.0,
                             sample_seed=1, quality_threshold=0.75,
-                            minhash_threshold=0.5):
+                            minhash_threshold=0.5, pii_scrub=False):
     """The standard chain as ``(name, fn)`` stages over a documents table
     with (doc_id, url, source, text): per-domain cap → exact dedup →
     MinHash near-dedup (drop the higher-id member of each verified
-    pair) → optional benchmark decontamination → quality/language gate
-    → stratified mixture sample. Mirrors the oracle-checked
-    ``corpus_curation_e2e`` composition stage for stage."""
-    from .textops import dedup, mixture, quality, urls
+    pair) → optional benchmark decontamination → optional PII redaction
+    (``pii_scrub=True``; placed AFTER the dedup stages so placeholder
+    tokens can't merge near-miss documents, BEFORE the quality gate so
+    scoring sees what ships) → quality/language gate → stratified
+    mixture sample. With ``pii_scrub=False`` the chain mirrors the
+    oracle-checked ``corpus_curation_e2e`` composition stage for
+    stage."""
+    from .textops import dedup, mixture, pii, quality, urls
     from .textops.decontaminate import decontaminate
 
     def cap(docs):
@@ -144,9 +148,14 @@ def default_curation_stages(domain_cap=1000, benchmark: DataFrame = None,
             docs, fractions or {}, default_fraction=default_fraction,
             seed=sample_seed)
 
+    def scrub(docs):
+        return pii.redact_pii(docs)
+
     stages = [('domain_cap', cap), ('exact_dedup', exact),
               ('near_dedup', near)]
     if benchmark is not None:
         stages.append(('decontaminate', decon))
+    if pii_scrub:
+        stages.append(('pii_scrub', scrub))
     stages.extend([('quality_gate', gate), ('mixture_sample', sample)])
     return stages

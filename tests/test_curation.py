@@ -130,3 +130,27 @@ class TestCurationCheckpointed:
             holder.release()
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_pii_scrub_stage(spark, docs):
+    """Opt-in PII redaction runs between dedup and the quality gate and
+    the final sample's text carries placeholders, not raw PII."""
+    pii_docs = docs.withColumn(
+        'text', F.concat(
+            'text', F.lit(' contact owner'),
+            F.col('doc_id').cast('string'), F.lit('@leak.example.net')))
+    out_dir = tempfile.mkdtemp(prefix='pybel_spark_cur_pii_')
+    try:
+        stages = default_curation_stages(domain_cap=20,
+                                         default_fraction=1.0,
+                                         pii_scrub=True)
+        assert [n for n, _f in stages] == [
+            'domain_cap', 'exact_dedup', 'near_dedup', 'pii_scrub',
+            'quality_gate', 'mixture_sample']
+        r = run_curation_checkpointed(spark, pii_docs, out_dir, stages)
+        rows = spark.read.parquet(r['output']).collect()
+        assert rows
+        assert all('@' not in x['text'] for x in rows)
+        assert all('<EMAIL>' in x['text'] for x in rows)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
