@@ -382,3 +382,31 @@ def test_ivf_index_salted_exchange_carries_no_vector(spark, tmp_path):
     assert salted, plan
     for cols in salted:
         assert not any(v in cols for v in VEC_COLS), cols
+
+
+def test_parse_index_probe_is_slim_equi_antijoin(spark, docs_path,
+                                                 tmp_path):
+    """The incremental-parse probe: the historical keys/ scan must read
+    ONLY the key_hash column, and the batch-vs-index anti-join must be
+    a hash equi-join on that uniform key — never a nested-loop join
+    (which would cross the batch against the whole historical index)."""
+    from pybel_spark import parse_index as PI
+    from pybel_spark.pipeline import load_corpus_catalog, statement_keys
+
+    path = str(tmp_path / 'pidx_plan')
+    docs = spark.read.parquet(docs_path)
+    PI.parse_index_write(docs, path)
+
+    catalog = load_corpus_catalog()
+    keys = PI._with_key_hash(statement_keys(docs, catalog))
+    known = spark.read.parquet(path + '/keys')
+    novel = keys.join(known, on='key_hash', how='left_anti')
+    plan = physical_plan(novel)
+    assert 'NestedLoop' not in plan, plan
+    assert 'LeftAnti' in plan, plan
+    # the keys/ parquet scan reads exactly one column
+    scans = re.findall(r'ReadSchema: struct<([^>]*)>', plan)
+    key_scans = [s for s in scans if 'key_hash' in s]
+    assert key_scans and all(
+        {c.split(':')[0] for c in s.split(',') if c} == {'key_hash'}
+        for s in key_scans), scans
