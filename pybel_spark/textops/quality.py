@@ -219,3 +219,54 @@ def fingerprint(docs: DataFrame, id_col='doc_id', text_col='text') -> DataFrame:
                                          r'\s+', ' '))
     return docs.select(F.col(id_col).alias('doc_id'),
                        F.md5(normalized).alias('fingerprint'))
+
+
+# --------------------------------------------------------------------- #
+# C4-style cleaning (Raffel et al. 2020, the public web-curation recipe):
+# line-level retention rules + page-level drops, all as column algebra in
+# the Java-regex ∩ RE2 dialect so the DuckDB oracle runs the identical
+# pattern strings. Deliberately conservative where the paper is vague
+# (e.g. a line ending in trailing whitespace fails the terminal-punct
+# rule on both engines identically).
+
+#: a retained line must end in terminal punctuation
+C4_TERMINAL_RE = '[.!?"]$'
+
+#: ... and must not mention javascript (boilerplate cookie/JS warnings)
+C4_JAVASCRIPT_RE = 'javascript'
+
+
+def c4_clean_col(text_col='text', min_words=3) -> Column:
+    """The cleaned text as a Column: keep lines that end in terminal
+    punctuation, have ≥ ``min_words`` whitespace words, and don't
+    mention javascript; re-join survivors with newlines. NULL text
+    cleans to the empty string."""
+    lines = F.split(F.coalesce(F.col(text_col), F.lit('')), '\n')
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike(C4_TERMINAL_RE)
+        & (F.size(F.split(F.trim(x), r'\s+')) >= min_words)
+        & ~F.lower(x).rlike(C4_JAVASCRIPT_RE))
+    return F.array_join(kept, '\n')
+
+
+def c4_clean(docs: DataFrame, id_col='doc_id', text_col='text',
+             min_words=3, min_sentences=5) -> DataFrame:
+    """C4 page cleaning: apply :func:`c4_clean_col` to the text, then
+    drop pages whose RAW text contains 'lorem ipsum' (any case) or a
+    curly brace (code), and pages whose CLEANED text has fewer than
+    ``min_sentences`` terminal punctuation marks. Output keeps every
+    other column, replaces ``text_col`` with the cleaned text, and adds
+    ``n_sentences``. Map-side only — no shuffle, no Python."""
+    raw = F.coalesce(F.col(text_col), F.lit(''))
+    out = (docs.withColumn('__c4_clean', c4_clean_col(text_col, min_words))
+           .withColumn('n_sentences',
+                       F.coalesce(F.regexp_count(F.col('__c4_clean'),
+                                                 F.lit('[.!?]')),
+                                  F.lit(0)))
+           .where(~F.lower(raw).contains('lorem ipsum')
+                  & ~raw.contains('{')
+                  & (F.col('n_sentences') >= min_sentences))
+           .withColumn(text_col, F.col('__c4_clean'))
+           .drop('__c4_clean'))
+    return out
