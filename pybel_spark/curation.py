@@ -103,15 +103,19 @@ def _run_stages_locked(spark, documents, fs, lease, stages):
 def default_curation_stages(domain_cap=1000, benchmark: DataFrame = None,
                             fractions=None, default_fraction=1.0,
                             sample_seed=1, quality_threshold=0.75,
-                            minhash_threshold=0.5, pii_scrub=False):
+                            minhash_threshold=0.5, pii_scrub=False,
+                            c4=False, c4_min_sentences=3):
     """The standard chain as ``(name, fn)`` stages over a documents table
-    with (doc_id, url, source, text): per-domain cap → exact dedup →
+    with (doc_id, url, source, text): per-domain cap → optional C4-style
+    page cleaning (``c4=True``; placed BEFORE the dedup stages, as in
+    Raffel et al. 2020, so dedup keys see the cleaned text rather than
+    boilerplate that cleaning would have removed anyway) → exact dedup →
     MinHash near-dedup (drop the higher-id member of each verified
     pair) → optional benchmark decontamination → optional PII redaction
     (``pii_scrub=True``; placed AFTER the dedup stages so placeholder
     tokens can't merge near-miss documents, BEFORE the quality gate so
     scoring sees what ships) → quality/language gate → stratified
-    mixture sample. With ``pii_scrub=False`` the chain mirrors the
+    mixture sample. With the optional stages off the chain mirrors the
     oracle-checked ``corpus_curation_e2e`` composition stage for
     stage."""
     from .textops import dedup, mixture, pii, quality, urls
@@ -151,8 +155,13 @@ def default_curation_stages(domain_cap=1000, benchmark: DataFrame = None,
     def scrub(docs):
         return pii.redact_pii(docs)
 
-    stages = [('domain_cap', cap), ('exact_dedup', exact),
-              ('near_dedup', near)]
+    def clean(docs):
+        return quality.c4_clean(docs, min_sentences=c4_min_sentences)
+
+    stages = [('domain_cap', cap)]
+    if c4:
+        stages.append(('c4_clean', clean))
+    stages.extend([('exact_dedup', exact), ('near_dedup', near)])
     if benchmark is not None:
         stages.append(('decontaminate', decon))
     if pii_scrub:

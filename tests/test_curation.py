@@ -154,3 +154,38 @@ def test_pii_scrub_stage(spark, docs):
         assert all('<EMAIL>' in x['text'] for x in rows)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_c4_clean_stage(spark, docs):
+    """Opt-in C4 cleaning runs before the dedup stages: boilerplate
+    lines are gone from every downstream text, and two documents that
+    differ only in removed boilerplate become exact duplicates."""
+    page_docs = docs.withColumn(
+        'text', F.concat_ws(
+            '\n', 'text',
+            F.lit('Please enable JavaScript to continue browsing.'),
+            F.lit('the first retained sentence of the page is here.'),
+            F.lit('and a second retained sentence follows it nicely!'),
+            F.lit('finally a third retained sentence closes the page?')))
+    out_dir = tempfile.mkdtemp(prefix='pybel_spark_cur_c4_')
+    try:
+        stages = default_curation_stages(domain_cap=20,
+                                         default_fraction=1.0, c4=True)
+        assert [n for n, _f in stages] == [
+            'domain_cap', 'c4_clean', 'exact_dedup', 'near_dedup',
+            'quality_gate', 'mixture_sample']
+        r = run_curation_checkpointed(spark, page_docs, out_dir, stages)
+        # every doc's cleaned text is the identical 3 retained sentences
+        # (the unpunctuated fixture line and the javascript line are
+        # line-dropped), so exact dedup keeps exactly one survivor
+        names = [s['name'] for s in r['stages']]
+        rows_after = {s['name']: s['rows_out'] for s in r['stages']}
+        assert names[1] == 'c4_clean'
+        assert rows_after['exact_dedup'] == 1
+        final = spark.read.parquet(r['output']).collect()
+        for x in final:
+            assert 'JavaScript' not in x['text']
+            assert 'quick brown fox' not in x['text']
+            assert x['n_sentences'] == 3
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
