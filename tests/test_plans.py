@@ -410,3 +410,19 @@ def test_parse_index_probe_is_slim_equi_antijoin(spark, docs_path,
     assert key_scans and all(
         {c.split(':')[0] for c in s.split(',') if c} == {'key_hash'}
         for s in key_scans), scans
+
+
+def test_host_link_graph_single_exchange(spark):
+    """host_link_graph: anchor extraction + href resolution fuse into
+    the page scan; the ONLY exchange is the (src_host, dst_host) hash
+    aggregation, and it is preceded by a map-side partial aggregate so
+    hub hosts cannot skew the shuffle."""
+    from pybel_spark.textops import links
+
+    pages = spark.createDataFrame(
+        [('https://a.example.com/p',
+          b'<a href="https://b.example.com/x">t</a>')],
+        'url string, html binary')
+    plan = physical_plan(links.host_link_graph(pages))
+    assert n_exchanges(plan) == 1, plan
+    assert plan.index('HashAggregate') < plan.index('Exchange'), plan
