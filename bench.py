@@ -288,6 +288,36 @@ def main():
           .stratified_sample(bdocs, {}, default_fraction=0.1,
                              id_col='url').count())
 
+    # C4-style page cleaning over the full multiplied corpus: pure
+    # map-side line algebra (split → filter → re-join + page drops) —
+    # the wall is scan + regex throughput, zero shuffle
+    from pybel_spark.textops import quality as _quality
+    timed(queries, 'corpus_c4_clean',
+          lambda: _quality.c4_clean(bdocs)
+          .agg(F.sum('n_sentences')).collect())
+
+    # host link graph over the full multiplied corpus: anchors
+    # synthesized from a url hash (997 hosts), extraction+resolution
+    # fused into the scan, ONE (src_host, dst_host) exchange
+    from pybel_spark.textops import links as _links
+    _h = F.abs(F.xxhash64('url'))
+
+    def _host_of(expr):
+        return F.concat(F.lit('host'), (expr % 997).cast('string'),
+                        F.lit('.example.com'))
+
+    link_pages = bdocs.select(
+        F.concat(F.lit('https://'), _host_of(_h),
+                 F.lit('/a/page.html')).alias('url'),
+        F.encode(F.concat(
+            F.lit('<a href="https://'), _host_of(_h * 31 + 7),
+            F.lit('/x.html">a</a><a href="//'), _host_of(_h * 17 + 3),
+            F.lit('/y.html">b</a><a href="/local.html">c</a>'),
+            F.lit('<a href="mailto:x@e.com">m</a>')), 'UTF-8')
+        .alias('html'))
+    timed(queries, 'web_host_links',
+          lambda: _links.host_link_graph(link_pages).count())
+
     # the composed curation pipeline (cap → exact dedup → minhash
     # near-dedup → decontaminate → quality gate → sample) as ONE lineage
     # — the realistic 100-TB job shape; drift in any stage contract or
