@@ -43,6 +43,45 @@ def page_hrefs(pages: DataFrame, url_col='url',
                         html_str, F.lit(HREF_RE), 1)).alias('href')))
 
 
+#: a whole anchor element with single-text-node content; nested markup
+#: inside <a> yields no row (documented simplification shared with the
+#: oracle dialect — a production parser feeds the same columns)
+ANCHOR_ELEM_RE = '<a\\s[^>]*>[^<]*</a>'
+
+
+def page_anchors(pages: DataFrame, url_col='url',
+                 html_col='html') -> DataFrame:
+    """(url, href, anchor_text) — one row per simple ``<a>`` element.
+    Map-side explode fused into the scan, like :func:`page_hrefs`."""
+    html_str = F.col(html_col).cast('string')
+    elems = pages.select(
+        F.col(url_col).alias('url'),
+        F.explode(F.regexp_extract_all(
+            html_str, F.lit(ANCHOR_ELEM_RE), 0)).alias('elem'))
+    return (elems
+            .select('url',
+                    F.regexp_extract('elem', HREF_RE, 1).alias('href'),
+                    F.regexp_extract('elem', '>([^<]*)</a>', 1)
+                    .alias('anchor_text'))
+            .where(F.col('href') != ''))
+
+
+def anchor_text_index(pages: DataFrame, url_col='url',
+                      html_col='html') -> DataFrame:
+    """(target_url, anchor_text, n_refs) — what the web CALLS a page:
+    the classic entity-linking / retrieval signal (anchor text is how
+    search engines and KG entity linkers name targets they have never
+    fetched). Non-web references are dropped; the only exchange is the
+    (target_url, anchor_text) aggregation, partial map-side."""
+    anchors = page_anchors(pages, url_col, html_col)
+    resolved = (anchors
+                .select(resolve_href('url', 'href').alias('target_url'),
+                        'anchor_text')
+                .where(F.col('target_url').isNotNull()))
+    return (resolved.groupBy('target_url', 'anchor_text')
+            .agg(F.count(F.lit(1)).alias('n_refs')))
+
+
 def resolve_href(base, href) -> Column:
     """The absolute URL a href reference points to, resolved against the
     page URL ``base``:

@@ -135,3 +135,34 @@ def test_extraction_is_map_side(spark, pages):
     plan = links.page_links(pages)._jdf.queryExecution() \
         .executedPlan().toString()
     assert 'Exchange' not in plan
+
+
+def test_page_anchors_and_index(spark, pages):
+    a = {r['href']: r['anchor_text']
+         for r in links.page_anchors(pages).collect()}
+    assert a['https://other.example.com/x/y.html'] == 'abs'
+    assert a['#top'] == 'frag'
+    idx = {(r['target_url'], r['anchor_text']): r['n_refs']
+           for r in links.anchor_text_index(pages).collect()}
+    # fragment-only and non-web anchors are gone; both other.example.com
+    # links survive with their distinct texts
+    assert idx[('https://other.example.com/x/y.html', 'abs')] == 1
+    assert idx[('https://other.example.com/p?x=1', 'abs-frag')] == 1
+    assert not any('mailto' in t for t, _ in idx)
+
+
+def test_anchor_index_duckdb_agreement(spark, pages):
+    con = duckdb.connect()
+    con.execute('CREATE TABLE pages(url VARCHAR, html VARCHAR)')
+    con.execute('INSERT INTO pages VALUES (?, ?)', [BASE, HTML])
+    duck = dict(con.execute(r"""
+      WITH elems AS (
+        SELECT url, unnest(regexp_extract_all(html,
+          '<a\s[^>]*>[^<]*</a>', 0)) AS elem FROM pages)
+      SELECT regexp_extract(elem, 'href="([^"]*)"', 1) AS href,
+             regexp_extract(elem, '>([^<]*)</a>', 1) AS anchor_text
+      FROM elems WHERE regexp_extract(elem, 'href="([^"]*)"', 1) != ''
+    """).fetchall())
+    got = {r['href']: r['anchor_text']
+           for r in links.page_anchors(pages).collect()}
+    assert got == duck
