@@ -300,7 +300,9 @@ def main():
     # synthesized from a url hash (997 hosts), extraction+resolution
     # fused into the scan, ONE (src_host, dst_host) exchange
     from pybel_spark.textops import links as _links
-    _h = F.abs(F.xxhash64('url'))
+    # reduce the hash BEFORE any arithmetic: ANSI mode overflows on
+    # xxhash64-magnitude multiplies
+    _h = F.abs(F.xxhash64('url')) % 997
 
     def _host_of(expr):
         return F.concat(F.lit('host'), (expr % 997).cast('string'),
