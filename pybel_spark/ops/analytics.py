@@ -449,3 +449,133 @@ def community_sizes(graph: KG, n_iterations: int = 5) -> DataFrame:
         label_propagation_communities(graph, n_iterations)
         .groupBy('community').agg(F.count(F.lit(1)).alias('n_nodes'))
     )
+
+
+def harmonic_centrality(graph: KG, max_hops: int = 20) -> DataFrame:
+    """(node_id, harmonic) — EXACT harmonic centrality
+    H(v) = sum over u != v reaching v of 1 / d(u, v), the metric Common
+    Crawl ranks hosts by.
+
+    Brute-force all-sources BFS (quadratic (origin, node) state) — the
+    documented small-graph baseline, same role exact cosine top-k plays
+    for ANN. Use :func:`hyperball_harmonic` at web scale.
+    """
+    from .paths import bfs_distances
+
+    d = bfs_distances(graph, graph.nodes.select('node_id'),
+                      max_hops=max_hops)
+    got = (d.where(F.col('distance') > 0)
+           .groupBy('node_id')
+           .agg(F.sum(1.0 / F.col('distance')).alias('harmonic')))
+    return (graph.nodes.select('node_id')
+            .join(got, on='node_id', how='left')
+            .select('node_id',
+                    F.coalesce('harmonic', F.lit(0.0)).alias('harmonic')))
+
+
+def _msb_pos(col):
+    """floor(log2(col)) for col > 0 via an unrolled binary search —
+    integer-exact (no float log on 58-bit values)."""
+    pos = F.lit(0)
+    cur = col
+    for s in (32, 16, 8, 4, 2, 1):
+        gt = F.shiftrightunsigned(cur, s) > 0
+        pos = F.when(gt, pos + s).otherwise(pos)
+        cur = F.when(gt, F.shiftrightunsigned(cur, s)).otherwise(cur)
+    return pos
+
+
+def _hll_estimate(regs, p: int):
+    """HyperLogLog cardinality estimate from a register array, with the
+    standard small-range linear-counting correction."""
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        p, 0.7213 / (1 + 1.079 / p))
+    s = F.aggregate(
+        regs, F.lit(0.0),
+        lambda acc, x: acc + F.pow(F.lit(2.0), -x.cast('double')))
+    raw = F.lit(alpha * p * p) / s
+    v = F.size(F.filter(regs, lambda x: x == 0))
+    return F.when((raw <= 2.5 * p) & (v > 0),
+                  p * F.log(F.lit(float(p)) / v.cast('double'))) \
+        .otherwise(raw)
+
+
+def hyperball_harmonic(graph: KG, p: int = 64,
+                       t_max: int = 10) -> DataFrame:
+    """(node_id, harmonic_est) — HyperBall (Boldi & Vigna 2013):
+    harmonic centrality approximated with one HyperLogLog counter per
+    node, B_in(v, t+1) = {v} ∪ ⋃_{w→v} B_in(w, t), and
+    H(v) ≈ Σ_t (|B(v,t)| − |B(v,t−1)|) / t.
+
+    This is THE web-scale path: exact harmonic centrality is all-pairs
+    BFS (infeasible at 10^9 hosts), while HyperBall keeps ``p`` small
+    registers per node (p=64 → ~13% per-counter standard error) and
+    each round is ONE equi-join + ONE register-wise max aggregation —
+    the same shuffle shape as a PageRank round, with localCheckpoint
+    keeping round-N's plan equal to round-1's. Registers ride the
+    shuffle as ``p`` int columns (map-side partial max), so hub nodes
+    with huge in-degree arrive at the reducer pre-combined.
+
+    Deterministic: xxhash64 node hashing, fixed iteration count, and
+    per-row arithmetic only — two runs return identical estimates.
+    """
+    assert p & (p - 1) == 0, 'p must be a power of two'
+    b = p.bit_length() - 1
+    width = 64 - b
+
+    h = F.xxhash64(F.col('node_id').cast('string'))
+    j = h.bitwiseAND(F.lit(p - 1))
+    w = F.shiftrightunsigned(h, b)
+    rho = F.when(w == 0, F.lit(width + 1)) \
+        .otherwise(F.lit(width) - _msb_pos(w))
+    # materialize j/rho as plain columns FIRST: inlining rho (a 6-level
+    # shift cascade) into all p array slots blows the expression tree up
+    # p-fold and with it the serialized task binary
+    seeded = graph.nodes.select('node_id', j.alias('_j'),
+                                rho.cast('int').alias('_rho'))
+    init_regs = F.array(*[
+        F.when(F.col('_j') == i, F.col('_rho'))
+        .otherwise(F.lit(0)).cast('int')
+        for i in range(p)])
+    state = seeded.select('node_id', init_regs.alias('regs'))
+    state = (state
+             .select('node_id', 'regs',
+                     _hll_estimate(F.col('regs'), p).alias('est'),
+                     F.lit(0.0).alias('harmonic'))
+             .localCheckpoint(eager=True))
+
+    # ball of v absorbs the balls of its IN-neighbors: edge w→v flows w's
+    # counter to v
+    inbound = (graph.edges
+               .select(F.col('target_id').alias('node_id'),
+                       F.col('source_id').alias('nbr'))
+               .distinct().persist())
+
+    reg_cols = ['_r{}'.format(i) for i in range(p)]
+    for t in range(1, t_max + 1):
+        nbr_regs = (inbound
+                    .join(state.select(F.col('node_id').alias('nbr'),
+                                       'regs'), on='nbr')
+                    .select('node_id', 'regs'))
+        both = state.select('node_id', 'regs').unionByName(nbr_regs)
+        merged = (both
+                  .select('node_id', *[F.col('regs')[i].alias(c)
+                                       for i, c in enumerate(reg_cols)])
+                  .groupBy('node_id')
+                  .agg(*[F.max(c).alias(c) for c in reg_cols])
+                  .select('node_id',
+                          F.array(*reg_cols).alias('regs')))
+        merged = merged.select(
+            'node_id', 'regs', _hll_estimate(F.col('regs'), p).alias('est'))
+        state = (state
+                 .select('node_id', F.col('est').alias('prev_est'),
+                         'harmonic')
+                 .join(merged, on='node_id')
+                 .select('node_id', 'regs', 'est',
+                         (F.col('harmonic')
+                          + F.greatest(F.lit(0.0),
+                                       F.col('est') - F.col('prev_est'))
+                          / t).alias('harmonic'))
+                 .localCheckpoint(eager=True))
+    inbound.unpersist()
+    return state.select('node_id', F.col('harmonic').alias('harmonic_est'))
