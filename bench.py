@@ -340,6 +340,14 @@ def main():
     n_tri = timed(queries, 'graph_triangles_4m_edges',
                   lambda: _an.triangles(graph).count())
 
+    # HyperBall harmonic centrality on the same 4M-edge graph: the
+    # 10^9-host scale path (exact all-pairs BFS is infeasible) — each
+    # round is one equi-join + one register-wise max agg, same shuffle
+    # shape as a PageRank round
+    timed(queries, 'graph_hyperball_4m_edges_3it',
+          lambda: _an.hyperball_harmonic(graph, p=32, t_max=3)
+          .agg(F.sum('harmonic_est')).collect(), runs=1)
+
     # media decode throughput (numpy decoders): synthesize once, decode all
     n_media = 3000
     media = multimodal.synthetic_media(
