@@ -296,6 +296,22 @@ def main():
           lambda: _quality.c4_clean(bdocs)
           .agg(F.sum('n_sentences')).collect())
 
+    # Gopher rules over the full multiplied corpus: 9 sorted-array
+    # run-length folds + line/word ratios in ONE zero-exchange
+    # projection — the wall is scan + per-doc O(n log n) sorts
+    timed(queries, 'corpus_gopher_filter',
+          lambda: _quality.gopher_filter(bdocs, id_col='url')
+          .agg(F.sum(F.col('keep').cast('int'))).collect())
+
+    # DSIR importance weights over the full multiplied corpus: two
+    # bucket histograms + broadcast weight join + one groupBy(doc)
+    # exchange of partial sums
+    from pybel_spark.textops import dsir as _dsir
+    timed(queries, 'corpus_dsir_weights',
+          lambda: _dsir.dsir_log_weights(
+              bdocs, bdocs.filter(F.abs(F.xxhash64('url')) % 4 == 0),
+              id_col='url').agg(F.sum('log_weight')).collect())
+
     # host link graph over the full multiplied corpus: anchors
     # synthesized from a url hash (997 hosts), extraction+resolution
     # fused into the scan, ONE (src_host, dst_host) exchange

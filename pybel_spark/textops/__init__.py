@@ -14,5 +14,5 @@ DataFrame algebra so they survive a 100 TB input:
              batching, and partitioning are real)
 """
 from . import (  # noqa: F401
-    decontaminate, dedup, multimodal, quality, similarity, tokenize,
+    decontaminate, dedup, dsir, multimodal, quality, similarity, tokenize,
 )

@@ -270,3 +270,240 @@ def c4_clean(docs: DataFrame, id_col='doc_id', text_col='text',
            .withColumn(text_col, F.col('__c4_clean'))
            .drop('__c4_clean'))
     return out
+
+
+# --------------------------------------------------------------------- #
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models",
+# Appendix A1.1) — the standard web-corpus document filter: word-count /
+# word-length bounds, symbol and bullet/ellipsis line ratios, stop-word
+# presence, duplicate-line mass, and the top/duplicate n-gram character
+# fractions. Everything below is ONE map-side projection per document —
+# no shuffle, no Python — built on sorted-array run-length folds (the
+# same technique as repetition_features' top_bigram_count). Exact
+# integer character masses everywhere; the only doubles are the final
+# ratio divisions, so an external SQL engine reproduces every feature.
+#
+# Definition notes (the paper leaves these open; pinned here so the
+# DuckDB oracle can mirror them exactly):
+#  - "characters" = non-separator characters; an n-gram's char mass is
+#    length(gram) − (n−1) join spaces. Because windows OVERLAP, n-gram
+#    fractions are normalized by the TOTAL n-gram char mass
+#    Σ_g count(g)×chars(g) (not by document chars), which keeps every
+#    fraction a true [0,1] ratio.
+#  - top_ngram_char_frac(n) = count(g*) × chars(g*) / total_gram_mass
+#    where g* is the most frequent n-gram (ties → larger char mass).
+#  - dup_ngram_char_frac(n) = Σ_{count(g)≥2} count(g) × chars(g) /
+#    total_gram_mass (overlap-counting variant — deterministic, engine-
+#    portable; position-marking variants are not expressible as one
+#    aggregation in either engine).
+#  - dup_line_char_frac counts only the EXTRA copies of a repeated line
+#    ((count−1) × chars), matching "fraction of characters contained in
+#    duplicate lines".
+
+#: the Gopher stop-word presence list (≥ 2 of these must appear)
+GOPHER_STOPWORDS = ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']
+
+#: filter thresholds from the paper, overridable per call
+GOPHER_THRESHOLDS = {
+    'min_words': 50, 'max_words': 100000,
+    'min_mean_word_len': 3.0, 'max_mean_word_len': 10.0,
+    'max_symbol_word_ratio': 0.1,
+    'max_bullet_line_frac': 0.9, 'max_ellipsis_line_frac': 0.3,
+    'min_alpha_word_frac': 0.8, 'min_stop_words': 2,
+    'max_dup_line_frac': 0.3, 'max_dup_line_char_frac': 0.2,
+    'max_top_ngram_char_frac': {2: 0.20, 3: 0.18, 4: 0.16},
+    'max_dup_ngram_char_frac': {5: 0.15, 6: 0.14, 7: 0.13,
+                                8: 0.12, 9: 0.11, 10: 0.10},
+}
+
+
+def _run_length_masses(sorted_arr: Column, sep_chars: int) -> Column:
+    """Fold a SORTED string array into struct(top_mass, dup_mass,
+    dup_extra_mass) where for each run of equal elements with length r
+    and per-element char mass m = length(x) − sep_chars:
+
+    - top_mass   = r×m of the longest run (ties → larger mass)
+    - dup_mass   = Σ over runs with r≥2 of r×m
+    - dup_extra_mass = Σ over runs with r≥2 of (r−1)×m
+    - tot_mass   = Σ over all elements of m
+
+    O(n) per document after the O(n log n) array_sort, entirely inside
+    whole-stage codegen.
+    """
+    sep = F.lit(sep_chars)
+    init = F.struct(
+        F.lit(None).cast('string').alias('prev'),
+        F.lit(0).cast('long').alias('run'),
+        F.lit(0).cast('long').alias('best_cnt'),
+        F.lit(0).cast('long').alias('top_mass'),
+        F.lit(0).cast('long').alias('dup_mass'),
+        F.lit(0).cast('long').alias('dup_extra'),
+        F.lit(0).cast('long').alias('tot_mass'),
+    )
+
+    def close(acc):
+        # masses of the run being closed (prev NULL → zero-row no-op)
+        m = F.when(acc['prev'].isNotNull(),
+                   F.length(acc['prev']).cast('long') - sep
+                   ).otherwise(F.lit(0).cast('long'))
+        run_mass = acc['run'] * m
+        is_dup = acc['prev'].isNotNull() & (acc['run'] >= 2)
+        better = (acc['run'] > acc['best_cnt']) | (
+            (acc['run'] == acc['best_cnt']) & (run_mass > acc['top_mass']))
+        better = acc['prev'].isNotNull() & better
+        return (
+            F.when(better, acc['run']).otherwise(acc['best_cnt']),
+            F.when(better, run_mass).otherwise(acc['top_mass']),
+            acc['dup_mass'] + F.when(is_dup, run_mass).otherwise(F.lit(0)),
+            acc['dup_extra'] + F.when(is_dup, (acc['run'] - 1) * m)
+            .otherwise(F.lit(0)),
+        )
+
+    def step(acc, x):
+        same = acc['prev'].isNotNull() & (x == acc['prev'])
+        best_cnt, top_mass, dup_mass, dup_extra = close(acc)
+        return F.struct(
+            x.alias('prev'),
+            F.when(same, acc['run'] + 1).otherwise(F.lit(1).cast('long'))
+            .alias('run'),
+            F.when(same, acc['best_cnt']).otherwise(best_cnt)
+            .alias('best_cnt'),
+            F.when(same, acc['top_mass']).otherwise(top_mass)
+            .alias('top_mass'),
+            F.when(same, acc['dup_mass']).otherwise(dup_mass)
+            .alias('dup_mass'),
+            F.when(same, acc['dup_extra']).otherwise(dup_extra)
+            .alias('dup_extra'),
+            (acc['tot_mass'] + F.length(x).cast('long') - sep)
+            .alias('tot_mass'),
+        )
+
+    def finish(acc):
+        best_cnt, top_mass, dup_mass, dup_extra = close(acc)
+        return F.struct(top_mass.alias('top_mass'),
+                        dup_mass.alias('dup_mass'),
+                        dup_extra.alias('dup_extra'),
+                        acc['tot_mass'].alias('tot_mass'))
+
+    return F.aggregate(sorted_arr, init, step, finish)
+
+
+def gopher_features(docs: DataFrame, id_col='doc_id',
+                    text_col='text') -> DataFrame:
+    """All Gopher rule features per document, one map-side projection.
+
+    Columns: n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac, n_stop_words, dup_line_frac,
+    dup_line_char_frac, top_{2,3,4}gram_char_frac,
+    dup_{5..10}gram_char_frac.
+
+    Unlike shingle_windows (whole-text collapse), documents shorter than
+    n tokens contribute NO n-gram windows — their n-gram fractions are 0,
+    which is what the Gopher thresholds expect of short pages.
+    """
+    # two-phase projection: tokens/lines as real attributes so codegen
+    # does not re-evaluate the split per produced window (tokenize.py's
+    # measured 3.6× pitfall)
+    safe_text = F.coalesce(F.col(text_col), F.lit(''))
+    docs = docs.select(
+        F.col(id_col).alias(id_col),
+        safe_text.alias('__text'),
+        F.split(F.trim(safe_text), r'\s+').alias('__toks'),
+        F.split(safe_text, '\n').alias('__lines'),
+    )
+    text = F.col('__text')
+    tokens = F.col('__toks')
+
+    def windows(n):
+        count = F.size(tokens)
+        return F.when(count >= n, F.transform(
+            F.sequence(F.lit(0), count - n),
+            lambda i: F.concat_ws(' ', F.slice(tokens, i + 1, n)),
+        )).otherwise(F.array().cast('array<string>'))
+
+    n_words = F.size(tokens)
+    n_words_g = F.greatest(n_words, F.lit(1)).cast('double')
+    token_chars = F.aggregate(
+        tokens, F.lit(0).cast('long'), lambda acc, t: acc + F.length(t))
+    token_chars_g = F.greatest(token_chars, F.lit(1)).cast('double')
+
+    # symbols: '#' plus both ellipsis spellings ('...' counted per triple)
+    hash_cnt = F.length(text) - F.length(F.replace(text, F.lit('#')))
+    dots_cnt = (F.length(text)
+                - F.length(F.replace(text, F.lit('...')))) / F.lit(3)
+    uni_ellipsis_cnt = F.length(text) - F.length(F.replace(text, F.lit('…')))
+
+    lines = F.col('__lines')
+    n_lines = F.size(lines)
+    n_lines_g = F.greatest(n_lines, F.lit(1)).cast('double')
+    bullet_lines = F.size(F.filter(
+        lines, lambda x: F.ltrim(x).rlike(r'^[-*•]')))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda x: F.rtrim(x).rlike(r'(\.\.\.|…)$')))
+    alpha_words = F.size(F.filter(tokens, lambda t: t.rlike('[A-Za-z]')))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(F.transform(tokens, F.lower)),
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast('long'), lambda acc, x: acc + F.length(x))
+    line_stats = _run_length_masses(F.array_sort(lines), 0)
+    n_distinct_lines = F.size(F.array_distinct(lines))
+
+    cols = [
+        F.col(id_col).alias('doc_id'),
+        n_words.alias('n_words'),
+        (token_chars.cast('double') / n_words_g).alias('mean_word_len'),
+        ((hash_cnt + dots_cnt + uni_ellipsis_cnt).cast('double') / n_words_g)
+        .alias('symbol_word_ratio'),
+        (bullet_lines.cast('double') / n_lines_g).alias('bullet_line_frac'),
+        (ellipsis_lines.cast('double') / n_lines_g)
+        .alias('ellipsis_line_frac'),
+        (alpha_words.cast('double') / n_words_g).alias('alpha_word_frac'),
+        stop_hits.alias('n_stop_words'),
+        ((n_lines - n_distinct_lines).cast('double') / n_lines_g)
+        .alias('dup_line_frac'),
+        (line_stats['dup_extra'].cast('double')
+         / F.greatest(line_chars, F.lit(1)).cast('double'))
+        .alias('dup_line_char_frac'),
+    ]
+    for n in (2, 3, 4):
+        stats = _run_length_masses(F.array_sort(windows(n)), n - 1)
+        cols.append((stats['top_mass'].cast('double')
+                     / F.greatest(stats['tot_mass'], F.lit(1))
+                     .cast('double'))
+                    .alias('top_{}gram_char_frac'.format(n)))
+    for n in range(5, 11):
+        stats = _run_length_masses(F.array_sort(windows(n)), n - 1)
+        cols.append((stats['dup_mass'].cast('double')
+                     / F.greatest(stats['tot_mass'], F.lit(1))
+                     .cast('double'))
+                    .alias('dup_{}gram_char_frac'.format(n)))
+    return docs.select(*cols)
+
+
+def gopher_filter(docs: DataFrame, id_col='doc_id', text_col='text',
+                  **overrides) -> DataFrame:
+    """(doc_id, keep) under the Gopher rules; threshold overrides by
+    GOPHER_THRESHOLDS key (n-gram families take whole dicts)."""
+    t = dict(GOPHER_THRESHOLDS)
+    t.update(overrides)
+    feats = gopher_features(docs, id_col, text_col)
+    keep = (
+        (F.col('n_words') >= t['min_words'])
+        & (F.col('n_words') <= t['max_words'])
+        & (F.col('mean_word_len') >= t['min_mean_word_len'])
+        & (F.col('mean_word_len') <= t['max_mean_word_len'])
+        & (F.col('symbol_word_ratio') <= t['max_symbol_word_ratio'])
+        & (F.col('bullet_line_frac') <= t['max_bullet_line_frac'])
+        & (F.col('ellipsis_line_frac') <= t['max_ellipsis_line_frac'])
+        & (F.col('alpha_word_frac') >= t['min_alpha_word_frac'])
+        & (F.col('n_stop_words') >= t['min_stop_words'])
+        & (F.col('dup_line_frac') <= t['max_dup_line_frac'])
+        & (F.col('dup_line_char_frac') <= t['max_dup_line_char_frac'])
+    )
+    for n, thr in t['max_top_ngram_char_frac'].items():
+        keep = keep & (F.col('top_{}gram_char_frac'.format(n)) <= thr)
+    for n, thr in t['max_dup_ngram_char_frac'].items():
+        keep = keep & (F.col('dup_{}gram_char_frac'.format(n)) <= thr)
+    return feats.select('doc_id', keep.alias('keep'))

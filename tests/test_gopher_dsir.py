@@ -1,0 +1,169 @@
+"""Gopher quality rules (quality.gopher_*) and DSIR importance
+resampling (textops/dsir.py): hand-computed feature values, rule
+behavior, determinism, and the resampling-enriches-target property."""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pybel_spark.textops import dsir
+from pybel_spark.textops.quality import (
+    GOPHER_STOPWORDS, gopher_features, gopher_filter,
+)
+
+
+def _features(spark, text):
+    df = spark.createDataFrame([(1, text)], 'doc_id int, text string')
+    return gopher_features(df).collect()[0].asDict()
+
+
+def test_gopher_basic_counts(spark):
+    f = _features(spark, 'the cat sat on the mat')
+    assert f['n_words'] == 6
+    # chars: 3+3+3+2+3+3 = 17
+    assert f['mean_word_len'] == pytest.approx(17 / 6)
+    assert f['alpha_word_frac'] == 1.0
+    # 'the' is the only Gopher stopword present
+    assert f['n_stop_words'] == 1
+    assert f['symbol_word_ratio'] == 0.0
+
+
+def test_gopher_top_bigram_fraction(spark):
+    # bigrams of 'a b a b a': 'a b'×2, 'b a'×2 → every bigram duplicated;
+    # total bigram mass = 4 grams × 2 chars = 8, top = 2×2 = 4
+    f = _features(spark, 'a b a b a')
+    assert f['top_2gram_char_frac'] == pytest.approx(4 / 8)
+
+
+def test_gopher_dup_5gram_pure_repetition(spark):
+    # 'x x x x x x' → two 5-gram windows, both 'x x x x x' (count 2):
+    # the whole gram mass is duplicated
+    f = _features(spark, 'x x x x x x')
+    assert f['dup_5gram_char_frac'] == 1.0
+    # only one 6-gram window → count 1 → no duplication
+    assert f['dup_6gram_char_frac'] == 0.0
+
+
+def test_gopher_short_doc_has_zero_ngram_fracs(spark):
+    # 3 tokens: no 4-gram windows at all (no whole-text collapse)
+    f = _features(spark, 'one two three')
+    assert f['top_4gram_char_frac'] == 0.0
+    assert f['dup_5gram_char_frac'] == 0.0
+
+
+def test_gopher_line_features(spark):
+    text = '- first\nbody line here\nrepeat me\nrepeat me'
+    f = _features(spark, text)
+    assert f['bullet_line_frac'] == pytest.approx(1 / 4)
+    assert f['dup_line_frac'] == pytest.approx(1 / 4)
+    # extra copies: 1 × len('repeat me')=9; total line chars 7+14+9+9=39
+    assert f['dup_line_char_frac'] == pytest.approx(9 / 39)
+
+
+def test_gopher_ellipsis_and_symbols(spark):
+    f = _features(spark, 'read more ...\nsee also …')
+    assert f['ellipsis_line_frac'] == 1.0
+    # '...' counts 1, '…' counts 1, over 6 words
+    assert f['symbol_word_ratio'] == pytest.approx(2 / 6)
+
+
+def test_gopher_null_text_is_safe(spark):
+    df = spark.createDataFrame([(1, None)], 'doc_id int, text string')
+    row = gopher_features(df).collect()[0]
+    assert row['n_words'] == 1  # split('') → ['']
+    keep = gopher_filter(df).collect()[0]
+    assert keep['keep'] is False
+
+
+def test_gopher_filter_thresholds(spark):
+    good = ('the quick brown fox jumps over the lazy dog and then it '
+            'ran to be of note with that have more words here now '
+            'plus extra filler words to clear the minimum bar okay '
+            'final words land here today') * 1
+    spammy = 'buy now ' * 40
+    df = spark.createDataFrame(
+        [(1, good), (2, spammy)], 'doc_id int, text string')
+    out = {r['doc_id']: r['keep']
+           for r in gopher_filter(df, min_words=20).collect()}
+    assert out[1] is True
+    assert out[2] is False  # dup n-gram mass ~1.0
+
+
+def test_gopher_stopword_list_is_the_paper_set(spark):
+    assert GOPHER_STOPWORDS == ['the', 'be', 'to', 'of', 'and', 'that',
+                                'have', 'with']
+
+
+def test_dsir_bucket_range(spark):
+    df = spark.createDataFrame(
+        [(i, 'word{} tok'.format(i)) for i in range(50)],
+        'doc_id int, text string')
+    buckets = (dsir.bucket_distribution(df, n_buckets=64)
+               .agg(F.min('bucket'), F.max('bucket')).collect()[0])
+    assert buckets[0] >= 0 and buckets[1] < 64
+
+
+def test_dsir_weights_favor_target_vocabulary(spark):
+    raw = [(i, 'common filler junk page spam text') for i in range(20)]
+    tgt_like = [(100 + i, 'science theorem proof lemma') for i in range(5)]
+    docs = spark.createDataFrame(raw + tgt_like, 'doc_id int, text string')
+    target = docs.filter(F.col('doc_id') >= 100)
+    w = {r['doc_id']: r['log_weight']
+         for r in dsir.dsir_log_weights(docs, target,
+                                        n_buckets=256).collect()}
+    assert all(w[100 + i] > 0 for i in range(5))
+    assert all(w[i] < 0 for i in range(20))
+    assert all(math.isfinite(v) for v in w.values())
+
+
+def test_dsir_sample_enriches_target(spark):
+    docs = (spark.read.parquet('/root/testdata/sf0.001/documents.parquet')
+            .select('doc_id', 'text'))
+    target = docs.filter(F.col('doc_id') % 4 == 0)
+    sample = dsir.dsir_sample(docs, target, 50, n_buckets=512).collect()
+    frac_target = sum(1 for r in sample if r['doc_id'] % 4 == 0) / 50
+    assert frac_target > 0.5  # base rate 0.25
+
+
+def test_dsir_sample_deterministic_and_seed_sensitive(spark):
+    docs = (spark.read.parquet('/root/testdata/sf0.001/documents.parquet')
+            .select('doc_id', 'text'))
+    target = docs.filter(F.col('doc_id') % 4 == 0)
+    a = [r['doc_id'] for r in
+         dsir.dsir_sample(docs, target, 25, n_buckets=512, seed=0).collect()]
+    b = [r['doc_id'] for r in
+         dsir.dsir_sample(docs, target, 25, n_buckets=512, seed=0).collect()]
+    c = [r['doc_id'] for r in
+         dsir.dsir_sample(docs, target, 25, n_buckets=512, seed=7).collect()]
+    assert a == b
+    assert a != c
+
+
+def test_dsir_temperature_flattens(spark):
+    """High temperature → noise dominates → sample approaches uniform
+    (still deterministic); compare overlap with the T=1 sample."""
+    docs = (spark.read.parquet('/root/testdata/sf0.001/documents.parquet')
+            .select('doc_id', 'text'))
+    target = docs.filter(F.col('doc_id') % 4 == 0)
+    hot = dsir.dsir_sample(docs, target, 50, n_buckets=512,
+                           temperature=1000.0).collect()
+    frac_target = sum(1 for r in hot if r['doc_id'] % 4 == 0) / 50
+    assert frac_target < 0.5  # ≈ base rate under flat sampling
+
+
+def test_gopher_plan_is_one_map_side_projection(spark):
+    docs = spark.createDataFrame([(1, 'a b c')], 'doc_id int, text string')
+    plan = (gopher_features(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert 'Exchange' not in plan
+    assert 'Python' not in plan
+
+
+def test_dsir_weight_join_is_broadcast_not_sortmerge(spark):
+    docs = (spark.read.parquet('/root/testdata/sf0.001/documents.parquet')
+            .select('doc_id', 'text'))
+    target = docs.filter(F.col('doc_id') % 4 == 0)
+    plan = (dsir.dsir_log_weights(docs, target, n_buckets=256)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert 'SortMergeJoin' not in plan
+    assert 'BroadcastHashJoin' in plan
