@@ -279,6 +279,15 @@ def main():
     timed(queries, 'embedding_neardup_allpairs',
           lambda: similarity.embedding_near_duplicates(
               vectors, threshold=0.9).count())
+
+    # SemDeDup: k-means clusters + within-cluster ε-ball pruning — the
+    # Σ|c|² within-cluster pairwise cost bounded by n_clusters, salted
+    # id-only self-join like the ANN paths
+    from pybel_spark.textops import semdedup as _semdedup
+    timed(queries, 'dedup_semantic',
+          lambda: _semdedup.semdedup(
+              vectors, threshold=0.9,
+              n_clusters=max(16, n_vectors // 250)).where('keep').count())
     vectors.unpersist()
 
     # mixture sampling: map-side md5-threshold filter over the big corpus
@@ -287,6 +296,20 @@ def main():
     timed(queries, 'corpus_mixture_sample', lambda: _mixture
           .stratified_sample(bdocs, {}, default_fraction=0.1,
                              id_col='url').count())
+
+    # sequence packing over the full multiplied corpus: whitespace token
+    # counts (the scan-bound part) + the two-phase distributed prefix
+    # sum — per-shard window cumsum, broadcast shard prefixes, no global
+    # single-partition sort
+    from pybel_spark.textops import packing as _packing
+    timed(queries, 'corpus_pack_spans',
+          lambda: _packing.packing_stats(
+              bdocs.select(
+                  F.col('url').alias('doc_id'),
+                  F.size(F.split(F.trim('text'), r'\s+'))
+                  .alias('n_tokens')),
+              seq_len=2048)
+          .agg(F.count(F.lit(1)), F.sum('n_toks')).collect())
 
     # C4-style page cleaning over the full multiplied corpus: pure
     # map-side line algebra (split → filter → re-join + page drops) —

@@ -426,3 +426,20 @@ def test_host_link_graph_single_exchange(spark):
     plan = physical_plan(links.host_link_graph(pages))
     assert n_exchanges(plan) == 1, plan
     assert plan.index('HashAggregate') < plan.index('Exchange'), plan
+
+
+def test_semdedup_salted_exchange_carries_no_vector(spark):
+    """SemDeDup's within-cluster self-join follows the same contract as
+    the ANN paths: the ×n_salt replication moves (list_id, id) rows only,
+    vectors re-attach by id join after the pair stream exists."""
+    from pybel_spark.textops import semdedup
+
+    vectors = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    with _no_auto_broadcast(spark):
+        out = semdedup.semdedup_pairs(vectors, threshold=0.9, n_clusters=4,
+                                      refine_iterations=0)
+        plan = formatted_plan(out)
+    salted = list(_salted_exchange_inputs(plan))
+    assert salted, plan
+    for cols in salted:
+        assert not any(v in cols for v in VEC_COLS), cols
