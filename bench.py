@@ -180,6 +180,14 @@ def main():
     # q4: node dedup (canonical md5 ids)
     n_nodes = timed(queries, 'kg_nodes_dedup', lambda: result.nodes.count())
 
+    # entity co-occurrence PPMI: per-doc entity sets → capped self-join →
+    # pair counts + df joins (the association-table shape downstream
+    # entity-linking / embedding stages consume)
+    from pybel_spark.ops import cooccurrence as _cooc
+    timed(queries, 'kg_cooccurrence_ppmi', lambda: (
+        _cooc.entity_cooccurrence_ppmi(
+            _cooc.doc_entity_sets(parsed), max_per_doc=64).count()))
+
     # q5: text ops over the driver documents table
     ddocs = spark.read.parquet(f'{sf_dir}/documents.parquet')
     timed(queries, 'text_token_counts', lambda: ddocs.select(

@@ -13,7 +13,7 @@ from .components import (  # noqa: F401
     left_outer_join,
 )
 from . import (  # noqa: F401
-    analytics, components, filters, induction, collapse, inference, deletion,
-    sample, summary,
+    analytics, components, cooccurrence, filters, induction, collapse,
+    inference, deletion, sample, summary,
 )
 from .registry import Pipeline, register, get_transform  # noqa: F401
