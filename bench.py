@@ -387,6 +387,12 @@ def main():
     n_tri = timed(queries, 'graph_triangles_4m_edges',
                   lambda: _an.triangles(graph).count())
 
+    # HITS hubs/authorities on the same 4M-edge graph: two equi-join +
+    # partial-agg exchanges per round, 1-row broadcast normalizers
+    timed(queries, 'graph_hits_4m_edges_3it', lambda: _an.hits(
+        graph, n_iterations=3).agg(F.sum('auth'), F.sum('hub')).collect(),
+        runs=1)
+
     # HyperBall harmonic centrality on the same 4M-edge graph: the
     # 10^9-host scale path (exact all-pairs BFS is infeasible) — each
     # round is one equi-join + one register-wise max agg, same shuffle

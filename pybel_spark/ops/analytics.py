@@ -388,6 +388,74 @@ def _power_iteration(graph: KG, teleport: DataFrame, damping: float,
     return ranks
 
 
+def hits(graph: KG, n_iterations: int = 10) -> DataFrame:
+    """(node_id, auth, hub) after a fixed number of L1-normalized HITS
+    rounds (Kleinberg 1999) — the hub/authority decomposition of a directed
+    graph, the classic web-graph companion to PageRank.
+
+    One round over the DISTINCT directed edge set:
+
+        auth'(v) = Σ_{u→v} hub(u),   then auth normalized to Σ auth = 1
+        hub'(v)  = Σ_{v→w} auth'(w), then hub  normalized to Σ hub  = 1
+
+    L1 normalization (not the textbook L2) keeps every step a sum — exact
+    same numbers in the unrolled DuckDB SQL mirror, like the fixed-iteration
+    PageRank above. Nodes without in-(out-)edges hold auth (hub) 0; a graph
+    with no edges yields all-zero scores (the normalizing sum is NULL and
+    the outer coalesce catches it).
+
+    Scale: per round, two equi-join + partial-agg exchanges keyed by node;
+    each normalizing sum is a 1-row broadcast cross join; localCheckpoint
+    keeps round-N's plan as flat as round-1's — same loop discipline as
+    ``_power_iteration``.
+    """
+    nodes = graph.nodes.select('node_id').distinct().persist()
+    edges = (
+        graph.edges.select('source_id', 'target_id').distinct().persist())
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            'node_id', F.lit(0.0).alias('auth'), F.lit(0.0).alias('hub'))
+    hubs = nodes.select(
+        'node_id', F.lit(1.0 / n).alias('hub')).localCheckpoint(eager=True)
+    auths = nodes.select('node_id', F.lit(0.0).alias('auth'))
+    for _ in range(n_iterations):
+        a0 = (
+            edges.join(hubs.withColumnRenamed('node_id', 'source_id'),
+                       on='source_id')
+            .groupBy(F.col('target_id').alias('node_id'))
+            .agg(F.sum('hub').alias('a'))
+        )
+        asum = a0.agg(F.sum('a').alias('s'))
+        auths = (
+            nodes.join(a0, on='node_id', how='left')
+            .crossJoin(F.broadcast(asum))
+            .select('node_id', F.coalesce(
+                F.coalesce(F.col('a'), F.lit(0.0)) / F.col('s'),
+                F.lit(0.0)).alias('auth'))
+            .localCheckpoint(eager=True)
+        )
+        h0 = (
+            edges.join(auths.withColumnRenamed('node_id', 'target_id'),
+                       on='target_id')
+            .groupBy(F.col('source_id').alias('node_id'))
+            .agg(F.sum('auth').alias('h'))
+        )
+        hsum = h0.agg(F.sum('h').alias('s'))
+        hubs = (
+            nodes.join(h0, on='node_id', how='left')
+            .crossJoin(F.broadcast(hsum))
+            .select('node_id', F.coalesce(
+                F.coalesce(F.col('h'), F.lit(0.0)) / F.col('s'),
+                F.lit(0.0)).alias('hub'))
+            .localCheckpoint(eager=True)
+        )
+    out = auths.join(hubs, on='node_id')
+    nodes.unpersist()
+    edges.unpersist()
+    return out
+
+
 def label_propagation_communities(graph: KG,
                                   n_iterations: int = 5) -> DataFrame:
     """(node_id, community) via SYNCHRONOUS label propagation, fixed

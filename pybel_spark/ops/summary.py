@@ -308,3 +308,52 @@ def graph_summary(graph: KG, warnings: DataFrame = None) -> dict:
     if warnings is not None:
         out['warnings'] = warnings.count()
     return out
+
+
+def edge_provenance(parsed: DataFrame) -> DataFrame:
+    """Support/attestation statistics per logical edge (source, relation,
+    target) across the whole crawl — the KG-construction step that turns
+    per-document extractions into a weighted knowledge graph.
+
+    The reference keeps full per-edge provenance (citation/evidence dicts on
+    every BELGraph edge, struct/summary's citation counters); at web scale
+    the useful form is the aggregate: how many documents assert the edge
+    (``n_docs``), how many distinct qualified variants exist — different
+    citation/annotation/modifier contexts hash to different content keys —
+    (``n_variants``), how many distinct citations back it (``n_citations``),
+    and a deterministic sample evidence string (``first_evidence`` = min).
+
+    Input is the pre-explode compile result (one row per document), NOT the
+    globally deduped edge table: first-writer-wins dedup keeps one
+    provenance document per content key and would undercount n_docs.
+
+    Scale: one exchange, partially aggregated, keyed by the logical-edge
+    triple — the same key cardinality as the output KG. The three distinct
+    aggregates share a single Expand+HashAggregate (no extra shuffle).
+    """
+    inst = (
+        parsed
+        .select('url', F.explode('edges').alias('e'))
+        .select(
+            'url', F.col('e.edge_id').alias('edge_id'),
+            F.col('e.source_bel').alias('source'),
+            F.col('e.relation').alias('relation'),
+            F.col('e.target_bel').alias('target'),
+            F.col('e.citation_db').alias('citation_db'),
+            F.col('e.citation_id').alias('citation_id'),
+            F.col('e.evidence').alias('evidence'),
+        )
+    )
+    citation_key = F.when(
+        F.col('citation_id').isNotNull(),
+        F.concat(F.coalesce(F.col('citation_db'), F.lit('')),
+                 F.lit(':'), F.col('citation_id')))
+    return (
+        inst.groupBy('source', 'relation', 'target')
+        .agg(
+            F.countDistinct('url').alias('n_docs'),
+            F.countDistinct('edge_id').alias('n_variants'),
+            F.countDistinct(citation_key).alias('n_citations'),
+            F.min('evidence').alias('first_evidence'),
+        )
+    )

@@ -282,3 +282,62 @@ def test_label_propagation_communities(spark):
              for r in analytics.community_sizes(
                  KG(nodes, edges_df), n_iterations=6).collect()}
     assert sizes == {0: 4, 10: 4, 99: 1}
+
+
+def _reference_hits(nxg_directed, n_iterations):
+    """Pure-python mirror of analytics.hits: L1-normalized fixed rounds."""
+    nodes = sorted(nxg_directed.nodes())
+    n = len(nodes)
+    hub = {v: 1.0 / n for v in nodes}
+    auth = {v: 0.0 for v in nodes}
+    for _ in range(n_iterations):
+        auth = {v: sum(hub[u] for u in nxg_directed.predecessors(v))
+                for v in nodes}
+        s = sum(auth.values())
+        auth = {v: (a / s if s else 0.0) for v, a in auth.items()}
+        hub = {v: sum(auth[w] for w in nxg_directed.successors(v))
+               for v in nodes}
+        s = sum(hub.values())
+        hub = {v: (h / s if s else 0.0) for v, h in hub.items()}
+    return auth, hub
+
+
+def test_hits_parity(kg):
+    import networkx as nx
+    nxg = nx.DiGraph()
+    nxg.add_nodes_from(r['node_id'] for r in kg.nodes.select('node_id').collect())
+    nxg.add_edges_from((r['source_id'], r['target_id'])
+                       for r in kg.edges.select('source_id', 'target_id')
+                       .distinct().collect())
+    exp_auth, exp_hub = _reference_hits(nxg, 8)
+    got = {r['node_id']: (r['auth'], r['hub'])
+           for r in analytics.hits(kg, n_iterations=8).collect()}
+    assert set(got) == set(exp_auth)
+    assert all(abs(got[v][0] - exp_auth[v]) < 1e-12 for v in exp_auth)
+    assert all(abs(got[v][1] - exp_hub[v]) < 1e-12 for v in exp_hub)
+    # both score vectors are L1-normalized
+    assert abs(sum(a for a, _ in got.values()) - 1.0) < 1e-9
+    assert abs(sum(h for _, h in got.values()) - 1.0) < 1e-9
+
+
+def test_hits_hub_authority_split(spark):
+    # star: h -> a1, a2, a3; pure hub h has auth 0, pure sinks have hub 0
+    nodes = spark.createDataFrame(
+        [('h',), ('a1',), ('a2',), ('a3',)], 'node_id string')
+    edges = spark.createDataFrame(
+        [('h', 'a1'), ('h', 'a2'), ('h', 'a3')],
+        'source_id string, target_id string')
+    out = {r['node_id']: r for r in analytics.hits(
+        KG(nodes, edges), n_iterations=4).collect()}
+    assert out['h']['auth'] == 0.0 and out['h']['hub'] == pytest.approx(1.0)
+    for a in ('a1', 'a2', 'a3'):
+        assert out[a]['hub'] == 0.0
+        assert out[a]['auth'] == pytest.approx(1.0 / 3)
+
+
+def test_hits_edgeless_graph(spark):
+    nodes = spark.createDataFrame([('x',), ('y',)], 'node_id string')
+    edges = spark.createDataFrame(
+        [], 'source_id string, target_id string')
+    out = analytics.hits(KG(nodes, edges), n_iterations=3).collect()
+    assert {(r['auth'], r['hub']) for r in out} == {(0.0, 0.0)}
