@@ -393,6 +393,11 @@ def main():
         graph, n_iterations=3).agg(F.sum('auth'), F.sum('hub')).collect(),
         runs=1)
 
+    # DeepWalk corpus generation: 500k walks x 5 steps, per-step shuffle
+    # is O(active walks) — the graph-embedding training-data job
+    timed(queries, 'graph_walks_4m_edges_5steps', lambda: _an.random_walks(
+        graph, walk_length=5, walks_per_node=1).count(), runs=1)
+
     # HyperBall harmonic centrality on the same 4M-edge graph: the
     # 10^9-host scale path (exact all-pairs BFS is infeasible) — each
     # round is one equi-join + one register-wise max agg, same shuffle

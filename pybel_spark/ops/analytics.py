@@ -22,6 +22,7 @@ algebra:
   the per-round lineage so the plan stays flat at any iteration count.
 """
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from .graph import KG
 
@@ -453,6 +454,74 @@ def hits(graph: KG, n_iterations: int = 10) -> DataFrame:
     out = auths.join(hubs, on='node_id')
     nodes.unpersist()
     edges.unpersist()
+    return out
+
+
+def random_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
+                 seed: int = 0) -> DataFrame:
+    """Deterministic DeepWalk-style random-walk corpus: (walk_id, step,
+    node) rows for ``walks_per_node`` walks of up to ``walk_length`` steps
+    from every node — the corpus a skip-gram graph-embedding trainer
+    (DeepWalk / node2vec with p=q=1) consumes.
+
+    The neighbor choice is a HASH, not an RNG: at step t the walk picks
+    out-neighbor index ``md5(seed:walk_id:t:node) mod outdeg(node)``, with
+    neighbors ranked by target id. That makes the walks reproducible across
+    runs/retries/engines (the DuckDB oracle mirrors them exactly) while
+    remaining uniform per step — the same md5-threshold determinism contract
+    as textops.mixture.sampling_hash. Walks stop early at nodes with no
+    out-edges (the inner join drops them).
+
+    Scale: the neighbor rank is a per-source window (partitioned, no global
+    sort, computed once); each step is two equi-joins keyed by the current
+    node (outdeg, then (source, rank)) — shuffle size is O(active walks),
+    never O(edges); localCheckpoint keeps step-t's plan flat. Hub skew is
+    bounded: a walk visits ONE neighbor regardless of outdeg, and AQE
+    handles the popular-node join skew.
+    """
+    edges = graph.edges.select('source_id', 'target_id').distinct()
+    w = Window.partitionBy('source_id').orderBy('target_id')
+    nb = edges.select(
+        'source_id', 'target_id',
+        (F.row_number().over(w) - 1).alias('rn')).persist()
+    outdeg = nb.groupBy('source_id').agg(
+        F.count(F.lit(1)).alias('outdeg')).persist()
+
+    starts = (
+        graph.nodes.select('node_id')
+        .select(
+            'node_id',
+            F.explode(F.array(
+                *[F.lit(i) for i in range(walks_per_node)])).alias('w_i'))
+        .select(
+            F.concat_ws('#', 'node_id', 'w_i').alias('walk_id'),
+            F.col('node_id').alias('node'))
+    )
+    cur = starts.select(
+        'walk_id', 'node', F.lit(0).alias('step')).localCheckpoint(eager=True)
+    levels = [cur]
+    for t in range(1, walk_length + 1):
+        key = F.concat_ws(
+            ':', F.lit(str(seed)), F.col('walk_id'), F.lit(str(t)),
+            F.col('node'))
+        idx = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast('long')
+        stepped = (
+            cur.join(outdeg.withColumnRenamed('source_id', 'node'),
+                     on='node')
+            .select('walk_id',
+                    F.col('node').alias('source_id'),
+                    F.pmod(idx, F.col('outdeg')).alias('rn'))
+            .join(nb, on=['source_id', 'rn'])
+            .select('walk_id', F.col('target_id').alias('node'),
+                    F.lit(t).alias('step'))
+        )
+        cur = stepped.localCheckpoint(eager=True)
+        levels.append(cur)
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    nb.unpersist()
+    outdeg.unpersist()
     return out
 
 

@@ -341,3 +341,47 @@ def test_hits_edgeless_graph(spark):
         [], 'source_id string, target_id string')
     out = analytics.hits(KG(nodes, edges), n_iterations=3).collect()
     assert {(r['auth'], r['hub']) for r in out} == {(0.0, 0.0)}
+
+
+def test_random_walks_are_valid_paths(kg):
+    out = analytics.random_walks(kg, walk_length=3, walks_per_node=2)
+    rows = out.collect()
+    edges = {(r['source_id'], r['target_id'])
+             for r in kg.edges.select('source_id', 'target_id').collect()}
+    n_nodes = kg.nodes.count()
+    walks = {}
+    for r in rows:
+        walks.setdefault(r['walk_id'], {})[r['step']] = r['node']
+    assert len(walks) == 2 * n_nodes
+    for wid, steps in walks.items():
+        # contiguous steps starting at 0; start node is the walk_id prefix
+        ks = sorted(steps)
+        assert ks == list(range(len(ks)))
+        assert wid.rsplit('#', 1)[0] == steps[0]
+        for t in range(1, len(ks)):
+            assert (steps[t - 1], steps[t]) in edges
+
+
+def test_random_walks_deterministic_and_seeded(kg):
+    a = sorted(map(tuple, analytics.random_walks(
+        kg, walk_length=2, walks_per_node=1, seed=7).collect()))
+    b = sorted(map(tuple, analytics.random_walks(
+        kg, walk_length=2, walks_per_node=1, seed=7).collect()))
+    c = sorted(map(tuple, analytics.random_walks(
+        kg, walk_length=2, walks_per_node=1, seed=8).collect()))
+    assert a == b
+    assert a != c  # a different seed must change some neighbor choices
+
+
+def test_random_walks_stop_at_sinks(spark):
+    # a -> b, b has no out-edges: every walk is exactly [a, b] or [b]
+    nodes = spark.createDataFrame([('a',), ('b',)], 'node_id string')
+    edges = spark.createDataFrame(
+        [('a', 'b')], 'source_id string, target_id string')
+    rows = analytics.random_walks(
+        KG(nodes, edges), walk_length=5, walks_per_node=1).collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r['walk_id'], []).append((r['step'], r['node']))
+    assert sorted(by_walk['a#0']) == [(0, 'a'), (1, 'b')]
+    assert sorted(by_walk['b#0']) == [(0, 'b')]
