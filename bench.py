@@ -194,6 +194,15 @@ def main():
         'doc_id', F.size(F.split(F.trim('text'), r'\s+')).alias('n_tokens')
     ).agg(F.sum('n_tokens')).collect())
 
+    # BM25: postings build (one groupBy exchange over the token stream) +
+    # 8-query top-10 scoring with broadcast query terms
+    from pybel_spark.textops import search as _search
+    import __spark_entry__ as _entry_mod
+    _bm25_q = spark.createDataFrame(
+        _entry_mod._BM25_QUERIES, 'query_id string, query_text string')
+    timed(queries, 'corpus_bm25_topk', lambda: _search.bm25_topk(
+        ddocs, _bm25_q, k=10).count())
+
     # real BPE with the 32k-merge table: cost must stay bounded by the
     # DISTINCT pre-token count (vocabulary), not the corpus or the merge
     # table size — the claim the r4 verdict asked to prove at scale

@@ -14,6 +14,6 @@ DataFrame algebra so they survive a 100 TB input:
              batching, and partitioning are real)
 """
 from . import (  # noqa: F401
-    decontaminate, dedup, dsir, multimodal, packing, quality, semdedup,
-    similarity, tokenize,
+    decontaminate, dedup, dsir, multimodal, packing, quality, search,
+    semdedup, similarity, tokenize,
 )

@@ -1,0 +1,191 @@
+"""BM25 full-text search: inverted-index build + top-k scoring.
+
+The retrieval stack a web-corpus engine needs next to dedup/curation:
+build a term-partitioned inverted index over the corpus once, then answer
+keyword queries with the Okapi BM25 ranking function
+
+    idf(t)        = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(q, d)   = Σ_{t∈q} idf(t) * tf(t,d) * (k1 + 1)
+                    / (tf(t,d) + k1 * (1 - b + b * dl(d) / avgdl))
+
+(the Robertson/Sparck-Jones idf with the +1 floor — Lucene's formulation,
+always positive).
+
+Scale notes (100 TB shape):
+- The postings build is ONE explode + groupBy exchange keyed by
+  (term, doc); df/avgdl are partial-aggregated rollups of the same data.
+- Query scoring joins the (small) query-term list against postings on the
+  term key: Spark broadcasts the query side, so the corpus-sized postings
+  table is never shuffled; the only exchange is the per-(query, doc)
+  partial-aggregated score sum.
+- ``bm25_index_write`` persists the postings PARTITIONED BY a term-hash
+  bucket; ``bm25_index_topk`` prunes the scan to the buckets the query
+  terms hash into — at 4096 buckets a 3-term query touches ≤3/4096 of the
+  index files (partition pruning, asserted in tests).
+- Scores are rounded before ranking so near-tie ordering is stable across
+  engines; ties break on doc_id.
+"""
+import os
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .tokenize import whitespace_tokens
+
+__all__ = [
+    'doc_terms', 'build_postings', 'bm25_topk',
+    'bm25_index_write', 'bm25_index_topk', 'N_INDEX_BUCKETS',
+]
+
+N_INDEX_BUCKETS = 64
+
+
+def doc_terms(docs: DataFrame, doc_col: str = 'doc_id',
+              text_col: str = 'text') -> DataFrame:
+    """(doc, term) token stream — whitespace tokens, empties dropped."""
+    toks = docs.select(
+        F.col(doc_col).alias('doc'),
+        whitespace_tokens(text_col).alias('_toks'))
+    return (
+        toks.select('doc', F.explode('_toks').alias('term'))
+        .where(F.col('term') != '')
+    )
+
+
+def build_postings(docs: DataFrame, doc_col: str = 'doc_id',
+                   text_col: str = 'text') -> DataFrame:
+    """Inverted-index postings: (term, doc, tf, dl) — one groupBy exchange;
+    dl (doc length) rides along from a map-side token count so scoring
+    needs no second join against a doc-stats table."""
+    terms = doc_terms(docs, doc_col, text_col)
+    dl = (
+        docs.select(
+            F.col(doc_col).alias('doc'),
+            F.size(whitespace_tokens(text_col)).alias('dl'))
+    )
+    tf = terms.groupBy('term', 'doc').agg(F.count(F.lit(1)).alias('tf'))
+    return tf.join(dl, on='doc').select('term', 'doc', 'tf', 'dl')
+
+
+def _score_col(k1: float, b: float):
+    # idf uses the +1-floored Robertson idf; every arithmetic step is kept
+    # in the exact association order the DuckDB oracle mirrors
+    idf = F.log(F.lit(1.0) + (F.col('n_docs') - F.col('df') + F.lit(0.5))
+                / (F.col('df') + F.lit(0.5)))
+    sat = (F.col('tf') * F.lit(k1 + 1.0)) \
+        / (F.col('tf') + F.lit(k1) * (F.lit(1.0 - b)
+                                      + F.lit(b) * F.col('dl')
+                                      / F.col('avgdl')))
+    return idf * sat
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Round scores, then rank per query (score desc, doc asc)."""
+    per_pair = (
+        scored.groupBy('query_id', 'doc')
+        .agg(F.round(F.sum('term_score'), 6).alias('score_r'))
+    )
+    w = Window.partitionBy('query_id').orderBy(
+        F.col('score_r').desc(), F.col('doc'))
+    return (
+        per_pair.withColumn('rank', F.row_number().over(w))
+        .where(F.col('rank') <= k)
+        .select('query_id', 'rank', F.col('doc').alias('doc_id'), 'score_r')
+    )
+
+
+def _corpus_stats(postings: DataFrame) -> DataFrame:
+    """1-row (n_docs, avgdl) — broadcast into the scoring join."""
+    per_doc = postings.select('doc', 'dl').distinct()
+    return per_doc.agg(
+        F.count(F.lit(1)).cast('double').alias('n_docs'),
+        F.avg('dl').alias('avgdl'))
+
+
+def _query_terms(queries: DataFrame) -> DataFrame:
+    """(query_id, term) — DISTINCT terms per query (BM25 over the term
+    SET; repeated query words do not double-count)."""
+    return (
+        queries.select(
+            'query_id',
+            F.explode(whitespace_tokens('query_text')).alias('term'))
+        .where(F.col('term') != '')
+        .distinct()
+    )
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              doc_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """Top-k BM25 hits per query, end-to-end from the raw corpus.
+
+    ``queries`` is a (query_id, query_text) DataFrame. Returns
+    (query_id, rank, doc_id, score_r).
+    """
+    postings = build_postings(docs, doc_col, text_col)
+    return _score_postings(postings, queries, k, k1, b)
+
+
+def _score_postings(postings: DataFrame, queries: DataFrame, k: int,
+                    k1: float, b: float, stats: DataFrame = None) -> DataFrame:
+    """Score query-term postings only: the corpus-sized table is filtered by
+    a broadcast semi-join on the query terms FIRST, so the df rollup and the
+    scoring join both run over the hit set, never the whole index."""
+    qterms = _query_terms(queries)
+    hits = postings.join(
+        F.broadcast(qterms.select('term').distinct()), on='term')
+    # postings are unique on (term, doc), so df = row count per term
+    df_tbl = hits.groupBy('term').agg(F.count(F.lit(1)).alias('df'))
+    if stats is None:
+        stats = _corpus_stats(postings)
+    scored = (
+        hits
+        .join(F.broadcast(qterms), on='term')
+        .join(F.broadcast(df_tbl), on='term')
+        .crossJoin(F.broadcast(stats))
+        .select('query_id', 'doc', _score_col(k1, b).alias('term_score'))
+    )
+    return _rank_topk(scored, k)
+
+
+def bm25_index_write(docs: DataFrame, path: str,
+                     n_buckets: int = N_INDEX_BUCKETS,
+                     doc_col: str = 'doc_id', text_col: str = 'text') -> None:
+    """Materialize the inverted index: postings partitioned by
+    ``bucket = pmod(xxhash64(term), n_buckets)`` (so a query's scan prunes
+    to its terms' buckets), plus a 1-row (n_docs, avgdl) stats sidecar."""
+    postings = build_postings(docs, doc_col, text_col)
+    (postings
+     .withColumn('bucket', F.pmod(F.xxhash64('term'), F.lit(n_buckets))
+                 .cast('int'))
+     .write.mode('overwrite').partitionBy('bucket')
+     .parquet(os.path.join(path, 'postings')))
+    # df needs no sidecar: a term's postings live entirely in its bucket,
+    # so the pruned read reconstructs exact df. Only the corpus-wide
+    # (n_docs, avgdl) pair must be persisted.
+    _corpus_stats(postings).write.mode('overwrite') \
+        .parquet(os.path.join(path, 'stats'))
+
+
+def bm25_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
+                    k1: float = 1.2, b: float = 0.75,
+                    n_buckets: int = N_INDEX_BUCKETS) -> DataFrame:
+    """Serve top-k from a materialized index with bucket-pruned reads.
+
+    The bucket predicate is an ``isin`` over the distinct buckets of the
+    query terms — a partition filter, so parquet files of every other
+    bucket are never opened.
+    """
+    qterms = _query_terms(queries).persist()
+    buckets = [r['bucket'] for r in qterms.select(
+        F.pmod(F.xxhash64('term'), F.lit(n_buckets)).cast('int')
+        .alias('bucket')).distinct().collect()]
+    postings = (
+        spark.read.parquet(os.path.join(path, 'postings'))
+        .where(F.col('bucket').isin(buckets))
+        .select('term', 'doc', 'tf', 'dl')
+    )
+    stats = spark.read.parquet(os.path.join(path, 'stats'))
+    out = _score_postings(postings, queries, k, k1, b, stats=stats)
+    qterms.unpersist()
+    return out
