@@ -407,6 +407,11 @@ def main():
     timed(queries, 'graph_walks_4m_edges_5steps', lambda: _an.random_walks(
         graph, walk_length=5, walks_per_node=1).count(), runs=1)
 
+    # SCC via Orzan coloring: min-label fixpoints + peel — the
+    # bowtie-structure decomposition at web-graph scale
+    timed(queries, 'graph_scc_4m_edges', lambda: _an
+          .strongly_connected_components(graph).count(), runs=1)
+
     # HyperBall harmonic centrality on the same 4M-edge graph: the
     # 10^9-host scale path (exact all-pairs BFS is infeasible) — each
     # round is one equi-join + one register-wise max agg, same shuffle

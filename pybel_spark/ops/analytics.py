@@ -525,6 +525,130 @@ def random_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
     return out
 
 
+def strongly_connected_components(graph: KG, max_rounds: int = 30,
+                                  max_prop_rounds: int = 64) -> DataFrame:
+    """(node_id, scc_id) with ``scc_id`` = the minimum member id of the
+    node's strongly connected component — the directed-graph companion to
+    connected_components, and the web-graph link-farm / bowtie-structure
+    primitive.
+
+    Orzan-style coloring, the standard distributed SCC algorithm:
+
+    1. FORWARD min-label fixpoint over the active subgraph:
+       color(v) = min node id that can reach v (including itself).
+    2. Roots are nodes with color(v) == v. A root is provably the minimum
+       member of its SCC (a smaller mutual-reachable id would have lowered
+       its color).
+    3. BACKWARD marking within each color class from its root: marked
+       nodes both reach the root (backward walk) and are reached by it
+       (same color) — exactly the root's SCC. Assign scc_id = color.
+    4. Peel the marked nodes and repeat on the remainder.
+
+    Determinism: min-label fixpoints only — no RNG, so the DuckDB
+    recursive-closure oracle (scc_id = min mutually-reachable id) matches
+    exactly. Each propagation step is one equi-join + min-aggregate keyed
+    by node, localCheckpoint-truncated; the peel loop runs once per
+    "layer" of the SCC condensation touched by surviving roots (typically
+    a handful of rounds on web graphs, where one giant SCC dominates).
+    Raises instead of returning silently-wrong labels if either loop
+    exhausts its guard — the ops/components.py convergence lesson.
+    """
+    act_nodes = graph.nodes.select('node_id').distinct() \
+        .localCheckpoint(eager=True)
+    act_edges = graph.edges.select('source_id', 'target_id').distinct() \
+        .localCheckpoint(eager=True)
+    assigned = None
+    n_active = act_nodes.count()
+    for _ in range(max_rounds):
+        if n_active == 0:
+            break
+        # 1. forward min-label fixpoint
+        colors = act_nodes.select(
+            'node_id', F.col('node_id').alias('color')) \
+            .localCheckpoint(eager=True)
+        for _p in range(max_prop_rounds):
+            incoming = (
+                act_edges.join(
+                    colors.withColumnRenamed('node_id', 'source_id'),
+                    on='source_id')
+                .groupBy(F.col('target_id').alias('node_id'))
+                .agg(F.min('color').alias('in_color'))
+            )
+            new_colors = (
+                colors.join(incoming, on='node_id', how='left')
+                .select('node_id',
+                        F.least('color', F.coalesce('in_color', 'color'))
+                        .alias('color'))
+                .localCheckpoint(eager=True)
+            )
+            n_changed = (
+                new_colors.join(
+                    colors.withColumnRenamed('color', 'old_color'),
+                    on='node_id')
+                .where(F.col('color') != F.col('old_color')).count())
+            colors = new_colors
+            if n_changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                'scc forward propagation did not converge within '
+                'max_prop_rounds=%d' % max_prop_rounds)
+        # 2+3. backward marking from each color root within its class
+        marked = colors.where(F.col('node_id') == F.col('color')) \
+            .localCheckpoint(eager=True)
+        n_marked = marked.count()
+        for _p in range(max_prop_rounds):
+            reach_back = (
+                act_edges.join(
+                    marked.withColumnRenamed('node_id', 'target_id'),
+                    on='target_id')
+                .select(F.col('source_id').alias('node_id'),
+                        F.col('color').alias('mark_color'))
+                .distinct()
+            )
+            new_marked = (
+                marked.unionByName(
+                    reach_back
+                    .join(colors, on='node_id')
+                    .where(F.col('color') == F.col('mark_color'))
+                    .select('node_id', 'color'))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            n_now = new_marked.count()
+            marked = new_marked
+            if n_now == n_marked:
+                break
+            n_marked = n_now
+        else:
+            raise RuntimeError(
+                'scc backward marking did not converge within '
+                'max_prop_rounds=%d' % max_prop_rounds)
+        scc_rows = marked.select('node_id', F.col('color').alias('scc_id'))
+        assigned = scc_rows if assigned is None \
+            else assigned.unionByName(scc_rows)
+        # 4. peel
+        act_nodes = act_nodes.join(marked.select('node_id'), on='node_id',
+                                   how='leftanti') \
+            .localCheckpoint(eager=True)
+        act_edges = (
+            act_edges
+            .join(act_nodes.withColumnRenamed('node_id', 'source_id'),
+                  on='source_id', how='leftsemi')
+            .join(act_nodes.withColumnRenamed('node_id', 'target_id'),
+                  on='target_id', how='leftsemi')
+            .localCheckpoint(eager=True)
+        )
+        n_active = act_nodes.count()
+    else:
+        raise RuntimeError(
+            'scc peel did not converge within max_rounds=%d' % max_rounds)
+    if assigned is None:
+        return graph.nodes.select('node_id').where(F.lit(False)) \
+            .select('node_id', F.col('node_id').alias('scc_id'))
+    return assigned
+
+
 def label_propagation_communities(graph: KG,
                                   n_iterations: int = 5) -> DataFrame:
     """(node_id, community) via SYNCHRONOUS label propagation, fixed

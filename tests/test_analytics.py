@@ -385,3 +385,46 @@ def test_random_walks_stop_at_sinks(spark):
         by_walk.setdefault(r['walk_id'], []).append((r['step'], r['node']))
     assert sorted(by_walk['a#0']) == [(0, 'a'), (1, 'b')]
     assert sorted(by_walk['b#0']) == [(0, 'b')]
+
+
+def test_scc_parity_networkx(kg):
+    import networkx as nx
+    nxg = nx.DiGraph()
+    nxg.add_nodes_from(r['node_id'] for r in kg.nodes.select('node_id').collect())
+    nxg.add_edges_from((r['source_id'], r['target_id'])
+                       for r in kg.edges.select('source_id', 'target_id')
+                       .distinct().collect())
+    expected = {}
+    for comp in nx.strongly_connected_components(nxg):
+        m = min(comp)
+        for v in comp:
+            expected[v] = m
+    got = {r['node_id']: r['scc_id']
+           for r in analytics.strongly_connected_components(kg).collect()}
+    assert got == expected
+
+
+def test_scc_multiple_cycles_and_bridges(spark):
+    # two 3-cycles joined by a one-way bridge + a tail node
+    edges = [('a', 'b'), ('b', 'c'), ('c', 'a'),
+             ('c', 'x'),
+             ('x', 'y'), ('y', 'z'), ('z', 'x'),
+             ('z', 't')]
+    nodes = sorted({u for e in edges for u in e})
+    g = KG(spark.createDataFrame([(n,) for n in nodes], 'node_id string'),
+           spark.createDataFrame(edges,
+                                 'source_id string, target_id string'))
+    got = {r['node_id']: r['scc_id']
+           for r in analytics.strongly_connected_components(g).collect()}
+    assert got == {'a': 'a', 'b': 'a', 'c': 'a',
+                   'x': 'x', 'y': 'x', 'z': 'x', 't': 't'}
+
+
+def test_scc_acyclic_is_all_singletons(spark):
+    edges = [('a', 'b'), ('b', 'c'), ('a', 'c')]
+    g = KG(spark.createDataFrame([('a',), ('b',), ('c',)], 'node_id string'),
+           spark.createDataFrame(edges,
+                                 'source_id string, target_id string'))
+    got = {r['node_id']: r['scc_id']
+           for r in analytics.strongly_connected_components(g).collect()}
+    assert got == {'a': 'a', 'b': 'b', 'c': 'c'}
