@@ -336,16 +336,48 @@ def personalized_pagerank(graph: KG, seeds: DataFrame,
     return _power_iteration(graph, teleport, damping, n_iterations)
 
 
+def pagerank_weighted(graph: KG, weight_col: str, damping: float = 0.85,
+                      n_iterations: int = 10) -> DataFrame:
+    """PageRank where a node distributes its rank to out-neighbors in
+    proportion to the edge weight (e.g. the host link graph's ``n_links``
+    multiplicity) instead of uniformly — the standard weighted host-rank.
+    Update per round (same dangling/teleport handling as :func:`pagerank`):
+
+        rank'(v) = (1-d)/N + d * (Σ_{u→v} rank(u) * w(u,v)/W(u)
+                                  + dangling_mass / N)
+
+    with W(u) = Σ_w over u's out-edges. Distinct (source, target) pairs
+    with their weight summed; same plan shape as the unweighted loop."""
+    nodes = graph.nodes.select('node_id')
+    n = nodes.count()
+    if n == 0:
+        return nodes.select('node_id', F.lit(0.0).alias('rank'))
+    teleport = nodes.select('node_id', F.lit(1.0 / n).alias('p'))
+    return _power_iteration(graph, teleport, damping, n_iterations,
+                            weight_col=weight_col)
+
+
 def _power_iteration(graph: KG, teleport: DataFrame, damping: float,
-                     n_iterations: int) -> DataFrame:
+                     n_iterations: int, weight_col: str = None) -> DataFrame:
     """Shared PageRank loop: teleport is (node_id, p) summing to 1; rank
     starts at p and each round applies
-    rank' = (1-d)*p + d*(in-contributions + dangling_mass*p)."""
-    edges = (
-        graph.edges.select('source_id', 'target_id').distinct().persist())
+    rank' = (1-d)*p + d*(in-contributions + dangling_mass*p).
+    With ``weight_col``, contributions are rank(u) * w/W(u) instead of
+    rank(u)/outdeg(u)."""
+    if weight_col is None:
+        edges = (graph.edges.select('source_id', 'target_id')
+                 .distinct().persist())
+        outdeg = edges.groupBy('source_id').agg(
+            F.count(F.lit(1)).alias('outdeg'))
+    else:
+        edges = (
+            graph.edges
+            .groupBy('source_id', 'target_id')
+            .agg(F.sum(F.col(weight_col)).cast('double').alias('_w'))
+            .persist())
+        outdeg = edges.groupBy('source_id').agg(
+            F.sum('_w').alias('outdeg'))
     teleport = teleport.persist()
-    outdeg = edges.groupBy('source_id').agg(
-        F.count(F.lit(1)).alias('outdeg'))
     links = edges.join(outdeg, on='source_id').persist()
     # the dangling node SET is static across rounds — only its rank mass
     # changes; one anti-join here replaces a ranks-vs-outdeg anti-join
@@ -359,13 +391,17 @@ def _power_iteration(graph: KG, teleport: DataFrame, damping: float,
 
     ranks = teleport.select(
         'node_id', F.col('p').alias('rank')).localCheckpoint(eager=True)
+    if weight_col is None:
+        share = F.col('rank') / F.col('outdeg')
+    else:
+        share = F.col('rank') * F.col('_w') / F.col('outdeg')
     for _ in range(n_iterations):
         contribs = (
             links.join(
                 ranks.withColumnRenamed('node_id', 'source_id'),
                 on='source_id')
             .groupBy(F.col('target_id').alias('node_id'))
-            .agg(F.sum(F.col('rank') / F.col('outdeg')).alias('contrib'))
+            .agg(F.sum(share).alias('contrib'))
         )
         dangling = (
             ranks.join(dangling_ids, on='node_id', how='leftsemi')

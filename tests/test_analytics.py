@@ -428,3 +428,43 @@ def test_scc_acyclic_is_all_singletons(spark):
     got = {r['node_id']: r['scc_id']
            for r in analytics.strongly_connected_components(g).collect()}
     assert got == {'a': 'a', 'b': 'b', 'c': 'c'}
+
+
+def test_pagerank_weighted_parity(spark):
+    # weighted rank distribution: b gets 3/4 of a's rank share, c gets 1/4
+    edges = [('a', 'b', 3), ('a', 'c', 1), ('b', 'c', 2), ('c', 'a', 5)]
+    nodes = [('a',), ('b',), ('c',)]
+    g = KG(spark.createDataFrame(nodes, 'node_id string'),
+           spark.createDataFrame(
+               edges, 'source_id string, target_id string, n_links int'))
+    got = {r['node_id']: r['rank'] for r in analytics.pagerank_weighted(
+        g, 'n_links', damping=0.85, n_iterations=10).collect()}
+
+    # pure-python mirror
+    w = {('a', 'b'): 3.0, ('a', 'c'): 1.0, ('b', 'c'): 2.0, ('c', 'a'): 5.0}
+    wsum = {'a': 4.0, 'b': 2.0, 'c': 5.0}
+    ns = ['a', 'b', 'c']
+    p = {v: 1 / 3 for v in ns}
+    rank = dict(p)
+    for _ in range(10):
+        contrib = {v: 0.0 for v in ns}
+        for (u, v), wt in w.items():
+            contrib[v] += rank[u] * wt / wsum[u]
+        dangling = 0.0  # every node has out-edges here
+        rank = {v: 0.15 * p[v] + 0.85 * (contrib[v] + dangling * p[v])
+                for v in ns}
+    for v in ns:
+        assert got[v] == pytest.approx(rank[v], abs=1e-12)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_weighted_uniform_weights_match_unweighted(kg):
+    g = KG(kg.nodes, kg.edges.select('source_id', 'target_id')
+           .distinct().withColumn('w', F.lit(1)))
+    a = {r['node_id']: r['rank']
+         for r in analytics.pagerank_weighted(g, 'w', n_iterations=5)
+         .collect()}
+    b = {r['node_id']: r['rank']
+         for r in analytics.pagerank(kg, n_iterations=5).collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[v] - b[v]) < 1e-12 for v in a)
