@@ -35,6 +35,30 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ['doc_entity_sets', 'entity_cooccurrence_ppmi']
 
 
+def citation_entity_sets(parsed: DataFrame) -> DataFrame:
+    """Distinct (citation, entity) pairs — the co-CITATION context.
+
+    Returns the same (doc, entity) shape as :func:`doc_entity_sets` with
+    ``doc`` holding the citation key ``coalesce(db,'') || ':' || id``, so
+    :func:`entity_cooccurrence_ppmi` runs unchanged: co-citation analysis
+    IS co-occurrence with the citation as the context window (Small 1973).
+    Unqualified edges (no citation) contribute nothing.
+    """
+    exploded = parsed.select(F.explode('edges').alias('e')) \
+        .where(F.col('e.citation_id').isNotNull())
+    key = F.concat(F.coalesce(F.col('e.citation_db'), F.lit('')),
+                   F.lit(':'), F.col('e.citation_id'))
+    return (
+        exploded.select(key.alias('doc'),
+                        F.col('e.source_bel').alias('entity'))
+        .unionByName(
+            exploded.select(key.alias('doc'),
+                            F.col('e.target_bel').alias('entity')))
+        .where(F.col('entity').isNotNull())
+        .distinct()
+    )
+
+
 def doc_entity_sets(parsed: DataFrame, doc_col: str = 'url') -> DataFrame:
     """Distinct (doc, entity) pairs from the per-document edge arrays.
 

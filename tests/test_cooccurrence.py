@@ -97,3 +97,31 @@ def test_doc_entity_sets_from_parsed(spark):
         result.parsed.select('url', F.explode('edges').alias('e'))
         .select('url', 'e.edge_id').distinct().count())
     assert per_doc_rows > one_url_rows  # boilerplate-heavy corpus shape
+
+
+def test_citation_entity_sets(spark):
+    """Citation context: key = coalesce(db,'')+':'+id; unqualified edges
+    (no citation) contribute nothing; both endpoints; distinct."""
+    from pybel_spark.corpus import documents_from_driver_table
+    from pybel_spark.pipeline import build_graph
+
+    docs = documents_from_driver_table(spark, '/root/testdata/sf0.001')
+    result = build_graph(docs)
+    ents = cooccurrence.citation_entity_sets(result.parsed)
+    rows = ents.collect()
+    assert rows and all(':' in r['doc'] for r in rows)
+    assert len(rows) == ents.distinct().count()
+    # cross-check one citation's entity set against a direct edge scan
+    some = rows[0]['doc']
+    edges = (result.parsed.select(F.explode('edges').alias('e'))
+             .where(F.col('e.citation_id').isNotNull())
+             .select(F.concat(F.coalesce('e.citation_db', F.lit('')),
+                              F.lit(':'), 'e.citation_id').alias('c'),
+                     'e.source_bel', 'e.target_bel')
+             .where(F.col('c') == some))
+    direct = set()
+    for r in edges.collect():
+        direct.add(r['source_bel'])
+        direct.add(r['target_bel'])
+    got = {r['entity'] for r in rows if r['doc'] == some}
+    assert got == direct
