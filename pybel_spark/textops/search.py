@@ -148,6 +148,35 @@ def _score_postings(postings: DataFrame, queries: DataFrame, k: int,
     return _rank_topk(scored, k)
 
 
+def tfidf_keywords(docs: DataFrame, k: int = 5, doc_col: str = 'doc_id',
+                   text_col: str = 'text') -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf
+    (idf = ln(N/df)) — the keyword/topic-tagging primitive of a corpus
+    pipeline. Returns (doc_id, rank, term, tfidf_r), scores rounded before
+    ranking (engine-stable near-ties), ties broken by term.
+
+    Scale: postings build (one exchange) + a df rollup joined back on the
+    term key (AQE-broadcast when small), then a per-document window —
+    partitioned by doc, no global sort."""
+    postings = build_postings(docs, doc_col, text_col)
+    df_tbl = postings.groupBy('term').agg(F.count(F.lit(1)).alias('df'))
+    stats = _corpus_stats(postings)
+    scored = (
+        postings.join(df_tbl, on='term')
+        .crossJoin(F.broadcast(stats))
+        .select('doc', 'term',
+                F.round(F.col('tf') * F.log(F.col('n_docs') / F.col('df')),
+                        6).alias('tfidf_r'))
+    )
+    w = Window.partitionBy('doc').orderBy(
+        F.col('tfidf_r').desc(), F.col('term'))
+    return (
+        scored.withColumn('rank', F.row_number().over(w))
+        .where(F.col('rank') <= k)
+        .select(F.col('doc').alias('doc_id'), 'rank', 'term', 'tfidf_r')
+    )
+
+
 def bm25_index_write(docs: DataFrame, path: str,
                      n_buckets: int = N_INDEX_BUCKETS,
                      doc_col: str = 'doc_id', text_col: str = 'text') -> None:

@@ -118,3 +118,32 @@ def test_topk_truncates_and_ranks_contiguously(docs, spark):
                               'query_id string, query_text string')
     out = search.bm25_topk(docs, q, k=2).collect()
     assert [r['rank'] for r in sorted(out, key=lambda r: r['rank'])] == [1, 2]
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    import math as _m
+    rows = [
+        (0, 'apple apple banana'),
+        (1, 'banana cherry'),
+        (2, 'cherry cherry cherry durian'),
+    ]
+    d = spark.createDataFrame(rows, 'doc_id bigint, text string')
+    out = {(r['doc_id'], r['rank']): (r['term'], r['tfidf_r'])
+           for r in search.tfidf_keywords(d, k=2).collect()}
+    # doc 0: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert out[(0, 1)][0] == 'apple'
+    assert out[(0, 1)][1] == pytest.approx(round(2 * _m.log(3.0), 6))
+    assert out[(0, 2)][0] == 'banana'
+    # doc 2: cherry tf=3 df=2 -> 3*ln(1.5); durian tf=1 df=1 -> ln(3)
+    assert out[(2, 1)][0] == 'cherry'
+    assert out[(2, 2)][0] == 'durian'
+
+
+def test_tfidf_rank_contiguous_and_capped(docs):
+    out = search.tfidf_keywords(docs, k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r['doc_id'], []).append(r['rank'])
+    for doc, ranks in by_doc.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
