@@ -15,5 +15,5 @@ DataFrame algebra so they survive a 100 TB input:
 """
 from . import (  # noqa: F401
     decontaminate, dedup, dsir, multimodal, packing, quality, search,
-    semdedup, similarity, tokenize,
+    semdedup, similarity, snapshots, tokenize,
 )
