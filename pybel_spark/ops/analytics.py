@@ -685,6 +685,78 @@ def strongly_connected_components(graph: KG, max_rounds: int = 30,
     return assigned
 
 
+def _reachable_fixpoint(seeds: DataFrame, edges: DataFrame, forward: bool,
+                        max_rounds: int) -> DataFrame:
+    """All nodes reachable from ``seeds`` (seeds included) following edges
+    forward or backward — frontier-free set-growth fixpoint: each round one
+    equi-join + union-distinct, localCheckpoint-flat."""
+    src, dst = ('source_id', 'target_id') if forward \
+        else ('target_id', 'source_id')
+    reached = seeds.select('node_id').distinct().localCheckpoint(eager=True)
+    n = reached.count()
+    for _ in range(max_rounds):
+        grown = (
+            reached.unionByName(
+                edges.join(reached.withColumnRenamed('node_id', src),
+                           on=src)
+                .select(F.col(dst).alias('node_id')))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        m = grown.count()
+        reached = grown
+        if m == n:
+            return reached
+        n = m
+    raise RuntimeError(
+        'reachability fixpoint did not converge within max_rounds=%d'
+        % max_rounds)
+
+
+def bowtie_decomposition(graph: KG, max_rounds: int = 64) -> DataFrame:
+    """(node_id, component) with component ∈ CORE | IN | OUT | OTHER —
+    the Broder et al. (2000) bowtie structure of the web graph, the
+    canonical Common-Crawl macro-structure report.
+
+    CORE is the largest SCC (ties broken on min scc_id); IN reaches the
+    core without belonging to it; OUT is reached from the core; OTHER
+    collects tendrils/tubes/disconnected mass. Built from
+    :func:`strongly_connected_components` plus two reachability fixpoints
+    seeded at the core — each round one equi-join + union-distinct keyed
+    by node. The core choice is a 1-row broadcast semi-join, not a driver
+    collect."""
+    scc = strongly_connected_components(graph).persist()
+    sizes = scc.groupBy('scc_id').agg(F.count(F.lit(1)).alias('n'))
+    core_id = sizes.orderBy(F.col('n').desc(), 'scc_id') \
+        .limit(1).select('scc_id')
+    core = scc.join(F.broadcast(core_id), on='scc_id', how='leftsemi') \
+        .select('node_id').localCheckpoint(eager=True)
+    edges = graph.edges.select('source_id', 'target_id').distinct() \
+        .persist()
+    fwd = _reachable_fixpoint(core, edges, forward=True,
+                              max_rounds=max_rounds)
+    bwd = _reachable_fixpoint(core, edges, forward=False,
+                              max_rounds=max_rounds)
+    out = (
+        graph.nodes.select('node_id').distinct()
+        .join(core.select('node_id', F.lit(True).alias('_core')),
+              on='node_id', how='left')
+        .join(fwd.select('node_id', F.lit(True).alias('_fwd')),
+              on='node_id', how='left')
+        .join(bwd.select('node_id', F.lit(True).alias('_bwd')),
+              on='node_id', how='left')
+        .select(
+            'node_id',
+            F.when(F.col('_core'), 'CORE')
+            .when(F.col('_bwd'), 'IN')
+            .when(F.col('_fwd'), 'OUT')
+            .otherwise('OTHER').alias('component'))
+    )
+    scc.unpersist()
+    edges.unpersist()
+    return out
+
+
 def label_propagation_communities(graph: KG,
                                   n_iterations: int = 5) -> DataFrame:
     """(node_id, community) via SYNCHRONOUS label propagation, fixed

@@ -468,3 +468,30 @@ def test_pagerank_weighted_uniform_weights_match_unweighted(kg):
          for r in analytics.pagerank(kg, n_iterations=5).collect()}
     assert set(a) == set(b)
     assert all(abs(a[v] - b[v]) < 1e-12 for v in a)
+
+
+def test_bowtie_classic_shape(spark):
+    # in1 -> core cycle (c1,c2,c3) -> out1; t is disconnected;
+    # in2 -> in1 (deep IN); out2 reached via out1 (deep OUT)
+    edges = [('in2', 'in1'), ('in1', 'c1'),
+             ('c1', 'c2'), ('c2', 'c3'), ('c3', 'c1'),
+             ('c3', 'out1'), ('out1', 'out2')]
+    nodes = sorted({u for e in edges for u in e} | {'t'})
+    g = KG(spark.createDataFrame([(n,) for n in nodes], 'node_id string'),
+           spark.createDataFrame(edges,
+                                 'source_id string, target_id string'))
+    got = {r['node_id']: r['component']
+           for r in analytics.bowtie_decomposition(g).collect()}
+    assert got == {'c1': 'CORE', 'c2': 'CORE', 'c3': 'CORE',
+                   'in1': 'IN', 'in2': 'IN',
+                   'out1': 'OUT', 'out2': 'OUT',
+                   't': 'OTHER'}
+
+
+def test_bowtie_partition_is_total(kg):
+    out = analytics.bowtie_decomposition(kg)
+    n_nodes = kg.nodes.select('node_id').distinct().count()
+    assert out.count() == n_nodes
+    comps = {r['component'] for r in
+             out.select('component').distinct().collect()}
+    assert comps <= {'CORE', 'IN', 'OUT', 'OTHER'}
