@@ -47,6 +47,49 @@ def triples_to_edgelist(triples: DataFrame) -> DataFrame:
     )
 
 
+def _nt_escape(col):
+    """N-Triples string-literal escaping: backslash first, then quote —
+    order is load-bearing and mirrored by the DuckDB oracle."""
+    return F.regexp_replace(
+        F.regexp_replace(col, r'\\', r'\\\\'), '"', r'\\"')
+
+
+def triples_to_ntriples(triples: DataFrame) -> DataFrame:
+    """(subject, predicate, object) → RDF N-Triples lines.
+
+    BEL terms are not IRIs, so each distinct term becomes a blank node
+    ``_:b<md5(term)>`` carrying its text as a label triple
+    ``_:b... <urn:bel:label> "term" .`` and each BEL triple becomes
+    ``_:bS <urn:bel:relation/pred> _:bO .`` — a lossless, line-oriented
+    RDF projection any triple store bulk-loads. Relation keywords are
+    IRI-safe by construction (BEL spec idents).
+
+    Scale: label lines derive from the DISTINCT term set (one exchange);
+    relation lines are a pure map over the triples — no joins.
+    """
+    t = triples.select('subject', 'predicate', 'object').distinct()
+    terms = (
+        t.select(F.col('subject').alias('term'))
+        .unionByName(t.select(F.col('object').alias('term')))
+        .distinct()
+    )
+    label_lines = terms.select(
+        F.concat(F.lit('_:b'), F.md5('term'),
+                 F.lit(' <urn:bel:label> "'), _nt_escape(F.col('term')),
+                 F.lit('" .')).alias('value'))
+    rel_lines = t.select(
+        F.concat(F.lit('_:b'), F.md5('subject'),
+                 F.lit(' <urn:bel:relation/'), F.col('predicate'),
+                 F.lit('> _:b'), F.md5('object'), F.lit(' .'))
+        .alias('value'))
+    return label_lines.unionByName(rel_lines)
+
+
+def to_ntriples(triples: DataFrame, path: str) -> None:
+    """Write the N-Triples projection as distributed text part-files."""
+    triples_to_ntriples(triples).write.mode('overwrite').text(path)
+
+
 def _statement_column(edges: DataFrame, sep=' ') -> DataFrame:
     """Add a 'statement' column rendering each edge back to BEL."""
     import pandas as pd

@@ -417,3 +417,35 @@ def test_to_html_inline_visualization(spark, result):
     import pytest as _pytest
     with _pytest.raises(ValueError, match='max_nodes'):
         io_jupyter.to_html(result.nodes, result.edges, max_nodes=2)
+
+
+class TestNTriples:
+    def test_lines_shape_and_escaping(self, spark):
+        from pybel_spark.io_formats import triples_to_ntriples
+        t = spark.createDataFrame(
+            [('p(HGNC:"A B")', 'increases', r'p(HGNC:C\D)')],
+            'subject string, predicate string, object string')
+        lines = sorted(r['value']
+                       for r in triples_to_ntriples(t).collect())
+        assert len(lines) == 3  # 2 labels + 1 relation
+        labels = [ln for ln in lines if '<urn:bel:label>' in ln]
+        rels = [ln for ln in lines if '<urn:bel:relation/' in ln]
+        assert len(labels) == 2 and len(rels) == 1
+        # quote escaped in the literal, backslash doubled
+        assert any(r'\"A B\"' in ln for ln in labels)
+        assert any(r'C\\D' in ln for ln in labels)
+        assert all(ln.endswith(' .') for ln in lines)
+        # relation line references both blank nodes
+        import hashlib
+        smd5 = hashlib.md5('p(HGNC:"A B")'.encode()).hexdigest()
+        assert rels[0].startswith('_:b' + smd5 + ' ')
+
+    def test_write_roundtrip_line_count(self, spark, tmp_path):
+        from pybel_spark.io_formats import to_ntriples, triples_to_ntriples
+        t = spark.createDataFrame(
+            [('a', 'increases', 'b'), ('b', 'decreases', 'c')],
+            'subject string, predicate string, object string')
+        out = str(tmp_path / 'nt')
+        to_ntriples(t, out)
+        back = spark.read.text(out)
+        assert back.count() == triples_to_ntriples(t).count() == 5
