@@ -464,6 +464,11 @@ def hits(graph: KG, n_iterations: int = 10) -> DataFrame:
             .agg(F.sum('hub').alias('a'))
         )
         asum = a0.agg(F.sum('a').alias('s'))
+        # the eager checkpoint is load-bearing: a0 feeds BOTH the
+        # normalizer aggregate and the auth join, and auths feeds both the
+        # hub update and the final output — without materializing here the
+        # a0 exchange re-executes per consumer (A/B on the 4M-edge bench
+        # graph, warm: eager 12.9-14.5 s vs lazy 21-24 s at 3 iterations)
         auths = (
             nodes.join(a0, on='node_id', how='left')
             .crossJoin(F.broadcast(asum))
@@ -683,6 +688,46 @@ def strongly_connected_components(graph: KG, max_rounds: int = 30,
         return graph.nodes.select('node_id').where(F.lit(False)) \
             .select('node_id', F.col('node_id').alias('scc_id'))
     return assigned
+
+
+def degree_assortativity(graph: KG) -> DataFrame:
+    """1-row (assortativity,) — Pearson correlation of endpoint degrees
+    over the undirected distinct-pair graph (nx.degree_assortativity_
+    coefficient semantics: every undirected edge contributes both
+    orientations). Negative on web/biology graphs (hubs attach to leaves).
+
+    r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))
+
+    Scale: one distinct-pair exchange + one degree aggregate, two
+    equi-joins to attach endpoint degrees, then a single global aggregate
+    of five sums — no window, no collect. NULL assortativity on a graph
+    where every degree is equal (zero variance), matching the undefined
+    0/0 case.
+    """
+    pairs = undirected_pairs(graph.edges)
+    deg = _pair_degrees(pairs)
+    both = pairs.unionByName(
+        pairs.select(F.col('b').alias('a'), F.col('a').alias('b')))
+    xy = (
+        both
+        .join(deg.select(F.col('node_id').alias('a'),
+                         F.col('degree').alias('x')), on='a')
+        .join(deg.select(F.col('node_id').alias('b'),
+                         F.col('degree').alias('y')), on='b')
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).cast('double').alias('n'),
+        F.sum(F.col('x') * F.col('y')).cast('double').alias('sxy'),
+        F.sum('x').cast('double').alias('sx'),
+        F.sum('y').cast('double').alias('sy'),
+        F.sum(F.col('x') * F.col('x')).cast('double').alias('sxx'),
+        F.sum(F.col('y') * F.col('y')).cast('double').alias('syy'),
+    )
+    num = F.col('n') * F.col('sxy') - F.col('sx') * F.col('sy')
+    den = F.sqrt((F.col('n') * F.col('sxx') - F.col('sx') * F.col('sx'))
+                 * (F.col('n') * F.col('syy') - F.col('sy') * F.col('sy')))
+    return sums.select(
+        F.when(den != 0, num / den).alias('assortativity'))
 
 
 def _reachable_fixpoint(seeds: DataFrame, edges: DataFrame, forward: bool,

@@ -495,3 +495,32 @@ def test_bowtie_partition_is_total(kg):
     comps = {r['component'] for r in
              out.select('component').distinct().collect()}
     assert comps <= {'CORE', 'IN', 'OUT', 'OTHER'}
+
+
+def test_assortativity_parity_networkx(kg):
+    import networkx as nx
+    got = analytics.degree_assortativity(kg).collect()[0]['assortativity']
+    nxg = _nx_undirected(kg)
+    # nx computes over the same undirected simple graph, both orientations
+    expected = nx.degree_assortativity_coefficient(nxg)
+    assert got == pytest.approx(expected, abs=1e-9)
+
+
+def test_assortativity_star_is_minus_one(spark):
+    edges = [('h', 'a'), ('h', 'b'), ('h', 'c'), ('h', 'd')]
+    nodes = sorted({u for e in edges for u in e})
+    g = KG(spark.createDataFrame([(n,) for n in nodes], 'node_id string'),
+           spark.createDataFrame(edges,
+                                 'source_id string, target_id string'))
+    got = analytics.degree_assortativity(g).collect()[0]['assortativity']
+    assert got == pytest.approx(-1.0)
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    # 4-cycle: every degree 2, zero variance -> undefined (NULL)
+    edges = [('a', 'b'), ('b', 'c'), ('c', 'd'), ('d', 'a')]
+    g = KG(spark.createDataFrame([(n,) for n in 'abcd'], 'node_id string'),
+           spark.createDataFrame(edges,
+                                 'source_id string, target_id string'))
+    got = analytics.degree_assortativity(g).collect()[0]['assortativity']
+    assert got is None
