@@ -98,6 +98,12 @@ def entity_cooccurrence_ppmi(doc_entities: DataFrame,
         per_doc = ents.groupBy('doc').agg(F.count(F.lit(1)).alias('_n'))
         keep = per_doc.where(F.col('_n') <= max_per_doc).select('doc')
         ents = ents.join(keep, 'doc')
+    # materialize: five consumers (df, N, both self-join sides, via the
+    # cap also per_doc) hang off this table and Spark does not reuse the
+    # distinct exchange across them (0 ReusedExchange measured; the
+    # upstream parse subtree was embedded 5x in the physical plan) —
+    # one eager localCheckpoint collapses that to a single computation
+    ents = ents.localCheckpoint(eager=True)
 
     df = ents.groupBy('entity').agg(F.count(F.lit(1)).alias('df'))
     n_docs = ents.select(
