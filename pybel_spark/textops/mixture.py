@@ -199,3 +199,33 @@ def token_budget_select_approx(docs: DataFrame, budget_per_source: int,
                      < F.col('boundary_thr'))))
         .select('doc_id', 'source', 'n_tokens', 'quality_score')
     )
+
+
+def assign_splits(docs: DataFrame, fractions=None, id_col='doc_id',
+                  seed='split') -> DataFrame:
+    """Deterministic train/val/test split assignment.
+
+    ``fractions`` is an ordered mapping split-name → fraction (must sum to
+    ~1; the LAST split absorbs rounding). A document's split depends only
+    on (seed, doc_id) via the md5-prefix hash, so the split is stable
+    across reruns, engines, and incremental batches — and independent of
+    the seed-0 hash used by stratified_sample / cap_per_domain (the
+    composed-filter correlation lesson from the r5 ADVICE).
+
+    Plan shape: one map-side CASE fused into the scan; NO shuffle.
+    """
+    if fractions is None:
+        fractions = {'train': 0.98, 'val': 0.01, 'test': 0.01}
+    names = list(fractions)
+    h = sampling_hash(id_col, seed)
+    cum = 0.0
+    expr = F.lit(names[-1])  # last split absorbs the tail
+    # build the CASE from the last boundary backwards so earlier
+    # thresholds take precedence
+    bounds = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        bounds.append((name, fraction_to_hex_threshold(cum)))
+    for name, thr in reversed(bounds):
+        expr = F.when(h < F.lit(thr), F.lit(name)).otherwise(expr)
+    return docs.withColumn('split', expr)

@@ -167,3 +167,46 @@ def test_dsir_weight_join_is_broadcast_not_sortmerge(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert 'SortMergeJoin' not in plan
     assert 'BroadcastHashJoin' in plan
+
+
+class TestAssignSplits:
+    def test_partition_is_total_and_disjoint(self, spark):
+        from pybel_spark.textops.mixture import assign_splits
+        docs = spark.range(2000).select(
+            F.col('id').alias('doc_id'), F.lit('s').alias('source'))
+        out = assign_splits(docs, {'train': 0.8, 'val': 0.1, 'test': 0.1})
+        counts = {r['split']: r['n'] for r in out.groupBy('split')
+                  .agg(F.count(F.lit(1)).alias('n')).collect()}
+        assert sum(counts.values()) == 2000
+        # approximate fractions (binomial noise ~ sqrt(n))
+        assert abs(counts['train'] - 1600) < 120
+        assert abs(counts.get('val', 0) - 200) < 70
+        assert abs(counts.get('test', 0) - 200) < 70
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        from pybel_spark.textops.mixture import assign_splits
+        docs = spark.range(300).select(F.col('id').alias('doc_id'))
+        a = dict((r['doc_id'], r['split'])
+                 for r in assign_splits(docs).collect())
+        b = dict((r['doc_id'], r['split'])
+                 for r in assign_splits(docs).collect())
+        c = dict((r['doc_id'], r['split'])
+                 for r in assign_splits(docs, seed='other').collect())
+        assert a == b
+        assert a != c
+
+    def test_split_hash_independent_of_sampling_seed0(self, spark):
+        """Composing stratified_sample(seed=0) with assign_splits must not
+        correlate: survivors of a 50% sample still split ~80/10/10."""
+        from pybel_spark.textops.mixture import (assign_splits,
+                                                 stratified_sample)
+        docs = spark.range(4000).select(
+            F.col('id').alias('doc_id'), F.lit('s').alias('source'))
+        kept = stratified_sample(docs, {'s': 0.5})
+        n = kept.count()
+        counts = {r['split']: r['n'] for r in
+                  assign_splits(kept, {'train': 0.8, 'val': 0.1,
+                                       'test': 0.1})
+                  .groupBy('split').agg(F.count(F.lit(1)).alias('n'))
+                  .collect()}
+        assert abs(counts['train'] / n - 0.8) < 0.05
