@@ -690,6 +690,60 @@ def strongly_connected_components(graph: KG, max_rounds: int = 30,
     return assigned
 
 
+def k_truss(graph: KG, k: int = 4, max_rounds: int = 50) -> DataFrame:
+    """Canonical (a, b) edges of the k-truss: the maximal subgraph where
+    every edge participates in ≥ k-2 triangles — the community-core /
+    spam-cluster detector one level stronger than k-core.
+
+    Iterative peel: enumerate id-ordered triangles (a<b<c) over the
+    surviving canonical edge set, explode each into its three edges, count
+    per-edge support, drop light edges, repeat to fixpoint (guarded).
+    Each round: one self-join pair + one partial-aggregated count + one
+    semi-join, localCheckpoint-flat; the edge set only shrinks, so round
+    cost is monotone non-increasing and AQE re-plans the joins as the
+    truss tightens. (Unlike triangles(), the join is id- not
+    degree-ordered — per-edge support needs the concrete edge identities,
+    and the iterative shrink bounds the wedge blow-up in practice.)
+    """
+    pairs = undirected_pairs(graph.edges).localCheckpoint(eager=True)
+    n_edges = pairs.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        e1 = pairs.select(F.col('a').alias('a'), F.col('b').alias('x'))
+        e2 = pairs.select(F.col('a').alias('x'), F.col('b').alias('c'))
+        e3 = pairs.select(F.col('a').alias('a'), F.col('b').alias('c'))
+        tri = (
+            e1.join(e2, on='x')
+            .join(e3, on=['a', 'c'])
+            .select('a', F.col('x').alias('b'), 'c')
+        )
+        sup = (
+            tri.select(F.col('a').alias('x'), F.col('b').alias('y'))
+            .unionByName(tri.select(F.col('b').alias('x'),
+                                    F.col('c').alias('y')))
+            .unionByName(tri.select(F.col('a').alias('x'),
+                                    F.col('c').alias('y')))
+            .groupBy('x', 'y').agg(F.count(F.lit(1)).alias('support'))
+        )
+        kept = (
+            pairs.join(
+                sup.where(F.col('support') >= k - 2)
+                .select(F.col('x').alias('a'), F.col('y').alias('b')),
+                on=['a', 'b'], how='leftsemi')
+            .localCheckpoint(eager=True)
+        )
+        m = kept.count()
+        pairs = kept
+        if m == n_edges:
+            break
+        n_edges = m
+    else:
+        raise RuntimeError(
+            'k_truss did not converge within max_rounds=%d' % max_rounds)
+    return pairs
+
+
 def degree_assortativity(graph: KG) -> DataFrame:
     """1-row (assortativity,) — Pearson correlation of endpoint degrees
     over the undirected distinct-pair graph (nx.degree_assortativity_

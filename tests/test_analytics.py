@@ -524,3 +524,38 @@ def test_assortativity_regular_graph_is_null(spark):
                                  'source_id string, target_id string'))
     got = analytics.degree_assortativity(g).collect()[0]['assortativity']
     assert got is None
+
+
+def test_ktruss_parity_networkx(kg):
+    import networkx as nx
+    nxg = _nx_undirected(kg)
+    expected = {tuple(sorted(e)) for e in nx.k_truss(nxg, 4).edges()}
+    got = {(r['a'], r['b'])
+           for r in analytics.k_truss(kg, k=4).collect()}
+    assert got == expected
+
+
+def test_ktruss_k3_keeps_triangle_drops_tail(spark):
+    edges = [('a', 'b'), ('b', 'c'), ('a', 'c'), ('c', 'd')]
+    nodes = sorted({u for e in edges for u in e})
+    g = KG(spark.createDataFrame([(n,) for n in nodes], 'node_id string'),
+           spark.createDataFrame(edges,
+                                 'source_id string, target_id string'))
+    got = {(r['a'], r['b']) for r in analytics.k_truss(g, k=3).collect()}
+    assert got == {('a', 'b'), ('a', 'c'), ('b', 'c')}
+    # k=4 needs every edge in >=2 triangles: the lone triangle dies
+    assert analytics.k_truss(g, k=4).count() == 0
+
+
+def test_ktruss_cascading_peel(spark):
+    # two triangles sharing edge (b,c): removing nothing at k=3, but at
+    # k=4 the shared edge has support 2 while others have 1 -> everything
+    # unravels in CASCADING rounds (exercises the fixpoint loop)
+    edges = [('a', 'b'), ('b', 'c'), ('a', 'c'),
+             ('b', 'd'), ('c', 'd')]
+    nodes = sorted({u for e in edges for u in e})
+    g = KG(spark.createDataFrame([(n,) for n in nodes], 'node_id string'),
+           spark.createDataFrame(edges,
+                                 'source_id string, target_id string'))
+    assert analytics.k_truss(g, k=3).count() == 5
+    assert analytics.k_truss(g, k=4).count() == 0
