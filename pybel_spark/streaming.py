@@ -647,3 +647,56 @@ def start_domain_quality_stream(spark, input_dir: str, out_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_session_stream(spark, input_dir: str, out_dir: str,
+                         gap='30 minutes', watermark='2 hours',
+                         max_files_per_trigger=16,
+                         trigger_available_now=True):
+    """Streaming sessionization via the built-in ``session_window``:
+    per-user gap-merged sessions over the events stream, watermarked so a
+    session is emitted exactly once (append mode) when the watermark
+    passes its close. The streaming twin of events.session_stats: emitted
+    sessions equal the batch recompute (both merge on the exact-gap
+    boundary tie, pinned in tests).
+
+    State is bounded by (open sessions per user) x (users inside the
+    watermark horizon) — the built-in operator merges/evicts windows, no
+    custom state needed. Boundary ties (an event exactly gap after the
+    previous) merge in both paths — pinned in tests.
+    """
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType, TimestampType)
+    schema = StructType([
+        StructField('event_id', LongType()),
+        StructField('ts', TimestampType()),
+        StructField('user_id', LongType()),
+        StructField('event_type', StringType()),
+        StructField('value', DoubleType()),
+        StructField('props', StringType()),
+    ])
+    ev = (
+        spark.readStream.schema(schema)
+        .option('maxFilesPerTrigger', str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+    sess = (
+        ev.withWatermark('ts', watermark)
+        .groupBy(F.session_window('ts', gap), 'user_id')
+        .agg(F.count(F.lit(1)).alias('n_events'),
+             F.min('ts').alias('start_ts'),
+             F.max('ts').alias('end_ts'),
+             F.sum('value').alias('value_sum'))
+        .select('user_id', 'n_events', 'start_ts', 'end_ts', 'value_sum')
+    )
+    writer = (
+        sess.writeStream
+        .format('parquet')
+        .option('path', os.path.join(out_dir, 'sessions'))
+        .option('checkpointLocation',
+                os.path.join(out_dir, 'sessions_checkpoint'))
+        .outputMode('append')
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -559,3 +559,73 @@ def test_kg_index_stream_matches_batch_recompute(spark, dirs, tmp_path):
     m = PI.parse_index_update(all_docs, index_path)
     assert m['novel_keys'] == 0
     docs.unpersist()
+
+
+def test_session_stream_equals_batch(spark, tmp_path):
+    """Streamed session windows equal the batch gap-sessionization on
+    tie-free event times (availableNow, append after watermark close)."""
+    import shutil
+
+    from pybel_spark.events import session_stats
+    from pybel_spark.streaming import start_session_stream
+
+    in_dir = str(tmp_path / 'ev_in')
+    out_dir = str(tmp_path / 'ev_out')
+    os.makedirs(in_dir)
+    # real events slice: no exact-gap ties (microsecond jitter)
+    ev = spark.read.parquet('/root/testdata/sf0.001/events.parquet')
+    ev.coalesce(1).write.parquet(os.path.join(in_dir, 'w1'))
+
+    q = start_session_stream(spark, in_dir + '/*', out_dir,
+                             gap='30 minutes', watermark='1 minute',
+                             max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    got = {(r['user_id'], r['start_ts'], r['end_ts'],
+            r['n_events'], round(r['value_sum'], 6))
+           for r in spark.read.parquet(
+               os.path.join(out_dir, 'sessions')).collect()}
+    exp = {(r['user_id'], r['start_ts'], r['end_ts'],
+            r['n_events'], r['value_sum_r'])
+           for r in session_stats(ev, gap_minutes=30).collect()}
+    # the stream may hold back sessions not yet closed by the watermark:
+    # everything emitted must be exactly a batch session, and the bulk of
+    # the batch sessions must have been emitted
+    assert got <= exp
+    assert len(got) >= 0.9 * len(exp)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_session_window_tie_semantics(spark, tmp_path):
+    """An event EXACTLY gap after the previous one merges in BOTH the
+    batch op (splits only on gap > threshold) and session_window —
+    the two sessionizations agree even on boundary ties."""
+    import datetime as dt
+
+    from pybel_spark.events import sessionize
+    from pybel_spark.streaming import start_session_stream
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    # user 99's sentinel 3h later pushes the watermark past both of user
+    # 7's session ends so append mode flushes them
+    rows = [(0, t0, 7, 'click', 1.0, None),
+            (1, t0 + dt.timedelta(minutes=30), 7, 'click', 2.0, None),
+            (2, t0 + dt.timedelta(hours=3), 99, 'click', 0.0, None)]
+    df = spark.createDataFrame(
+        rows, 'event_id bigint, ts timestamp, user_id bigint,'
+              ' event_type string, value double, props string')
+    # batch: exactly-30-min gap does NOT split
+    b = sessionize(df, gap_minutes=30)
+    assert {r['session_idx'] for r in b.collect()} == {0}
+
+    in_dir = str(tmp_path / 'tie_in')
+    out_dir = str(tmp_path / 'tie_out')
+    os.makedirs(in_dir)
+    df.coalesce(1).write.parquet(os.path.join(in_dir, 'w'))
+    q = start_session_stream(spark, in_dir + '/*', out_dir,
+                             gap='30 minutes', watermark='0 seconds')
+    q.awaitTermination(120)
+    got = [r for r in spark.read.parquet(
+        os.path.join(out_dir, 'sessions')).collect() if r['user_id'] == 7]
+    # session_window merges the boundary tie exactly like the batch op
+    assert sorted(r['n_events'] for r in got) == [2]
