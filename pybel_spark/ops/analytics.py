@@ -941,6 +941,37 @@ def harmonic_centrality(graph: KG, max_hops: int = 20) -> DataFrame:
                     F.coalesce('harmonic', F.lit(0.0)).alias('harmonic')))
 
 
+def closeness_centrality(graph: KG, max_hops: int = 20) -> DataFrame:
+    """(node_id, closeness) — EXACT Wasserman-Faust closeness
+    C(v) = (r/(n-1)) * (r/S) where r nodes reach v with total incoming
+    distance S (nx.closeness_centrality(wf_improved=True) semantics,
+    incoming distances on directed graphs). Nodes nothing reaches get 0.
+
+    Same brute-force all-sources BFS baseline as
+    :func:`harmonic_centrality` — quadratic (origin, node) state, the
+    documented small-graph exact path (HyperBall is the web-scale one).
+    """
+    from .paths import bfs_distances
+
+    nodes = graph.nodes.select('node_id')
+    n = nodes.count()
+    if n <= 1:
+        return nodes.select('node_id', F.lit(0.0).alias('closeness'))
+    d = bfs_distances(graph, nodes, max_hops=max_hops)
+    got = (
+        d.where(F.col('distance') > 0)
+        .groupBy('node_id')
+        .agg(F.count(F.lit(1)).cast('double').alias('r'),
+             F.sum('distance').cast('double').alias('s'))
+        .select('node_id',
+                ((F.col('r') / F.lit(float(n - 1)))
+                 * (F.col('r') / F.col('s'))).alias('closeness'))
+    )
+    return (nodes.join(got, on='node_id', how='left')
+            .select('node_id',
+                    F.coalesce('closeness', F.lit(0.0)).alias('closeness')))
+
+
 def _msb_pos(col):
     """floor(log2(col)) for col > 0 via an unrolled binary search —
     integer-exact (no float log on 58-bit values)."""

@@ -100,3 +100,24 @@ def test_hyperball_isolated_and_chain(spark):
     assert est['a'] == 0.0
     assert est['c'] == pytest.approx(1.5, rel=0.15)
     assert est['b'] == pytest.approx(1.0, rel=0.15)
+
+
+def test_closeness_parity_networkx(spark):
+    import networkx as nx
+
+    from pybel_spark.ops import KG, analytics
+    edges = [('a', 'b'), ('b', 'c'), ('c', 'a'), ('c', 'd'),
+             ('d', 'e'), ('x', 'a')]
+    nodes = sorted({u for e in edges for u in e} | {'iso'})
+    g = KG(spark.createDataFrame([(n,) for n in nodes], 'node_id string'),
+           spark.createDataFrame(edges,
+                                 'source_id string, target_id string'))
+    nxg = nx.DiGraph(edges)
+    nxg.add_nodes_from(nodes)
+    expected = nx.closeness_centrality(nxg)  # wf_improved=True default
+    got = {r['node_id']: r['closeness']
+           for r in analytics.closeness_centrality(g).collect()}
+    assert set(got) == set(expected)
+    for v in expected:
+        assert got[v] == pytest.approx(expected[v], abs=1e-12)
+    assert got['iso'] == 0.0
