@@ -59,3 +59,39 @@ def test_latest_consistent_with_stats(spark):
     stats = snapshots.snapshot_stats(pages)
     j = latest.join(stats, on='url')
     assert j.where(F.col('warc_ts') != F.col('last_ts')).count() == 0
+
+
+def test_paragraph_deltas(spark):
+    from datetime import datetime
+    rows = [
+        ('u', datetime(2024, 1, 1), 'alpha\n\nbeta'),
+        ('u', datetime(2024, 1, 2), 'alpha\n\ngamma\n\ndelta'),
+        ('u', datetime(2024, 1, 3), 'alpha\n\ngamma\n\ndelta'),
+        ('w', datetime(2024, 1, 1), 'only'),
+    ]
+    pages = spark.createDataFrame(
+        rows, 'url string, warc_ts timestamp, text string')
+    out = {(r['url'], r['version']): (r['n_added'], r['n_removed'],
+                                      r['n_kept'])
+           for r in snapshots.paragraph_deltas(pages).collect()}
+    # v1: beta removed; gamma+delta added; alpha kept
+    assert out[('u', 1)] == (2, 1, 1)
+    # v2 identical to v1: all kept
+    assert out[('u', 2)] == (0, 0, 3)
+    # single-version url emits no delta rows
+    assert ('w', 0) not in out and ('w', 1) not in out
+    assert set(out) == {('u', 1), ('u', 2)}
+
+
+def test_paragraph_deltas_set_semantics(spark):
+    from datetime import datetime
+    # duplicate paragraphs within one version count once (set diff)
+    rows = [
+        ('u', datetime(2024, 1, 1), 'x\n\nx\n\ny'),
+        ('u', datetime(2024, 1, 2), 'x\n\nz'),
+    ]
+    pages = spark.createDataFrame(
+        rows, 'url string, warc_ts timestamp, text string')
+    out = {r['version']: (r['n_added'], r['n_removed'], r['n_kept'])
+           for r in snapshots.paragraph_deltas(pages).collect()}
+    assert out[1] == (1, 1, 1)
