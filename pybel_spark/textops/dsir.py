@@ -82,7 +82,18 @@ def dsir_log_weights(docs: DataFrame, target: DataFrame,
     map-side-combined groupBy(doc_id).
     """
     spark = docs.sparkSession
-    raw_dist = bucket_distribution(docs, id_col, text_col, n_buckets)
+    # ONE pass over the corpus gram stream: per-(doc, bucket) counts are
+    # materialized once and feed BOTH the raw distribution (a tiny rollup)
+    # and the scoring join — previously the stream (split + bigram build +
+    # one md5 per gram occurrence) ran twice over the full corpus
+    per_doc = (
+        _gram_stream(docs, id_col, text_col)
+        .select('doc_id',
+                gram_bucket(F.col('gram'), n_buckets).alias('bucket'))
+        .groupBy('doc_id', 'bucket').agg(F.count('*').alias('n'))
+        .localCheckpoint(eager=True)
+    )
+    raw_dist = per_doc.groupBy('bucket').agg(F.sum('n').alias('cnt'))
     tgt_dist = bucket_distribution(target, id_col, text_col, n_buckets)
     spine = spark.range(n_buckets).select(F.col('id').alias('bucket'))
     w = (
@@ -101,10 +112,9 @@ def dsir_log_weights(docs: DataFrame, target: DataFrame,
                      / (F.col('r_tot') + n_buckets).cast('double')))
             .alias('w'))
     )
-    grams = _gram_stream(docs, id_col, text_col).select(
-        'doc_id', gram_bucket(F.col('gram'), n_buckets).alias('bucket'))
-    return (grams.join(F.broadcast(w), 'bucket')
-            .groupBy('doc_id').agg(F.sum('w').alias('log_weight')))
+    return (per_doc.join(F.broadcast(w), 'bucket')
+            .groupBy('doc_id')
+            .agg(F.sum(F.col('n') * F.col('w')).alias('log_weight')))
 
 
 def gumbel_noise(id_col: Column, seed: int = 0) -> Column:
