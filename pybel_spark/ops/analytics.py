@@ -690,6 +690,113 @@ def strongly_connected_components(graph: KG, max_rounds: int = 30,
     return assigned
 
 
+def betweenness_centrality(graph: KG, max_hops: int = 12) -> DataFrame:
+    """(node_id, betweenness) — EXACT Brandes betweenness on the directed
+    graph (nx.betweenness_centrality(DiGraph, normalized=False,
+    endpoints=False) semantics): for every source s, shortest-path counts
+    σ flow forward through the BFS DAG and dependencies δ accumulate
+    backward; betweenness(v) = Σ_{s≠v} δ_s(v).
+
+    All sources run SIMULTANEOUSLY as an (origin, node) keyed state —
+    quadratic like :func:`harmonic_centrality`, the documented small-graph
+    exact baseline (sample sources for an approximation at scale: pass a
+    subset as graph.nodes). Every step is an equi-join + partial-agg
+    keyed by (origin, node); σ counts stay exact int64; the forward and
+    backward sweeps each run ``max_hops`` bounded layers.
+    """
+    from .paths import bfs_distances
+
+    nodes = graph.nodes.select('node_id')
+    edges = graph.edges.select('source_id', 'target_id').distinct() \
+        .persist()
+    d = bfs_distances(graph, nodes, max_hops=max_hops).persist()
+    # shortest-path DAG per origin: u→v iff d(o,v) = d(o,u) + 1
+    du = d.select('origin', F.col('node_id').alias('u'),
+                  F.col('distance').alias('du'))
+    dv = d.select('origin', F.col('node_id').alias('v'),
+                  F.col('distance').alias('dv'))
+    dag = (
+        edges.select(F.col('source_id').alias('u'),
+                     F.col('target_id').alias('v'))
+        .join(du, on='u')
+        .join(dv, on=['origin', 'v'])
+        .where(F.col('dv') == F.col('du') + 1)
+        .select('origin', 'u', 'v', 'du', 'dv')
+        .persist()
+    )
+    # forward sweep: σ by BFS layer (exact int64 path counts)
+    sig_layers = [
+        nodes.select(F.col('node_id').alias('origin'),
+                     F.col('node_id').alias('node'),
+                     F.lit(1).cast('long').alias('sigma'))
+        .localCheckpoint(eager=True)
+    ]
+    for t in range(1, max_hops + 1):
+        nxt = (
+            dag.where(F.col('du') == t - 1)
+            .join(sig_layers[-1].select(
+                'origin', F.col('node').alias('u'), 'sigma'),
+                on=['origin', 'u'])
+            .groupBy('origin', F.col('v').alias('node'))
+            .agg(F.sum('sigma').alias('sigma'))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        sig_layers.append(nxt)
+    sigma = sig_layers[0]
+    for lvl in sig_layers[1:]:
+        sigma = sigma.unionByName(lvl)
+    sigma = sigma.persist()
+    # backward sweep: δ(v) = Σ_{v→w in DAG} σ(v)/σ(w) · (1 + δ(w))
+    maxd = len(sig_layers) - 1
+    delta_next = None  # δ of layer t+1
+    acc = None         # all (origin, node, delta) rows with distance ≥ 1
+    for t in range(maxd - 1, -1, -1):
+        down = (
+            dag.where(F.col('du') == t)
+            .join(sigma.select('origin', F.col('node').alias('u'),
+                               F.col('sigma').alias('sig_u')),
+                  on=['origin', 'u'])
+            .join(sigma.select('origin', F.col('node').alias('v'),
+                               F.col('sigma').alias('sig_v')),
+                  on=['origin', 'v'])
+        )
+        if delta_next is not None:
+            down = down.join(
+                delta_next.select('origin', F.col('node').alias('v'),
+                                  F.col('delta').alias('delta_w')),
+                on=['origin', 'v'], how='left')
+        else:
+            down = down.withColumn('delta_w', F.lit(None).cast('double'))
+        cur = (
+            down.groupBy('origin', F.col('u').alias('node'))
+            .agg(F.sum(
+                (F.col('sig_u').cast('double')
+                 / F.col('sig_v').cast('double'))
+                * (F.lit(1.0) + F.coalesce('delta_w', F.lit(0.0))))
+                .alias('delta'))
+            .localCheckpoint(eager=True)
+        )
+        delta_next = cur
+        contrib = cur.where(F.col('origin') != F.col('node'))
+        acc = contrib if acc is None else acc.unionByName(contrib)
+    if acc is None:
+        out = nodes.select('node_id', F.lit(0.0).alias('betweenness'))
+    else:
+        got = acc.groupBy(F.col('node').alias('node_id')) \
+            .agg(F.sum('delta').alias('betweenness'))
+        out = (nodes.join(got, on='node_id', how='left')
+               .select('node_id',
+                       F.coalesce('betweenness', F.lit(0.0))
+                       .alias('betweenness')))
+    edges.unpersist()
+    d.unpersist()
+    dag.unpersist()
+    sigma.unpersist()
+    return out
+
+
 def k_truss(graph: KG, k: int = 4, max_rounds: int = 50) -> DataFrame:
     """Canonical (a, b) edges of the k-truss: the maximal subgraph where
     every edge participates in ≥ k-2 triangles — the community-core /

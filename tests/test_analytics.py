@@ -559,3 +559,36 @@ def test_ktruss_cascading_peel(spark):
                                  'source_id string, target_id string'))
     assert analytics.k_truss(g, k=3).count() == 5
     assert analytics.k_truss(g, k=4).count() == 0
+
+
+def test_betweenness_parity_networkx(spark):
+    import networkx as nx
+    edges = [('a', 'b'), ('b', 'c'), ('a', 'c'), ('c', 'd'), ('d', 'e'),
+             ('b', 'd'), ('e', 'a'), ('x', 'a')]
+    nodes = sorted({u for e in edges for u in e} | {'iso'})
+    g = KG(spark.createDataFrame([(n,) for n in nodes], 'node_id string'),
+           spark.createDataFrame(edges,
+                                 'source_id string, target_id string'))
+    got = {r['node_id']: r['betweenness']
+           for r in analytics.betweenness_centrality(g).collect()}
+    nxg = nx.DiGraph(edges)
+    nxg.add_nodes_from(nodes)
+    expected = nx.betweenness_centrality(nxg, normalized=False)
+    assert set(got) == set(expected)
+    for v in expected:
+        assert got[v] == pytest.approx(expected[v], abs=1e-9)
+
+
+def test_betweenness_parity_on_compiled_kg(kg):
+    import networkx as nx
+    nxg = nx.DiGraph()
+    nxg.add_nodes_from(r['node_id'] for r in kg.nodes.select('node_id').collect())
+    nxg.add_edges_from((r['source_id'], r['target_id'])
+                       for r in kg.edges.select('source_id', 'target_id')
+                       .distinct().collect())
+    expected = nx.betweenness_centrality(nxg, normalized=False)
+    got = {r['node_id']: r['betweenness']
+           for r in analytics.betweenness_centrality(kg, max_hops=20)
+           .collect()}
+    for v in expected:
+        assert got[v] == pytest.approx(expected[v], abs=1e-6)
