@@ -202,7 +202,7 @@ def token_budget_select_approx(docs: DataFrame, budget_per_source: int,
 
 
 def assign_splits(docs: DataFrame, fractions=None, id_col='doc_id',
-                  seed='split') -> DataFrame:
+                  seed='split', key_col=None) -> DataFrame:
     """Deterministic train/val/test split assignment.
 
     ``fractions`` is an ordered mapping split-name → fraction (must sum to
@@ -212,12 +212,15 @@ def assign_splits(docs: DataFrame, fractions=None, id_col='doc_id',
     the seed-0 hash used by stratified_sample / cap_per_domain (the
     composed-filter correlation lesson from the r5 ADVICE).
 
+    ``key_col`` hashes a different column than the id (e.g. a near-dup
+    cluster representative, see :func:`leakage_safe_splits`).
+
     Plan shape: one map-side CASE fused into the scan; NO shuffle.
     """
     if fractions is None:
         fractions = {'train': 0.98, 'val': 0.01, 'test': 0.01}
     names = list(fractions)
-    h = sampling_hash(id_col, seed)
+    h = sampling_hash(key_col or id_col, seed)
     cum = 0.0
     expr = F.lit(names[-1])  # last split absorbs the tail
     # build the CASE from the last boundary backwards so earlier
@@ -229,3 +232,31 @@ def assign_splits(docs: DataFrame, fractions=None, id_col='doc_id',
     for name, thr in reversed(bounds):
         expr = F.when(h < F.lit(thr), F.lit(name)).otherwise(expr)
     return docs.withColumn('split', expr)
+
+
+def leakage_safe_splits(docs: DataFrame, clusters: DataFrame,
+                        fractions=None, id_col='doc_id',
+                        seed='split') -> DataFrame:
+    """Train/val/test assignment with NO near-duplicate leakage across
+    splits: the split hash is taken over the near-dup CLUSTER
+    representative (``clusters`` = (doc_id, cluster_id), e.g.
+    dedup.near_duplicate_clusters output), so every member of a cluster
+    lands in the same split. Documents absent from ``clusters`` are their
+    own singleton representative.
+
+    Near-dup leakage is the classic eval-contamination failure: a test
+    document whose near-copy sits in train. Hashing the representative
+    closes it by construction.
+
+    Plan: one equi-join on the doc id (broadcast when the paired-doc set
+    is small relative to the corpus, AQE decides) + the same map-side
+    CASE as assign_splits.
+    """
+    reps = clusters.select(F.col('doc_id').alias(id_col),
+                           F.col('cluster_id').alias('_rep'))
+    joined = docs.join(reps, on=id_col, how='left').withColumn(
+        '_split_key',
+        F.coalesce(F.col('_rep'), F.col(id_col)).cast('string'))
+    return assign_splits(joined, fractions, id_col=id_col, seed=seed,
+                         key_col='_split_key') \
+        .drop('_rep', '_split_key')

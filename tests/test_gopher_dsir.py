@@ -210,3 +210,31 @@ class TestAssignSplits:
                   .groupBy('split').agg(F.count(F.lit(1)).alias('n'))
                   .collect()}
         assert abs(counts['train'] / n - 0.8) < 0.05
+
+
+class TestLeakageSafeSplits:
+    def test_clusters_never_span_splits(self, spark):
+        from pybel_spark.textops.mixture import leakage_safe_splits
+        docs = spark.range(500).select(F.col('id').alias('doc_id'))
+        # clusters: docs 0-9 -> rep 0; 100-104 -> rep 100
+        rows = [(i, 0) for i in range(10)] + [(i, 100) for i in
+                                              range(100, 105)]
+        clusters = spark.createDataFrame(
+            rows, 'doc_id bigint, cluster_id bigint')
+        out = leakage_safe_splits(docs, clusters,
+                                  {'train': 0.6, 'val': 0.2, 'test': 0.2})
+        by = {r['doc_id']: r['split'] for r in out.collect()}
+        assert len(by) == 500
+        assert len({by[i] for i in range(10)}) == 1
+        assert len({by[i] for i in range(100, 105)}) == 1
+
+    def test_singletons_match_assign_splits(self, spark):
+        from pybel_spark.textops.mixture import (assign_splits,
+                                                 leakage_safe_splits)
+        docs = spark.range(300).select(F.col('id').alias('doc_id'))
+        empty = spark.createDataFrame([], 'doc_id bigint, cluster_id bigint')
+        a = {r['doc_id']: r['split'] for r in
+             leakage_safe_splits(docs, empty).collect()}
+        b = {r['doc_id']: r['split'] for r in
+             assign_splits(docs).collect()}
+        assert a == b
