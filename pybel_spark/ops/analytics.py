@@ -690,7 +690,9 @@ def strongly_connected_components(graph: KG, max_rounds: int = 30,
     return assigned
 
 
-def betweenness_centrality(graph: KG, max_hops: int = 12) -> DataFrame:
+def betweenness_centrality(graph: KG, max_hops: int = 12,
+                           source_fraction: float = None,
+                           seed: int = 0) -> DataFrame:
     """(node_id, betweenness) — EXACT Brandes betweenness on the directed
     graph (nx.betweenness_centrality(DiGraph, normalized=False,
     endpoints=False) semantics): for every source s, shortest-path counts
@@ -699,17 +701,31 @@ def betweenness_centrality(graph: KG, max_hops: int = 12) -> DataFrame:
 
     All sources run SIMULTANEOUSLY as an (origin, node) keyed state —
     quadratic like :func:`harmonic_centrality`, the documented small-graph
-    exact baseline (sample sources for an approximation at scale: pass a
-    subset as graph.nodes). Every step is an equi-join + partial-agg
-    keyed by (origin, node); σ counts stay exact int64; the forward and
-    backward sweeps each run ``max_hops`` bounded layers.
+    exact baseline. Every step is an equi-join + partial-agg keyed by
+    (origin, node); σ counts stay exact int64; the forward and backward
+    sweeps each run ``max_hops`` bounded layers.
+
+    ``source_fraction`` is the SCALE path (Brandes-Pich sampled-source
+    approximation): origins are the deterministic md5-hash sample
+    ``md5(seed:'btw':node) < threshold`` — state drops from n² to
+    n·(f·n), the estimator is the standard unscaled partial sum, and the
+    hash choice reproduces bit-for-bit in the SQL oracle (no RNG).
     """
+    from ..textops.mixture import fraction_to_hex_threshold
     from .paths import bfs_distances
 
     nodes = graph.nodes.select('node_id')
+    if source_fraction is not None:
+        thr = fraction_to_hex_threshold(source_fraction)
+        sources = nodes.where(
+            F.substring(F.md5(F.concat_ws(
+                ':', F.lit(str(seed)), F.lit('btw'), F.col('node_id'))),
+                1, 8) < thr)
+    else:
+        sources = nodes
     edges = graph.edges.select('source_id', 'target_id').distinct() \
         .persist()
-    d = bfs_distances(graph, nodes, max_hops=max_hops).persist()
+    d = bfs_distances(graph, sources, max_hops=max_hops).persist()
     # shortest-path DAG per origin: u→v iff d(o,v) = d(o,u) + 1
     du = d.select('origin', F.col('node_id').alias('u'),
                   F.col('distance').alias('du'))
@@ -726,9 +742,9 @@ def betweenness_centrality(graph: KG, max_hops: int = 12) -> DataFrame:
     )
     # forward sweep: σ by BFS layer (exact int64 path counts)
     sig_layers = [
-        nodes.select(F.col('node_id').alias('origin'),
-                     F.col('node_id').alias('node'),
-                     F.lit(1).cast('long').alias('sigma'))
+        sources.select(F.col('node_id').alias('origin'),
+                       F.col('node_id').alias('node'),
+                       F.lit(1).cast('long').alias('sigma'))
         .localCheckpoint(eager=True)
     ]
     for t in range(1, max_hops + 1):

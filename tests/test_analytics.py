@@ -592,3 +592,29 @@ def test_betweenness_parity_on_compiled_kg(kg):
            .collect()}
     for v in expected:
         assert got[v] == pytest.approx(expected[v], abs=1e-6)
+
+
+def test_betweenness_sampled_subset_of_exact(spark):
+    """Sampled-source Brandes: deterministic, fewer origins, and full
+    sampling (fraction=1.0) equals the exact run."""
+    edges = [('a', 'b'), ('b', 'c'), ('a', 'c'), ('c', 'd'), ('d', 'e'),
+             ('b', 'd'), ('e', 'a')]
+    nodes = sorted({u for e in edges for u in e})
+    g = KG(spark.createDataFrame([(n,) for n in nodes], 'node_id string'),
+           spark.createDataFrame(edges,
+                                 'source_id string, target_id string'))
+    exact = {r['node_id']: r['betweenness']
+             for r in analytics.betweenness_centrality(g).collect()}
+    full = {r['node_id']: r['betweenness']
+            for r in analytics.betweenness_centrality(
+                g, source_fraction=1.0).collect()}
+    assert full == exact
+    a = {r['node_id']: r['betweenness']
+         for r in analytics.betweenness_centrality(
+             g, source_fraction=0.5, seed=3).collect()}
+    b = {r['node_id']: r['betweenness']
+         for r in analytics.betweenness_centrality(
+             g, source_fraction=0.5, seed=3).collect()}
+    assert a == b  # deterministic
+    # partial sums are bounded by the exact values
+    assert all(a[v] <= exact[v] + 1e-9 for v in a)
