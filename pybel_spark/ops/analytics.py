@@ -498,6 +498,28 @@ def hits(graph: KG, n_iterations: int = 10) -> DataFrame:
     return out
 
 
+def sample_neighbors(graph: KG, fanout: int = 10,
+                     seed: int = 0) -> DataFrame:
+    """Deterministic fixed-fanout neighbor sampling (the GraphSAGE
+    minibatch primitive): per source node keep at most ``fanout``
+    out-neighbors, chosen by ranking on ``md5(seed:src:dst)`` — a uniform
+    sample that is reproducible across runs/engines/batches (no RNG), so
+    GNN training data is stable and the SQL oracle mirrors it exactly.
+
+    One per-source window (partitioned, no global sort); hub skew is
+    bounded because output fan-out is capped at ``fanout`` regardless of
+    a hub's true degree. Returns (source_id, target_id, rank).
+    """
+    edges = graph.edges.select('source_id', 'target_id').distinct()
+    key = F.md5(F.concat_ws(':', F.lit(str(seed)),
+                            F.col('source_id'), F.col('target_id')))
+    w = Window.partitionBy('source_id').orderBy(key)
+    return (
+        edges.withColumn('rank', F.row_number().over(w))
+        .where(F.col('rank') <= fanout)
+    )
+
+
 def random_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
                  seed: int = 0) -> DataFrame:
     """Deterministic DeepWalk-style random-walk corpus: (walk_id, step,

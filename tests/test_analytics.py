@@ -618,3 +618,27 @@ def test_betweenness_sampled_subset_of_exact(spark):
     assert a == b  # deterministic
     # partial sums are bounded by the exact values
     assert all(a[v] <= exact[v] + 1e-9 for v in a)
+
+
+def test_sample_neighbors_caps_and_is_deterministic(spark):
+    edges = [('h', 't{}'.format(i)) for i in range(20)] + [('a', 'b')]
+    nodes = sorted({u for e in edges for u in e})
+    g = KG(spark.createDataFrame([(n,) for n in nodes], 'node_id string'),
+           spark.createDataFrame(edges,
+                                 'source_id string, target_id string'))
+    out = analytics.sample_neighbors(g, fanout=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r['source_id'], []).append(
+            (r['rank'], r['target_id']))
+    assert len(by_src['h']) == 5          # hub capped at fanout
+    assert len(by_src['a']) == 1          # below-fanout kept whole
+    assert sorted(r for r, _ in by_src['h']) == [1, 2, 3, 4, 5]
+    again = {(r['source_id'], r['target_id'], r['rank'])
+             for r in analytics.sample_neighbors(g, fanout=5).collect()}
+    assert again == {(r['source_id'], r['target_id'], r['rank'])
+                     for r in out}
+    other_seed = {(r['source_id'], r['target_id'], r['rank'])
+                  for r in analytics.sample_neighbors(
+                      g, fanout=5, seed=9).collect()}
+    assert other_seed != again  # seed changes the chosen sample
