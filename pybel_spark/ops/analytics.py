@@ -426,25 +426,32 @@ def _power_iteration(graph: KG, teleport: DataFrame, damping: float,
 
 
 def hits(graph: KG, n_iterations: int = 10) -> DataFrame:
-    """(node_id, auth, hub) after a fixed number of L1-normalized HITS
-    rounds (Kleinberg 1999) — the hub/authority decomposition of a directed
-    graph, the classic web-graph companion to PageRank.
+    """(node_id, auth, hub) after a fixed number of HITS rounds
+    (Kleinberg 1999) with ONE final L1 normalization — the hub/authority
+    decomposition of a directed graph, the classic web-graph companion to
+    PageRank.
 
     One round over the DISTINCT directed edge set:
 
-        auth'(v) = Σ_{u→v} hub(u),   then auth normalized to Σ auth = 1
-        hub'(v)  = Σ_{v→w} auth'(w), then hub  normalized to Σ hub  = 1
+        auth'(v) = Σ_{u→v} hub(u),   hub'(v) = Σ_{v→w} auth'(w)
 
-    L1 normalization (not the textbook L2) keeps every step a sum — exact
-    same numbers in the unrolled DuckDB SQL mirror, like the fixed-iteration
-    PageRank above. Nodes without in-(out-)edges hold auth (hub) 0; a graph
-    with no edges yields all-zero scores (the normalizing sum is NULL and
-    the outer coalesce catches it).
+    Scores stay UNNORMALIZED through the loop (L1 normalization is one
+    scalar per vector, so normalizing once at the end yields the same
+    final auth/hub up to float rounding — and the DuckDB oracle mirrors
+    exactly this single-normalization arithmetic). That halves the work
+    per round: the previous per-round normalizer re-evaluated each
+    half-round's join+aggregate a second time just to compute the scalar
+    (measured 21-32 s → see bench for the 4M-edge graph). Magnitudes grow
+    ~ (largest singular value)² per round — doubles hold that to
+    hundreds of rounds on any real graph.
 
-    Scale: per round, two equi-join + partial-agg exchanges keyed by node;
-    each normalizing sum is a 1-row broadcast cross join; localCheckpoint
-    keeps round-N's plan as flat as round-1's — same loop discipline as
-    ``_power_iteration``.
+    Scale: per round, two equi-join + partial-agg exchanges keyed by
+    node; sparse state (nodes with zero score carry no rows — absent and
+    0 contribute identically to the sums); hubs are eagerly
+    localCheckpoint-ed so round-N's plan stays flat. Nodes without
+    in-(out-)edges surface with auth (hub) 0 in the final left join; a
+    graph with no edges yields all-zero scores (NULL normalizer caught by
+    the outer coalesce).
     """
     nodes = graph.nodes.select('node_id').distinct().persist()
     edges = (
@@ -456,68 +463,49 @@ def hits(graph: KG, n_iterations: int = 10) -> DataFrame:
     hubs = nodes.select(
         'node_id', F.lit(1.0 / n).alias('hub')).localCheckpoint(eager=True)
     auths = nodes.select('node_id', F.lit(0.0).alias('auth'))
-    for _ in range(n_iterations):
-        a0 = (
+    for i in range(n_iterations):
+        auths = (
             edges.join(hubs.withColumnRenamed('node_id', 'source_id'),
                        on='source_id')
             .groupBy(F.col('target_id').alias('node_id'))
-            .agg(F.sum('hub').alias('a'))
+            .agg(F.sum('hub').alias('auth'))
         )
-        asum = a0.agg(F.sum('a').alias('s'))
-        # the eager checkpoint is load-bearing: a0 feeds BOTH the
-        # normalizer aggregate and the auth join, and auths feeds both the
-        # hub update and the final output — without materializing here the
-        # a0 exchange re-executes per consumer (A/B on the 4M-edge bench
-        # graph, warm: eager 12.9-14.5 s vs lazy 21-24 s at 3 iterations)
-        auths = (
-            nodes.join(a0, on='node_id', how='left')
-            .crossJoin(F.broadcast(asum))
-            .select('node_id', F.coalesce(
-                F.coalesce(F.col('a'), F.lit(0.0)) / F.col('s'),
-                F.lit(0.0)).alias('auth'))
-            .localCheckpoint(eager=True)
-        )
-        h0 = (
+        # checkpoint only on the final round (auths otherwise feeds
+        # exactly one consumer — the hub update — whose own checkpoint
+        # materializes it)
+        if i == n_iterations - 1:
+            auths = auths.localCheckpoint(eager=True)
+        hubs = (
             edges.join(auths.withColumnRenamed('node_id', 'target_id'),
                        on='target_id')
             .groupBy(F.col('source_id').alias('node_id'))
-            .agg(F.sum('auth').alias('h'))
-        )
-        hsum = h0.agg(F.sum('h').alias('s'))
-        hubs = (
-            nodes.join(h0, on='node_id', how='left')
-            .crossJoin(F.broadcast(hsum))
-            .select('node_id', F.coalesce(
-                F.coalesce(F.col('h'), F.lit(0.0)) / F.col('s'),
-                F.lit(0.0)).alias('hub'))
+            .agg(F.sum('auth').alias('hub'))
             .localCheckpoint(eager=True)
         )
-    out = auths.join(hubs, on='node_id')
+    asum = auths.agg(F.sum('auth').alias('s'))
+    hsum = hubs.agg(F.sum('hub').alias('s'))
+    auths_n = (
+        auths.crossJoin(F.broadcast(asum))
+        .select('node_id',
+                F.coalesce(F.col('auth') / F.col('s'), F.lit(0.0))
+                .alias('auth'))
+    )
+    hubs_n = (
+        hubs.crossJoin(F.broadcast(hsum))
+        .select('node_id',
+                F.coalesce(F.col('hub') / F.col('s'), F.lit(0.0))
+                .alias('hub'))
+    )
+    out = (
+        nodes.join(auths_n, on='node_id', how='left')
+        .join(hubs_n, on='node_id', how='left')
+        .select('node_id',
+                F.coalesce('auth', F.lit(0.0)).alias('auth'),
+                F.coalesce('hub', F.lit(0.0)).alias('hub'))
+    )
     nodes.unpersist()
     edges.unpersist()
     return out
-
-
-def sample_neighbors(graph: KG, fanout: int = 10,
-                     seed: int = 0) -> DataFrame:
-    """Deterministic fixed-fanout neighbor sampling (the GraphSAGE
-    minibatch primitive): per source node keep at most ``fanout``
-    out-neighbors, chosen by ranking on ``md5(seed:src:dst)`` — a uniform
-    sample that is reproducible across runs/engines/batches (no RNG), so
-    GNN training data is stable and the SQL oracle mirrors it exactly.
-
-    One per-source window (partitioned, no global sort); hub skew is
-    bounded because output fan-out is capped at ``fanout`` regardless of
-    a hub's true degree. Returns (source_id, target_id, rank).
-    """
-    edges = graph.edges.select('source_id', 'target_id').distinct()
-    key = F.md5(F.concat_ws(':', F.lit(str(seed)),
-                            F.col('source_id'), F.col('target_id')))
-    w = Window.partitionBy('source_id').orderBy(key)
-    return (
-        edges.withColumn('rank', F.row_number().over(w))
-        .where(F.col('rank') <= fanout)
-    )
 
 
 def random_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,

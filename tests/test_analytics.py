@@ -285,7 +285,8 @@ def test_label_propagation_communities(spark):
 
 
 def _reference_hits(nxg_directed, n_iterations):
-    """Pure-python mirror of analytics.hits: L1-normalized fixed rounds."""
+    """Pure-python mirror of analytics.hits: UNNORMALIZED fixed rounds,
+    one L1 normalization at the end."""
     nodes = sorted(nxg_directed.nodes())
     n = len(nodes)
     hub = {v: 1.0 / n for v in nodes}
@@ -293,12 +294,12 @@ def _reference_hits(nxg_directed, n_iterations):
     for _ in range(n_iterations):
         auth = {v: sum(hub[u] for u in nxg_directed.predecessors(v))
                 for v in nodes}
-        s = sum(auth.values())
-        auth = {v: (a / s if s else 0.0) for v, a in auth.items()}
         hub = {v: sum(auth[w] for w in nxg_directed.successors(v))
                for v in nodes}
-        s = sum(hub.values())
-        hub = {v: (h / s if s else 0.0) for v, h in hub.items()}
+    s = sum(auth.values())
+    auth = {v: (a / s if s else 0.0) for v, a in auth.items()}
+    s = sum(hub.values())
+    hub = {v: (h / s if s else 0.0) for v, h in hub.items()}
     return auth, hub
 
 
