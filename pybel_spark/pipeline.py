@@ -1124,3 +1124,29 @@ def read_graph(spark, out_dir: str) -> dict:
     )
     return {'nodes': nodes, 'edges': edges, 'warnings': warnings,
             'triples': triples}
+
+
+def triples_delta(triples_a: DataFrame, triples_b: DataFrame) -> DataFrame:
+    """KG crawl-delta: classify each distinct (subject, predicate, object)
+    as ``kept`` (in both crawls), ``added`` (new in B) or ``removed``
+    (gone from A) — the knowledge-graph diff between two crawl batches
+    that drives incremental downstream refresh (only added/removed
+    triples re-enter entity linking, serving indexes, etc.).
+
+    One full-outer equi-join on the triple key; both sides are the
+    already-deduplicated north-star outputs, so the join carries three
+    short strings per row.
+    """
+    a = triples_a.select('subject', 'predicate', 'object') \
+        .distinct().withColumn('_in_a', F.lit(True))
+    b = triples_b.select('subject', 'predicate', 'object') \
+        .distinct().withColumn('_in_b', F.lit(True))
+    return (
+        a.join(b, on=['subject', 'predicate', 'object'], how='full_outer')
+        .select(
+            'subject', 'predicate', 'object',
+            F.when(F.col('_in_a').isNotNull() & F.col('_in_b').isNotNull(),
+                   'kept')
+            .when(F.col('_in_b').isNotNull(), 'added')
+            .otherwise('removed').alias('status'))
+    )

@@ -554,3 +554,17 @@ class TestSingleWriterLease:
             assert not os.path.exists(os.path.join(out_dir, 'WRITER.lock'))
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_triples_delta_statuses(spark):
+    from pybel_spark.pipeline import triples_delta
+    a = spark.createDataFrame(
+        [('s1', 'increases', 'o1'), ('s2', 'decreases', 'o2'),
+         ('s2', 'decreases', 'o2')],  # dup collapses
+        'subject string, predicate string, object string')
+    b = spark.createDataFrame(
+        [('s1', 'increases', 'o1'), ('s3', 'association', 'o3')],
+        'subject string, predicate string, object string')
+    got = {(r['subject'], r['status'])
+           for r in triples_delta(a, b).collect()}
+    assert got == {('s1', 'kept'), ('s2', 'removed'), ('s3', 'added')}
