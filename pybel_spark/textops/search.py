@@ -218,3 +218,59 @@ def bm25_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
     out = _score_postings(postings, queries, k, k1, b, stats=stats)
     qterms.unpersist()
     return out
+
+
+def tfidf_cosine_pairs(docs: DataFrame, threshold: float = 0.8,
+                       max_df_frac: float = 0.5,
+                       doc_col: str = 'doc_id',
+                       text_col: str = 'text') -> DataFrame:
+    """Sparse document-similarity pairs over tf·idf term vectors —
+    the inverted-index alternative to the dense embedding near-dup path:
+    cosine(d1, d2) ≥ ``threshold`` via a postings self-join on the term
+    key, no embeddings required.
+
+    ``max_df_frac`` drops stop-like terms present in more than that
+    fraction of documents BEFORE the self-join (cosine is then defined
+    over the surviving term space, standard stop-term removal). This is
+    the hot-key guard: the join fan-out per term is bounded by df ≤
+    max_df_frac·N, the same role the hot-shingle df cap plays in the
+    Jaccard dedup path — without it one stopword would generate N²/2
+    candidate pairs.
+
+    Returns (doc_a, doc_b, cosine_r) with doc_a < doc_b, rounded before
+    the threshold filter so the kept set is engine-stable.
+    """
+    postings = build_postings(docs, doc_col, text_col)
+    stats = _corpus_stats(postings)
+    df_tbl = postings.groupBy('term').agg(F.count(F.lit(1)).alias('df'))
+    w = (
+        postings.join(df_tbl, on='term')
+        .crossJoin(F.broadcast(stats))
+        .where(F.col('df') <= F.lit(max_df_frac) * F.col('n_docs'))
+        .select('term', 'doc',
+                (F.col('tf') * F.log(F.col('n_docs') / F.col('df')))
+                .alias('w'))
+    )
+    norms = w.groupBy('doc').agg(
+        F.sqrt(F.sum(F.col('w') * F.col('w'))).alias('norm'))
+    a = w.select(F.col('term').alias('term'), F.col('doc').alias('doc_a'),
+                 F.col('w').alias('wa'))
+    b = w.select(F.col('term').alias('term'), F.col('doc').alias('doc_b'),
+                 F.col('w').alias('wb'))
+    dots = (
+        a.join(b, on='term')
+        .where(F.col('doc_a') < F.col('doc_b'))
+        .groupBy('doc_a', 'doc_b')
+        .agg(F.sum(F.col('wa') * F.col('wb')).alias('dot'))
+    )
+    return (
+        dots
+        .join(norms.select(F.col('doc').alias('doc_a'),
+                           F.col('norm').alias('na')), on='doc_a')
+        .join(norms.select(F.col('doc').alias('doc_b'),
+                           F.col('norm').alias('nb')), on='doc_b')
+        .select('doc_a', 'doc_b',
+                F.round(F.col('dot') / (F.col('na') * F.col('nb')), 6)
+                .alias('cosine_r'))
+        .where(F.col('cosine_r') >= threshold)
+    )

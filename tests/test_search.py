@@ -147,3 +147,37 @@ def test_tfidf_rank_contiguous_and_capped(docs):
     for doc, ranks in by_doc.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 3
+
+
+def test_tfidf_cosine_pairs_hand_computed(spark):
+    rows = [
+        (0, 'apple banana cherry'),
+        (1, 'apple banana cherry'),      # exact copy of 0 -> cosine 1
+        (2, 'durian elderberry fig'),    # disjoint
+        (3, 'apple banana grape'),       # partial overlap with 0/1
+    ]
+    d = spark.createDataFrame(rows, 'doc_id bigint, text string')
+    out = {(r['doc_a'], r['doc_b']): r['cosine_r']
+           for r in search.tfidf_cosine_pairs(
+               d, threshold=0.0, max_df_frac=1.0).collect()}
+    assert out[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) not in out and (1, 2) not in out  # no shared terms
+    assert 0.0 < out[(0, 3)] < 1.0
+    # high threshold keeps only the exact copy
+    strict = {(r['doc_a'], r['doc_b'])
+              for r in search.tfidf_cosine_pairs(
+                  d, threshold=0.99, max_df_frac=1.0).collect()}
+    assert strict == {(0, 1)}
+
+
+def test_tfidf_cosine_hot_term_cap(spark):
+    # 'the' appears in every doc; with max_df_frac=0.5 it is dropped so
+    # docs sharing ONLY 'the' produce no pair
+    rows = [(0, 'the apple'), (1, 'the banana'),
+            (2, 'the apple orchard')]
+    d = spark.createDataFrame(rows, 'doc_id bigint, text string')
+    pairs = {(r['doc_a'], r['doc_b'])
+             for r in search.tfidf_cosine_pairs(
+                 d, threshold=0.01, max_df_frac=0.5).collect()}
+    assert (0, 1) not in pairs
+    assert (0, 2) in pairs  # still share 'apple'
