@@ -171,10 +171,11 @@ def test_tfidf_cosine_pairs_hand_computed(spark):
 
 
 def test_tfidf_cosine_hot_term_cap(spark):
-    # 'the' appears in every doc; with max_df_frac=0.5 it is dropped so
-    # docs sharing ONLY 'the' produce no pair
+    # 'the' appears in every doc (df 4 > 0.5*4); with max_df_frac=0.5 it
+    # is dropped so docs sharing ONLY 'the' produce no pair, while
+    # 'apple' (df 2 <= 2) survives the cap
     rows = [(0, 'the apple'), (1, 'the banana'),
-            (2, 'the apple orchard')]
+            (2, 'the apple orchard'), (3, 'the kiwi')]
     d = spark.createDataFrame(rows, 'doc_id bigint, text string')
     pairs = {(r['doc_a'], r['doc_b'])
              for r in search.tfidf_cosine_pairs(
