@@ -877,6 +877,60 @@ def k_truss(graph: KG, k: int = 4, max_rounds: int = 50) -> DataFrame:
     return pairs
 
 
+def graph_structure_summary(graph: KG) -> DataFrame:
+    """1-row structural fingerprint of a directed graph:
+    (n_nodes, n_edges, density, reciprocity, transitivity) —
+    the macro numbers a crawl report leads with.
+
+    - density      = m / (n·(n−1)) over distinct directed non-loop edges
+    - reciprocity  = fraction of directed edges whose reverse also exists
+    - transitivity = 3·triangles / wedges over the undirected simple graph
+      (global clustering coefficient)
+
+    Scale: distinct edge set + one self-join for reciprocity (equi-join on
+    the swapped key), the skew-resistant oriented triangle count, and a
+    degree aggregate for the wedge total — all partially aggregated; the
+    five scalars meet in 1-row cross joins.
+    """
+    edges = (
+        graph.edges.select('source_id', 'target_id')
+        .where(F.col('source_id') != F.col('target_id'))
+        .distinct().persist())
+    n_nodes = graph.nodes.select('node_id').distinct() \
+        .agg(F.count(F.lit(1)).alias('n_nodes'))
+    m = edges.agg(F.count(F.lit(1)).alias('n_edges'))
+    recip = (
+        edges.join(
+            edges.select(F.col('target_id').alias('source_id'),
+                         F.col('source_id').alias('target_id')),
+            on=['source_id', 'target_id'], how='leftsemi')
+        .agg(F.count(F.lit(1)).alias('n_recip'))
+    )
+    pairs = undirected_pairs(graph.edges)
+    n_tri = triangles(graph).agg(F.count(F.lit(1)).alias('n_tri'))
+    wedges = _pair_degrees(pairs).agg(
+        F.sum(F.col('degree') * (F.col('degree') - 1) / 2)
+        .alias('n_wedges'))
+    out = (
+        n_nodes.crossJoin(m).crossJoin(recip)
+        .crossJoin(n_tri).crossJoin(wedges)
+        .select(
+            'n_nodes', 'n_edges',
+            F.when(F.col('n_nodes') > 1,
+                   F.col('n_edges').cast('double')
+                   / (F.col('n_nodes') * (F.col('n_nodes') - 1)))
+            .otherwise(F.lit(0.0)).alias('density'),
+            F.when(F.col('n_edges') > 0,
+                   F.col('n_recip').cast('double') / F.col('n_edges'))
+            .otherwise(F.lit(0.0)).alias('reciprocity'),
+            F.when(F.col('n_wedges') > 0,
+                   F.lit(3.0) * F.col('n_tri') / F.col('n_wedges'))
+            .otherwise(F.lit(0.0)).alias('transitivity'))
+    )
+    edges.unpersist()
+    return out
+
+
 def degree_assortativity(graph: KG) -> DataFrame:
     """1-row (assortativity,) — Pearson correlation of endpoint degrees
     over the undirected distinct-pair graph (nx.degree_assortativity_

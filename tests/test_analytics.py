@@ -643,3 +643,21 @@ def test_sample_neighbors_caps_and_is_deterministic(spark):
                   for r in analytics.sample_neighbors(
                       g, fanout=5, seed=9).collect()}
     assert other_seed != again  # seed changes the chosen sample
+
+
+def test_structure_summary_parity_networkx(kg):
+    import networkx as nx
+    out = analytics.graph_structure_summary(kg).collect()[0]
+    nxg = nx.DiGraph()
+    nxg.add_nodes_from(r['node_id'] for r in kg.nodes.select('node_id').collect())
+    nxg.add_edges_from((r['source_id'], r['target_id'])
+                       for r in kg.edges.select('source_id', 'target_id')
+                       .distinct().collect()
+                       if r['source_id'] != r['target_id'])
+    assert out['n_nodes'] == nxg.number_of_nodes()
+    assert out['n_edges'] == nxg.number_of_edges()
+    assert out['density'] == pytest.approx(nx.density(nxg), abs=1e-12)
+    assert out['reciprocity'] == pytest.approx(
+        nx.reciprocity(nxg), abs=1e-12)
+    assert out['transitivity'] == pytest.approx(
+        nx.transitivity(nxg.to_undirected()), abs=1e-12)
