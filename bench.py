@@ -203,6 +203,17 @@ def main():
     timed(queries, 'corpus_bm25_topk', lambda: _search.bm25_topk(
         ddocs, _bm25_q, k=10).count())
 
+    # sparse tf-idf cosine self-join (inverted-index similarity; hot-term
+    # df cap bounds the term fan-out)
+    timed(queries, 'corpus_tfidf_similarity', lambda: _search
+          .tfidf_cosine_pairs(ddocs, threshold=0.9).count())
+
+    # crawl-snapshot consolidation + per-url re-crawl stats (multi-crawl
+    # synthesis over the documents table, ~2x rows)
+    from pybel_spark.textops import snapshots as _snaps
+    timed(queries, 'corpus_snapshot_stats', lambda: _snaps.snapshot_stats(
+        _entry_mod._synth_snapshots(spark, sf_dir)).count())
+
     # real BPE with the 32k-merge table: cost must stay bounded by the
     # DISTINCT pre-token count (vocabulary), not the corpus or the merge
     # table size — the claim the r4 verdict asked to prove at scale
