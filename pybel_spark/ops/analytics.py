@@ -508,6 +508,83 @@ def hits(graph: KG, n_iterations: int = 10) -> DataFrame:
     return out
 
 
+def sample_neighbors(graph: KG, fanout: int = 10,
+                     seed: int = 0) -> DataFrame:
+    """Deterministic fixed-fanout neighbor sampling (the GraphSAGE
+    minibatch primitive): per source node keep at most ``fanout``
+    out-neighbors, chosen by ranking on ``md5(seed:src:dst)`` — a uniform
+    sample that is reproducible across runs/engines/batches (no RNG), so
+    GNN training data is stable and the SQL oracle mirrors it exactly.
+
+    One per-source window (partitioned, no global sort); hub skew is
+    bounded because output fan-out is capped at ``fanout`` regardless of
+    a hub's true degree. Returns (source_id, target_id, rank).
+    """
+    edges = graph.edges.select('source_id', 'target_id').distinct()
+    key = F.md5(F.concat_ws(':', F.lit(str(seed)),
+                            F.col('source_id'), F.col('target_id')))
+    w = Window.partitionBy('source_id').orderBy(key)
+    return (
+        edges.withColumn('rank', F.row_number().over(w))
+        .where(F.col('rank') <= fanout)
+    )
+
+
+def weighted_shortest_paths(graph: KG, cost_col: str, sources,
+                            max_rounds: int = 30) -> DataFrame:
+    """(origin, node_id, dist) — cheapest-path costs from each source over
+    non-negative edge costs (distributed Bellman-Ford relaxation): the
+    weighted companion to the BFS distances (e.g. cost = 1/n_links makes
+    strongly-linked hosts "close").
+
+    Each round relaxes every edge once (equi-join keyed by the current
+    node + min-aggregate keyed by (origin, node)) and stops at the first
+    round with no improvement — at most (longest cheapest path's hop
+    count) rounds, guarded. Parallel edges collapse to their cheapest
+    cost up front. Costs must be non-negative (Bellman-Ford without
+    negative-cycle detection); sums accumulate left-to-right along each
+    path so the DuckDB mirror reproduces them bit-for-bit.
+    """
+    edges = (
+        graph.edges
+        .select('source_id', 'target_id',
+                F.col(cost_col).cast('double').alias('cost'))
+        .groupBy('source_id', 'target_id')
+        .agg(F.min('cost').alias('cost'))
+        .persist())
+    dist = sources.select(
+        F.col(sources.columns[0]).alias('origin')).distinct().select(
+        'origin', F.col('origin').alias('node_id'),
+        F.lit(0.0).alias('dist')).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        cand = (
+            dist.join(edges.withColumnRenamed('source_id', 'node_id'),
+                      on='node_id')
+            .select('origin', F.col('target_id').alias('node_id'),
+                    (F.col('dist') + F.col('cost')).alias('dist'))
+        )
+        new_dist = (
+            dist.unionByName(cand)
+            .groupBy('origin', 'node_id')
+            .agg(F.min('dist').alias('dist'))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            new_dist.join(
+                dist.select('origin', 'node_id',
+                            F.col('dist').alias('old')),
+                on=['origin', 'node_id'], how='left')
+            .where(F.col('old').isNull() | (F.col('dist') < F.col('old')))
+            .count())
+        dist = new_dist
+        if improved == 0:
+            edges.unpersist()
+            return dist
+    raise RuntimeError(
+        'weighted_shortest_paths did not converge within max_rounds=%d'
+        % max_rounds)
+
+
 def random_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
                  seed: int = 0) -> DataFrame:
     """Deterministic DeepWalk-style random-walk corpus: (walk_id, step,

@@ -661,3 +661,62 @@ def test_structure_summary_parity_networkx(kg):
         nx.reciprocity(nxg), abs=1e-12)
     assert out['transitivity'] == pytest.approx(
         nx.transitivity(nxg.to_undirected()), abs=1e-12)
+
+
+def test_weighted_shortest_paths_hand_computed(spark):
+    # a -2-> b -1-> c; a -5-> c: cheapest a->c is 3 via b
+    edges = [('a', 'b', 2.0), ('b', 'c', 1.0), ('a', 'c', 5.0),
+             ('c', 'd', 1.0)]
+    nodes = sorted({u for e in edges for u in e[:2]})
+    g = KG(spark.createDataFrame([(n,) for n in nodes], 'node_id string'),
+           spark.createDataFrame(
+               edges, 'source_id string, target_id string, cost double'))
+    seeds = spark.createDataFrame([('a',)], 'node_id string')
+    got = {(r['origin'], r['node_id']): r['dist']
+           for r in analytics.weighted_shortest_paths(
+               g, 'cost', seeds).collect()}
+    assert got == {('a', 'a'): 0.0, ('a', 'b'): 2.0,
+                   ('a', 'c'): 3.0, ('a', 'd'): 4.0}
+
+
+def test_weighted_paths_parallel_edges_take_cheapest(spark):
+    edges = [('a', 'b', 9.0), ('a', 'b', 1.0)]
+    g = KG(spark.createDataFrame([('a',), ('b',)], 'node_id string'),
+           spark.createDataFrame(
+               edges, 'source_id string, target_id string, cost double'))
+    seeds = spark.createDataFrame([('a',)], 'node_id string')
+    got = {r['node_id']: r['dist']
+           for r in analytics.weighted_shortest_paths(
+               g, 'cost', seeds).collect()}
+    assert got['b'] == 1.0
+
+
+def test_weighted_paths_networkx_parity(kg):
+    import networkx as nx
+    edges = [(r['source_id'], r['target_id'])
+             for r in kg.edges.select('source_id', 'target_id')
+             .distinct().collect()]
+    nxg = nx.DiGraph()
+    # deterministic pseudo-costs from the edge strings
+    import hashlib
+    for u, v in edges:
+        c = 1 + int(hashlib.md5(f'{u}|{v}'.encode()).hexdigest()[:4],
+                    16) % 7
+        nxg.add_edge(u, v, weight=float(c))
+    session = kg.nodes.sparkSession
+    w = session.createDataFrame(
+        [(u, v, float(d['weight'])) for u, v, d in nxg.edges(data=True)],
+        'source_id string, target_id string, cost double')
+    g = KG(kg.nodes, w)
+    seed_ids = sorted(nxg.nodes())[:3]
+    seeds = session.createDataFrame([(s,) for s in seed_ids],
+                                    'node_id string')
+    got = {(r['origin'], r['node_id']): r['dist']
+           for r in analytics.weighted_shortest_paths(
+               g, 'cost', seeds).collect()}
+    for s in seed_ids:
+        expected = nx.single_source_dijkstra_path_length(nxg, s)
+        mine = {n: d for (o, n), d in got.items() if o == s}
+        assert set(mine) == set(expected)
+        for n in expected:
+            assert mine[n] == pytest.approx(expected[n], abs=1e-9)
