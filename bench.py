@@ -423,6 +423,13 @@ def main():
     timed(queries, 'graph_scc_4m_edges', lambda: _an
           .strongly_connected_components(graph).count(), runs=1)
 
+    # sampled-source Brandes (the n² → n·(f·n) betweenness scale path;
+    # md5-deterministic origins, oracle-checked at sf scale)
+    timed(queries, 'graph_betweenness_sampled_4m_edges', lambda: _an
+          .betweenness_centrality(graph, max_hops=8,
+                                  source_fraction=0.00006).count(),
+          runs=1)
+
     # HyperBall harmonic centrality on the same 4M-edge graph: the
     # 10^9-host scale path (exact all-pairs BFS is infeasible) — each
     # round is one equi-join + one register-wise max agg, same shuffle
