@@ -196,6 +196,45 @@ def bm25_index_write(docs: DataFrame, path: str,
         .parquet(os.path.join(path, 'stats'))
 
 
+def bm25_index_append(docs: DataFrame, path: str,
+                      n_buckets: int = N_INDEX_BUCKETS,
+                      doc_col: str = 'doc_id',
+                      text_col: str = 'text') -> None:
+    """Fold a NEW batch of documents into an existing index (the
+    incremental crawl shape — same contract as the dedup band index):
+    postings append into the same term-hash bucket partitions (a term's
+    postings stay co-located, so serving df stays exact), and the 1-row
+    (n_docs, avgdl) stats are recombined from the old stats and the
+    batch's own counts — no rescan of the existing index data.
+
+    Caller contract: batches carry disjoint doc ids (re-crawled urls go
+    through snapshot consolidation first)."""
+    spark = docs.sparkSession
+    postings = build_postings(docs, doc_col, text_col)
+    (postings
+     .withColumn('bucket', F.pmod(F.xxhash64('term'), F.lit(n_buckets))
+                 .cast('int'))
+     .write.mode('append').partitionBy('bucket')
+     .parquet(os.path.join(path, 'postings')))
+    old = spark.read.parquet(os.path.join(path, 'stats'))
+    new = _corpus_stats(postings)
+    combined = (
+        old.select(F.col('n_docs').alias('n0'), F.col('avgdl').alias('a0'))
+        .crossJoin(new.select(F.col('n_docs').alias('n1'),
+                              F.col('avgdl').alias('a1')))
+        .select(
+            (F.col('n0') + F.col('n1')).alias('n_docs'),
+            ((F.col('a0') * F.col('n0') + F.col('a1') * F.col('n1'))
+             / (F.col('n0') + F.col('n1'))).alias('avgdl'))
+    )
+    # the stats table is ONE row — materialize it on the driver before
+    # overwriting the path it was derived from (read-under-overwrite
+    # would corrupt); single-writer contract per CONCURRENCY.md
+    row = combined.collect()[0]
+    spark.createDataFrame([row], combined.schema) \
+        .write.mode('overwrite').parquet(os.path.join(path, 'stats'))
+
+
 def bm25_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
                     k1: float = 1.2, b: float = 0.75,
                     n_buckets: int = N_INDEX_BUCKETS) -> DataFrame:

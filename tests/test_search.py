@@ -182,3 +182,29 @@ def test_tfidf_cosine_hot_term_cap(spark):
                  d, threshold=0.01, max_df_frac=0.5).collect()}
     assert (0, 1) not in pairs
     assert (0, 2) in pairs  # still share 'apple'
+
+
+def test_index_append_equals_rebuild(docs, queries, spark):
+    """Folding a second batch into the index serves identically to a
+    full rebuild over the union."""
+    batch1 = docs.where(F.col('doc_id') < 3)
+    batch2 = docs.where(F.col('doc_id') >= 3)
+    base_a = tempfile.mkdtemp(prefix='pybel_spark_bm25a_')
+    base_b = tempfile.mkdtemp(prefix='pybel_spark_bm25b_')
+    try:
+        search.bm25_index_write(docs, base_a, n_buckets=16)
+        search.bm25_index_write(batch1, base_b, n_buckets=16)
+        search.bm25_index_append(batch2, base_b, n_buckets=16)
+        full = sorted(map(tuple, search.bm25_index_topk(
+            spark, base_a, queries, k=10, n_buckets=16).collect()))
+        inc = sorted(map(tuple, search.bm25_index_topk(
+            spark, base_b, queries, k=10, n_buckets=16).collect()))
+        assert inc == full
+        # combined stats equal the full-rebuild stats
+        sa = spark.read.parquet(base_a + '/stats').collect()[0]
+        sb = spark.read.parquet(base_b + '/stats').collect()[0]
+        assert sb['n_docs'] == sa['n_docs']
+        assert sb['avgdl'] == pytest.approx(sa['avgdl'], abs=1e-12)
+    finally:
+        shutil.rmtree(base_a, ignore_errors=True)
+        shutil.rmtree(base_b, ignore_errors=True)
