@@ -525,3 +525,33 @@ def gopher_filter(docs: DataFrame, id_col='doc_id', text_col='text',
     for n, thr in t['max_dup_ngram_char_frac'].items():
         keep = keep & (F.col('dup_{}gram_char_frac'.format(n)) <= thr)
     return feats.select('doc_id', keep.alias('keep'))
+
+
+def adaptive_quality_gate(docs: DataFrame, quantile: float = 0.25,
+                          id_col='doc_id', text_col='text',
+                          source_col='source') -> DataFrame:
+    """Per-source ADAPTIVE quality gating: a document survives when its
+    quality score reaches its OWN source's ``quantile`` score (exact
+    percentile, linear interpolation) — so a uniformly-low-quality source
+    still contributes its best quarter instead of being wiped out by one
+    global constant, and a high-quality source is trimmed harder. The
+    per-source-budget counterpart to the fixed-threshold gate.
+
+    Returns the surviving (doc, source, score_r, threshold_r) rows.
+    Scale: one score projection (map-side), one tiny per-source exact
+    percentile aggregate joined back on the source key (broadcast), one
+    filter — no window over the corpus.
+    """
+    scored = docs.select(
+        F.col(id_col).alias('doc_id'),
+        F.col(source_col).alias('source'),
+        quality_score_col(text_col).alias('score'))
+    thr = scored.groupBy('source').agg(
+        F.expr('percentile(score, {})'.format(quantile)).alias('thr'))
+    return (
+        scored.join(F.broadcast(thr), on='source')
+        .where(F.round('score', 6) >= F.round('thr', 6))
+        .select('doc_id', 'source',
+                F.round('score', 6).alias('score_r'),
+                F.round('thr', 6).alias('threshold_r'))
+    )

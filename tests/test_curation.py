@@ -189,3 +189,29 @@ def test_c4_clean_stage(spark, docs):
             assert x['n_sentences'] == 3
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_adaptive_quality_gate_per_source_thresholds(spark):
+    from pybel_spark.textops.quality import adaptive_quality_gate
+    # src A: clean English sentences (high scores); src B: junk (low)
+    rows = []
+    for i in range(8):
+        rows.append((i, 'A',
+                     'the quick brown fox jumps over the lazy dog and '
+                     'runs far away with great speed today ' + str(i)))
+    for i in range(8, 16):
+        rows.append((i, 'B', 'x' * 50))
+    docs = spark.createDataFrame(rows,
+                                 'doc_id bigint, source string, text string')
+    out = adaptive_quality_gate(docs, quantile=0.25)
+    got = out.collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r['source'], []).append(r)
+    # BOTH sources keep rows — the low-quality source is not wiped out
+    assert by_src.get('A') and by_src.get('B')
+    # thresholds differ per source (A's p25 is higher than B's)
+    thr = {r['source']: r['threshold_r'] for r in got}
+    assert thr['A'] > thr['B']
+    # every kept row meets its own source's threshold
+    assert all(r['score_r'] >= r['threshold_r'] for r in got)
