@@ -768,6 +768,11 @@ def strongly_connected_components(graph: KG, max_rounds: int = 30,
             .localCheckpoint(eager=True)
         )
         n_active = act_nodes.count()
+        if n_active == 0:
+            # converged on this round — accept even when the range is
+            # exhausted (a top-of-next-iteration check would raise on a
+            # peel that completes exactly on round max_rounds — r5 ADVICE)
+            break
     else:
         raise RuntimeError(
             'scc peel did not converge within max_rounds=%d' % max_rounds)
@@ -945,7 +950,10 @@ def k_truss(graph: KG, k: int = 4, max_rounds: int = 50) -> DataFrame:
         )
         m = kept.count()
         pairs = kept
-        if m == n_edges:
+        # m == 0 is also terminal: an empty edge set reached exactly on
+        # the final permitted round must not raise (r5 ADVICE — the
+        # top-of-next-iteration check never runs when the range is spent)
+        if m == n_edges or m == 0:
             break
         n_edges = m
     else:

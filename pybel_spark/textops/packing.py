@@ -45,7 +45,10 @@ def token_offsets(docs: DataFrame, id_col='doc_id', count_col='n_tokens',
                   n_shards: int = DEFAULT_SHARDS) -> DataFrame:
     """(doc_id, shard, n_tokens, start_tok): exclusive global token
     offset of each document under the deterministic order
-    (shard, doc_id), shard = pmod(xxhash64(doc_id), n_shards).
+    (shard, doc_id), shard = shard_of(doc_id, n_shards) — the first 8 md5
+    hex chars of doc_id as an integer mod n_shards, matching the DuckDB
+    oracle's ('0x' || substr(md5(x),1,8))::BIGINT % n (NOT xxhash64 —
+    docstring corrected per r5 ADVICE).
 
     Distributed prefix sum: per-shard window cumsum (each shard sorts
     only its own rows) + an n_shards-row shard-total table joined back

@@ -69,11 +69,16 @@ def filter_disallowed(pages: DataFrame, robots: DataFrame, url_col='url',
     per host, so Spark broadcasts it at any corpus scale; the prefix
     test itself is a map-side ``exists`` over the (short) rule array.
     """
-    rules = parse_robots(robots, host_col, robots_col)
+    # rule columns are renamed to reserved temporaries BEFORE the join:
+    # drop-by-name removes EVERY column with that name, so a pages table
+    # that already carries 'host'/'disallow' must not collide (r5 ADVICE)
+    rules = parse_robots(robots, host_col, robots_col).select(
+        F.col('host').alias('__rules_host'),
+        F.col('disallow').alias('__rules_disallow'))
     p = pages.withColumn('__host', url_host(F.col(url_col)))
-    joined = p.join(rules, p['__host'] == rules['host'], 'left')
+    joined = p.join(rules, p['__host'] == rules['__rules_host'], 'left')
     path = url_path(F.col(url_col))
-    blocked = F.exists('disallow', lambda d: path.startswith(d))
+    blocked = F.exists('__rules_disallow', lambda d: path.startswith(d))
     return (joined
             .where(~F.coalesce(blocked, F.lit(False)))
-            .drop('__host', 'host', 'disallow'))
+            .drop('__host', '__rules_host', '__rules_disallow'))

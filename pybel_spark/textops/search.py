@@ -127,13 +127,23 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def _score_postings(postings: DataFrame, queries: DataFrame, k: int,
-                    k1: float, b: float, stats: DataFrame = None) -> DataFrame:
+                    k1: float, b: float, stats: DataFrame = None,
+                    collapse_replays: bool = False) -> DataFrame:
     """Score query-term postings only: the corpus-sized table is filtered by
     a broadcast semi-join on the query terms FIRST, so the df rollup and the
-    scoring join both run over the hit set, never the whole index."""
+    scoring join both run over the hit set, never the whole index.
+
+    ``collapse_replays``: the materialized index is at-least-once on append
+    (a crash between postings-append and the batch marker leaves orphan
+    rows that a retry re-appends), so index serving dedupes the HIT SET on
+    (term, doc) before the df rollup — df stays 'row count per term' and tf
+    is never double-counted. Hit-set-sized, runs after the pruned read and
+    the term semi-join, so the whole index is never shuffled."""
     qterms = _query_terms(queries)
     hits = postings.join(
         F.broadcast(qterms.select('term').distinct()), on='term')
+    if collapse_replays:
+        hits = hits.dropDuplicates(['term', 'doc'])
     # postings are unique on (term, doc), so df = row count per term
     df_tbl = hits.groupBy('term').agg(F.count(F.lit(1)).alias('df'))
     if stats is None:
@@ -177,12 +187,40 @@ def tfidf_keywords(docs: DataFrame, k: int = 5, doc_col: str = 'doc_id',
     )
 
 
+def _batch_stats(postings: DataFrame) -> tuple:
+    """(n_docs, sum_dl) of one batch, computed on the driver — two scalars
+    per batch, the only driver-side state the index keeps."""
+    row = (postings.select('doc', 'dl').distinct()
+           .agg(F.count(F.lit(1)).alias('n'),
+                F.sum('dl').alias('s')).collect()[0])
+    return int(row['n'] or 0), int(row['s'] or 0)
+
+
+def _derive_batch_id(docs: DataFrame, doc_col: str) -> str:
+    """Deterministic, order-insensitive batch fingerprint (bit_xor of
+    per-doc xxhash64 — overflow-free under ANSI mode — plus count) so an
+    uncoordinated retry of the same batch maps to the same applied-marker
+    name. Doc ids are unique within a batch (caller contract), so xor
+    cancellation of duplicates cannot occur."""
+    row = docs.agg(
+        F.bit_xor(F.xxhash64(F.col(doc_col).cast('string'))).alias('h'),
+        F.count(F.lit(1)).alias('n')).collect()[0]
+    return 'b{:016x}-{}'.format((int(row['h'] or 0)) & 0xFFFFFFFFFFFFFFFF,
+                                int(row['n'] or 0))
+
+
 def bm25_index_write(docs: DataFrame, path: str,
                      n_buckets: int = N_INDEX_BUCKETS,
                      doc_col: str = 'doc_id', text_col: str = 'text') -> None:
     """Materialize the inverted index: postings partitioned by
     ``bucket = pmod(xxhash64(term), n_buckets)`` (so a query's scan prunes
-    to its terms' buckets), plus a 1-row (n_docs, avgdl) stats sidecar."""
+    to its terms' buckets). Corpus stats live in per-batch applied-marker
+    sidecars under ``applied/`` — one tiny JSON per folded batch carrying
+    (n_docs, sum_dl) — so (n_docs, avgdl) at serve time is an exact sum
+    over markers and never drifts from what appends actually committed."""
+    from .sidecar import delete_sidecar_dir, write_json_sidecar
+
+    spark = docs.sparkSession
     postings = build_postings(docs, doc_col, text_col)
     (postings
      .withColumn('bucket', F.pmod(F.xxhash64('term'), F.lit(n_buckets))
@@ -190,49 +228,71 @@ def bm25_index_write(docs: DataFrame, path: str,
      .write.mode('overwrite').partitionBy('bucket')
      .parquet(os.path.join(path, 'postings')))
     # df needs no sidecar: a term's postings live entirely in its bucket,
-    # so the pruned read reconstructs exact df. Only the corpus-wide
-    # (n_docs, avgdl) pair must be persisted.
-    _corpus_stats(postings).write.mode('overwrite') \
-        .parquet(os.path.join(path, 'stats'))
+    # so the pruned read reconstructs exact df.
+    n, s = _batch_stats(postings)
+    delete_sidecar_dir(spark, os.path.join(path, 'applied'))
+    write_json_sidecar(spark, os.path.join(path, 'applied', 'bootstrap.json'),
+                       {'batch_id': 'bootstrap', 'n_docs': n, 'sum_dl': s})
 
 
 def bm25_index_append(docs: DataFrame, path: str,
                       n_buckets: int = N_INDEX_BUCKETS,
                       doc_col: str = 'doc_id',
-                      text_col: str = 'text') -> None:
+                      text_col: str = 'text',
+                      batch_id: str = None) -> bool:
     """Fold a NEW batch of documents into an existing index (the
-    incremental crawl shape — same contract as the dedup band index):
-    postings append into the same term-hash bucket partitions (a term's
-    postings stay co-located, so serving df stays exact), and the 1-row
-    (n_docs, avgdl) stats are recombined from the old stats and the
-    batch's own counts — no rescan of the existing index data.
+    incremental crawl shape — same contract as the dedup band and parse
+    indexes: at-least-once postings + marker idempotence + read-side
+    collapse). Returns True if the batch was applied, False if its marker
+    already existed (replay no-op).
+
+    Crash/replay contract (r5 ADVICE):
+    - An ``applied/<batch_id>.json`` marker is written AFTER the postings
+      append; the marker carries the batch's (n_docs, sum_dl), and serving
+      computes (n_docs, avgdl) as the exact sum over markers — so a crash
+      between append and marker leaves the batch entirely invisible to
+      stats (never stale/half-applied), and the orphan posting rows are
+      collapsed at read time by ``bm25_index_topk``'s (term, doc) dedupe.
+    - A retried append with the same ``batch_id`` (default: derived
+      deterministically from the batch's doc ids) either no-ops on the
+      existing marker or re-appends rows the read side collapses.
 
     Caller contract: batches carry disjoint doc ids (re-crawled urls go
-    through snapshot consolidation first)."""
+    through snapshot consolidation first); single writer per index path
+    (CONCURRENCY.md)."""
+    from .sidecar import sidecar_exists, write_json_sidecar
+
     spark = docs.sparkSession
+    if batch_id is None:
+        batch_id = _derive_batch_id(docs, doc_col)
+    marker = os.path.join(path, 'applied', '{}.json'.format(batch_id))
+    if sidecar_exists(spark, marker):
+        return False
     postings = build_postings(docs, doc_col, text_col)
     (postings
      .withColumn('bucket', F.pmod(F.xxhash64('term'), F.lit(n_buckets))
                  .cast('int'))
      .write.mode('append').partitionBy('bucket')
      .parquet(os.path.join(path, 'postings')))
-    old = spark.read.parquet(os.path.join(path, 'stats'))
-    new = _corpus_stats(postings)
-    combined = (
-        old.select(F.col('n_docs').alias('n0'), F.col('avgdl').alias('a0'))
-        .crossJoin(new.select(F.col('n_docs').alias('n1'),
-                              F.col('avgdl').alias('a1')))
-        .select(
-            (F.col('n0') + F.col('n1')).alias('n_docs'),
-            ((F.col('a0') * F.col('n0') + F.col('a1') * F.col('n1'))
-             / (F.col('n0') + F.col('n1'))).alias('avgdl'))
-    )
-    # the stats table is ONE row — materialize it on the driver before
-    # overwriting the path it was derived from (read-under-overwrite
-    # would corrupt); single-writer contract per CONCURRENCY.md
-    row = combined.collect()[0]
-    spark.createDataFrame([row], combined.schema) \
-        .write.mode('overwrite').parquet(os.path.join(path, 'stats'))
+    n, s = _batch_stats(postings)
+    write_json_sidecar(spark, marker,
+                       {'batch_id': batch_id, 'n_docs': n, 'sum_dl': s})
+    return True
+
+
+def _stats_from_markers(spark, path: str) -> DataFrame:
+    """1-row (n_docs, avgdl) summed over the applied-batch markers."""
+    from .sidecar import list_sidecars, read_json_sidecar
+
+    applied_dir = os.path.join(path, 'applied')
+    n_docs, sum_dl = 0, 0
+    for name in list_sidecars(spark, applied_dir):
+        m = read_json_sidecar(spark, os.path.join(applied_dir, name))
+        n_docs += int(m['n_docs'])
+        sum_dl += int(m['sum_dl'])
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    return spark.createDataFrame(
+        [(float(n_docs), float(avgdl))], 'n_docs double, avgdl double')
 
 
 def bm25_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
@@ -253,8 +313,9 @@ def bm25_index_topk(spark, path: str, queries: DataFrame, k: int = 10,
         .where(F.col('bucket').isin(buckets))
         .select('term', 'doc', 'tf', 'dl')
     )
-    stats = spark.read.parquet(os.path.join(path, 'stats'))
-    out = _score_postings(postings, queries, k, k1, b, stats=stats)
+    stats = _stats_from_markers(spark, path)
+    out = _score_postings(postings, queries, k, k1, b, stats=stats,
+                          collapse_replays=True)
     qterms.unpersist()
     return out
 

@@ -42,6 +42,14 @@ def list_sidecars(spark, dir_path: str) -> list:
                   for st in fs.listStatus(jpath))
 
 
+def delete_sidecar_dir(spark, dir_path: str) -> None:
+    """Recursively delete a sidecar directory (e.g. the applied-batch
+    markers of an index being bootstrap-overwritten). Missing dir = no-op."""
+    fs, jpath = _fs_path(spark, dir_path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
 def sidecar_exists(spark, path: str) -> bool:
     """Existence probe that does NOT swallow transient read errors the
     way try/except-around-read does — a caller deciding whether to

@@ -18,10 +18,13 @@ def run(label, cmd):
 
 
 def main():
+    rnd = os.environ.get('SPARK_GRAFT_ROUND', '')
+    artifact = 'VERIFY_r{:02d}.json'.format(int(rnd)) if rnd else 'VERIFY_last.json'
     run('pytest', [sys.executable, '-m', 'pytest', 'tests/', '-x', '-q'])
-    run('oracle gate', [sys.executable, 'scripts/check_correctness.py'])
+    run('oracle gate', [sys.executable, 'scripts/check_correctness.py',
+                        '--json', artifact])
     run('P/R report', [sys.executable, 'scripts/compute_pr.py'])
-    print('ALL VERIFICATIONS PASSED')
+    print('ALL VERIFICATIONS PASSED (full-sweep artifact: {})'.format(artifact))
 
 
 if __name__ == '__main__':

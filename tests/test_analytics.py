@@ -421,6 +421,30 @@ def test_scc_multiple_cycles_and_bridges(spark):
                    'x': 'x', 'y': 'x', 'z': 'x', 't': 't'}
 
 
+def test_scc_converges_on_final_permitted_round(spark):
+    """A peel that completes exactly on round max_rounds must be accepted,
+    not raise (r5 ADVICE: the guard used to check termination only at the
+    top of the NEXT iteration)."""
+    # chain a -> b: two singleton SCCs peeled over exactly two rounds
+    g = KG(spark.createDataFrame([('a',), ('b',)], 'node_id string'),
+           spark.createDataFrame([('a', 'b')],
+                                 'source_id string, target_id string'))
+    got = {r['node_id']: r['scc_id']
+           for r in analytics.strongly_connected_components(
+               g, max_rounds=2).collect()}
+    assert got == {'a': 'a', 'b': 'b'}
+
+
+def test_ktruss_empty_on_final_permitted_round(spark):
+    """k-truss that empties the edge set on the last permitted round is a
+    valid fixpoint (r5 ADVICE)."""
+    edges = [('a', 'b'), ('b', 'c'), ('a', 'c')]
+    g = KG(spark.createDataFrame([('a',), ('b',), ('c',)], 'node_id string'),
+           spark.createDataFrame(edges,
+                                 'source_id string, target_id string'))
+    assert analytics.k_truss(g, k=10, max_rounds=1).count() == 0
+
+
 def test_scc_acyclic_is_all_singletons(spark):
     edges = [('a', 'b'), ('b', 'c'), ('a', 'c')]
     g = KG(spark.createDataFrame([('a',), ('b',), ('c',)], 'node_id string'),

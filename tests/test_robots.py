@@ -51,6 +51,21 @@ def test_filter_disallowed(spark, rules):
     assert kept == [0, 3, 4, 5]
 
 
+def test_filter_preserves_caller_columns(spark, rules):
+    """A pages table that already carries 'host' / 'disallow' columns must
+    keep them through the filter (drop-by-name removes every column with
+    that name — r5 ADVICE)."""
+    pages = spark.createDataFrame(
+        [(0, 'https://a.example.com/public/x.html', 'keep-me', ['d0']),
+         (1, 'https://a.example.com/private/y.html', 'gone', ['d1'])],
+        'doc_id long, url string, host string, disallow array<string>')
+    out = robots.filter_disallowed(pages, rules)
+    assert set(out.columns) == {'doc_id', 'url', 'host', 'disallow'}
+    rows = out.collect()
+    assert [(r['doc_id'], r['host'], r['disallow']) for r in rows] \
+        == [(0, 'keep-me', ['d0'])]
+
+
 def test_duckdb_dialect_agreement(spark, rules):
     """The oracle replays the governing-group logic with a
     most-recent-User-agent window instead of the fold — pin equality."""

@@ -200,11 +200,68 @@ def test_index_append_equals_rebuild(docs, queries, spark):
         inc = sorted(map(tuple, search.bm25_index_topk(
             spark, base_b, queries, k=10, n_buckets=16).collect()))
         assert inc == full
-        # combined stats equal the full-rebuild stats
-        sa = spark.read.parquet(base_a + '/stats').collect()[0]
-        sb = spark.read.parquet(base_b + '/stats').collect()[0]
+        # combined marker stats equal the full-rebuild stats
+        sa = search._stats_from_markers(spark, base_a).collect()[0]
+        sb = search._stats_from_markers(spark, base_b).collect()[0]
         assert sb['n_docs'] == sa['n_docs']
         assert sb['avgdl'] == pytest.approx(sa['avgdl'], abs=1e-12)
     finally:
         shutil.rmtree(base_a, ignore_errors=True)
         shutil.rmtree(base_b, ignore_errors=True)
+
+
+def test_index_append_replay_is_idempotent(docs, queries, spark):
+    """Re-appending the same batch (uncoordinated retry) is a marker
+    no-op: serving results are unchanged and stats are not double-counted."""
+    batch1 = docs.where(F.col('doc_id') < 3)
+    batch2 = docs.where(F.col('doc_id') >= 3)
+    base = tempfile.mkdtemp(prefix='pybel_spark_bm25r_')
+    try:
+        search.bm25_index_write(batch1, base, n_buckets=16)
+        assert search.bm25_index_append(batch2, base, n_buckets=16) is True
+        before = sorted(map(tuple, search.bm25_index_topk(
+            spark, base, queries, k=10, n_buckets=16).collect()))
+        # replay: derived batch_id matches, marker short-circuits
+        assert search.bm25_index_append(batch2, base, n_buckets=16) is False
+        after = sorted(map(tuple, search.bm25_index_topk(
+            spark, base, queries, k=10, n_buckets=16).collect()))
+        assert after == before
+        stats = search._stats_from_markers(spark, base).collect()[0]
+        assert stats['n_docs'] == docs.count()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_index_append_crash_retry_collapses(docs, queries, spark):
+    """Crash between postings-append and marker: orphan posting rows exist
+    but the batch is invisible to stats; the retry re-appends and commits
+    the marker once — serving dedupes (term, doc) so scores match a clean
+    build exactly."""
+    import os
+    batch1 = docs.where(F.col('doc_id') < 3)
+    batch2 = docs.where(F.col('doc_id') >= 3)
+    base = tempfile.mkdtemp(prefix='pybel_spark_bm25c_')
+    clean = tempfile.mkdtemp(prefix='pybel_spark_bm25d_')
+    try:
+        search.bm25_index_write(batch1, base, n_buckets=16)
+        # first attempt "crashes" after the postings append: simulate by
+        # applying then deleting the marker (postings rows remain)
+        bid = search._derive_batch_id(batch2, 'doc_id')
+        assert search.bm25_index_append(
+            batch2, base, n_buckets=16, batch_id=bid) is True
+        os.remove(os.path.join(base, 'applied', bid + '.json'))
+        # stats see only batch1 — never half-applied
+        mid = search._stats_from_markers(spark, base).collect()[0]
+        assert mid['n_docs'] == batch1.count()
+        # retry re-appends (duplicate posting rows) + commits the marker
+        assert search.bm25_index_append(
+            batch2, base, n_buckets=16, batch_id=bid) is True
+        search.bm25_index_write(docs, clean, n_buckets=16)
+        got = sorted(map(tuple, search.bm25_index_topk(
+            spark, base, queries, k=10, n_buckets=16).collect()))
+        want = sorted(map(tuple, search.bm25_index_topk(
+            spark, clean, queries, k=10, n_buckets=16).collect()))
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(clean, ignore_errors=True)
