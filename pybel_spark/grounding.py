@@ -52,7 +52,17 @@ def ground_concepts_join(nodes: DataFrame, terms: DataFrame,
     larger-than-memory-dictionary path: shuffle join with the mention side
     salted so hot namespaces cannot pin a reducer.
     """
-    concepts = iter_node_concepts(nodes)
+    return ground_mentions_join(iter_node_concepts(nodes), terms,
+                                broadcast_terms=broadcast_terms,
+                                salt_buckets=salt_buckets)
+
+
+def ground_mentions_join(concepts: DataFrame, terms: DataFrame,
+                         broadcast_terms=True,
+                         salt_buckets=None) -> DataFrame:
+    """The grounding join itself over an already-extracted mention table
+    (node_id, namespace, name) — the unit the oracle gate covers directly
+    with a synthetic hot-key-skewed mention stream."""
     terms_side = terms.withColumnRenamed('name', '_term_name') \
         .withColumnRenamed('namespace', '_term_ns')
     join_cond = [concepts['namespace'] == F.col('_term_ns'),

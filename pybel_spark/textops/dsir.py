@@ -10,9 +10,10 @@ Spark-first design for the 10^12-document shape:
   map-side-combined groupBy each; the per-bucket log-ratio table is tiny
   and BROADCAST to the scoring join, so the raw corpus is never shuffled
   on a skewed key.
-- Per-document log-weights need one exchange: groupBy(doc_id) over the
-  gram stream with map-side partial sums (the exchange carries one
-  partial row per doc per partition, not one row per gram).
+- Per-document log-weights need NO corpus-sized exchange: the two bucket
+  histograms are collected (≤ n_buckets rows each), the log-ratio vector
+  ships as a closure into the scoring Arrow stage, and scoring emits one
+  row per document map-side.
 - Gumbel-top-k resampling (logw + Gumbel noise, take k) samples WITHOUT
   replacement with probability ∝ exp(logw / temperature) — a TakeOrdered
   (no global sort). Noise is md5-derived from (seed, doc_id): fully
@@ -20,7 +21,9 @@ Spark-first design for the 10^12-document shape:
 
 Every hash is md5-based (bucket = first 8 hex chars mod n_buckets;
 uniform = first 13 hex chars / 2^52) so a SQL oracle reproduces weights
-and the sample bit-for-bit. No Python UDFs anywhere.
+and the sample bit-for-bit. The only Python stage is the Arrow-batched
+_doc_bucket_counts fold (occurrence counting never leaves C level);
+everything downstream is JVM column algebra.
 """
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -36,8 +39,9 @@ def _lower_tokens(text_col: str) -> Column:
 
 def _gram_stream(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, gram) with one row per unigram AND bigram occurrence.
-    Two-phase projection (tokens as a real attribute) to keep the window
-    transforms inside one codegen stage without re-splitting."""
+    Pure column-expression reference for _doc_bucket_counts (kept for
+    cross-validation tests); the production path folds occurrences inside
+    the Arrow stage instead of exploding them into rows."""
     toks = docs.select(F.col(id_col).alias('doc_id'),
                        _lower_tokens(text_col).alias('_t'))
     t = F.col('_t')
@@ -58,13 +62,75 @@ def gram_bucket(gram: Column, n_buckets: int = DEFAULT_BUCKETS) -> Column:
             % n_buckets)
 
 
+def _doc_bucket_counts(docs: DataFrame, id_col: str, text_col: str,
+                       n_buckets: int) -> DataFrame:
+    """(doc_id, bucket, n) hashed-gram profile per document as ONE Arrow
+    mapInPandas stage — the fold of _gram_stream's explode→groupBy.
+
+    The gram OCCURRENCE stream (≈2× token count per doc) never becomes
+    rows: per batch, a gram→bucket cache means md5 runs once per
+    BATCH-DISTINCT gram (vocabulary-sized, not corpus-sized), and
+    per-occurrence counting is C-level (dict-getter map → Counter).
+    Each document lands wholly in one Arrow batch, so the emitted counts
+    are complete — no per-doc exchange is needed downstream; output size
+    is Σ min(grams_d, n_buckets) rows. Bucket = first 8 md5 hex chars of
+    the utf-8 gram mod n_buckets, digit-for-digit the gram_bucket column
+    (and the DuckDB oracle)."""
+    from pyspark.sql import types as T
+
+    from .quality import _JAVA_WS_RE
+
+    id_field = docs.schema[id_col]
+    out_schema = T.StructType([
+        T.StructField('doc_id', id_field.dataType, id_field.nullable),
+        T.StructField('bucket', T.LongType(), False),
+        T.StructField('n', T.LongType(), False),
+    ])
+    src = docs.select(
+        F.col(id_col).alias('doc_id'),
+        F.coalesce(F.col(text_col), F.lit('')).alias('__text'))
+
+    def compute(batches):
+        import hashlib
+        from collections import Counter
+
+        import pandas as pd
+
+        def bucket_of(gram):
+            return int(
+                hashlib.md5(gram.encode('utf-8')).hexdigest()[:8],
+                16) % n_buckets
+
+        for pdf in batches:
+            uni_cache = {}
+            bi_cache = {}
+            ids, buckets, ns = [], [], []
+            for doc_id, text in zip(pdf['doc_id'], pdf['__text']):
+                toks = [t.lower() for t in
+                        _JAVA_WS_RE.split(text.strip(' '))]
+                for t in set(toks).difference(uni_cache):
+                    uni_cache[t] = bucket_of(t)
+                pairs = list(zip(toks, toks[1:]))
+                for p in set(pairs).difference(bi_cache):
+                    bi_cache[p] = bucket_of(p[0] + ' ' + p[1])
+                cnt = Counter(map(uni_cache.__getitem__, toks))
+                cnt.update(map(bi_cache.__getitem__, pairs))
+                ids.extend([doc_id] * len(cnt))
+                buckets.extend(cnt.keys())
+                ns.extend(cnt.values())
+            yield pd.DataFrame({
+                'doc_id': pd.Series(ids, dtype=pdf['doc_id'].dtype),
+                'bucket': pd.Series(buckets, dtype='int64'),
+                'n': pd.Series(ns, dtype='int64')})
+
+    return src.mapInPandas(compute, out_schema)
+
+
 def bucket_distribution(docs: DataFrame, id_col='doc_id', text_col='text',
                         n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     """(bucket, cnt) hashed-gram histogram — at most ``n_buckets`` rows."""
-    grams = _gram_stream(docs, id_col, text_col)
-    return (grams.select(gram_bucket(F.col('gram'), n_buckets)
-                         .alias('bucket'))
-            .groupBy('bucket').agg(F.count('*').alias('cnt')))
+    return (_doc_bucket_counts(docs, id_col, text_col, n_buckets)
+            .groupBy('bucket').agg(F.sum('n').alias('cnt')))
 
 
 def dsir_log_weights(docs: DataFrame, target: DataFrame,
@@ -78,43 +144,80 @@ def dsir_log_weights(docs: DataFrame, target: DataFrame,
 
     The raw model is fit on ``docs`` itself (the paper fits it on a raw
     sample; pass a sample for that). The per-bucket weight table is
-    n_buckets rows → broadcast; the only corpus-sized exchange is the
-    map-side-combined groupBy(doc_id).
+    n_buckets floats — collected to the driver and shipped as a closure
+    vector into the scoring Arrow stage, which emits exactly one row per
+    document. No corpus-sized exchange anywhere: the only shuffles are
+    the two ≤n_buckets-row histogram rollups.
     """
-    spark = docs.sparkSession
-    # ONE pass over the corpus gram stream: per-(doc, bucket) counts are
-    # materialized once and feed BOTH the raw distribution (a tiny rollup)
-    # and the scoring join — previously the stream (split + bigram build +
-    # one md5 per gram occurrence) ran twice over the full corpus
-    per_doc = (
-        _gram_stream(docs, id_col, text_col)
-        .select('doc_id',
-                gram_bucket(F.col('gram'), n_buckets).alias('bucket'))
-        .groupBy('doc_id', 'bucket').agg(F.count('*').alias('n'))
-        .localCheckpoint(eager=True)
-    )
-    raw_dist = per_doc.groupBy('bucket').agg(F.sum('n').alias('cnt'))
-    tgt_dist = bucket_distribution(target, id_col, text_col, n_buckets)
-    spine = spark.range(n_buckets).select(F.col('id').alias('bucket'))
-    w = (
-        spine
-        .join(raw_dist.withColumnRenamed('cnt', 'r_cnt'), 'bucket', 'left')
-        .join(tgt_dist.withColumnRenamed('cnt', 't_cnt'), 'bucket', 'left')
-        .crossJoin(F.broadcast(
-            raw_dist.agg(F.sum('cnt').alias('r_tot'))
-            .crossJoin(tgt_dist.agg(F.sum('cnt').alias('t_tot')))))
-        .select(
-            'bucket',
-            (F.log((F.coalesce(F.col('t_cnt'), F.lit(0)) + 1).cast('double')
-                   / (F.col('t_tot') + n_buckets).cast('double'))
-             - F.log((F.coalesce(F.col('r_cnt'), F.lit(0)) + 1)
-                     .cast('double')
-                     / (F.col('r_tot') + n_buckets).cast('double')))
-            .alias('w'))
-    )
-    return (per_doc.join(F.broadcast(w), 'bucket')
-            .groupBy('doc_id')
-            .agg(F.sum(F.col('n') * F.col('w')).alias('log_weight')))
+    import numpy as np
+
+    # two tiny histogram jobs (≤ n_buckets rows each) collected to the
+    # driver; the per-bucket log-ratio becomes a CLOSURE vector, so the
+    # scoring pass is one Arrow stage emitting exactly one row per doc —
+    # no per-doc materialization, no weight join, no groupBy exchange.
+    # At 10^12 docs this plan is two map-side histogram rollups plus one
+    # map pass; the only exchanges carry ≤ n_buckets×partitions rows.
+    def _totals(dist_rows):
+        cnts = np.zeros(n_buckets, dtype=np.int64)
+        for r in dist_rows:
+            cnts[r['bucket']] = r['cnt']
+        return cnts
+
+    r_cnt = _totals(
+        bucket_distribution(docs, id_col, text_col, n_buckets).collect())
+    t_cnt = _totals(
+        bucket_distribution(target, id_col, text_col, n_buckets).collect())
+    # same expression shape as the SQL oracle — ln((c+1)/(tot+B)) per
+    # model, NOT ln(c+1)−ln(tot+B): the two differ in the last float bits
+    r_tot = float(int(r_cnt.sum()) + n_buckets)
+    t_tot = float(int(t_cnt.sum()) + n_buckets)
+    w = (np.log((t_cnt + 1).astype('float64') / t_tot)
+         - np.log((r_cnt + 1).astype('float64') / r_tot))
+
+    from pyspark.sql import types as T
+
+    id_field = docs.schema[id_col]
+    out_schema = T.StructType([
+        T.StructField('doc_id', id_field.dataType, id_field.nullable),
+        T.StructField('log_weight', T.DoubleType(), False),
+    ])
+    src = docs.select(
+        F.col(id_col).alias('doc_id'),
+        F.coalesce(F.col(text_col), F.lit('')).alias('__text'))
+
+    def score(batches):
+        import hashlib
+        from collections import Counter
+
+        import pandas as pd
+
+        from pybel_spark.textops.quality import _JAVA_WS_RE
+
+        def bucket_of(gram):
+            return int(
+                hashlib.md5(gram.encode('utf-8')).hexdigest()[:8],
+                16) % n_buckets
+
+        for pdf in batches:
+            uni_cache, bi_cache = {}, {}
+            out = np.empty(len(pdf), dtype='float64')
+            for row_i, text in enumerate(pdf['__text']):
+                toks = [t.lower() for t in
+                        _JAVA_WS_RE.split(text.strip(' '))]
+                for t in set(toks).difference(uni_cache):
+                    uni_cache[t] = bucket_of(t)
+                pairs = list(zip(toks, toks[1:]))
+                for p in set(pairs).difference(bi_cache):
+                    bi_cache[p] = bucket_of(p[0] + ' ' + p[1])
+                cnt = Counter(map(uni_cache.__getitem__, toks))
+                cnt.update(map(bi_cache.__getitem__, pairs))
+                b = np.fromiter(cnt.keys(), np.int64, count=len(cnt))
+                n = np.fromiter(cnt.values(), np.int64, count=len(cnt))
+                out[row_i] = float((w[b] * n).sum())
+            yield pd.DataFrame({'doc_id': pdf['doc_id'],
+                                'log_weight': out})
+
+    return src.mapInPandas(score, out_schema)
 
 
 def gumbel_noise(id_col: Column, seed: int = 0) -> Column:

@@ -151,22 +151,84 @@ def test_dsir_temperature_flattens(spark):
     assert frac_target < 0.5  # ≈ base rate under flat sampling
 
 
-def test_gopher_plan_is_one_map_side_projection(spark):
+def test_gopher_plan_is_one_arrow_stage_no_shuffle(spark):
     docs = spark.createDataFrame([(1, 'a b c')], 'doc_id int, text string')
     plan = (gopher_features(docs)._jdf.queryExecution()
             .executedPlan().toString())
     assert 'Exchange' not in plan
-    assert 'Python' not in plan
+    # exactly ONE Python (Arrow mapInPandas) stage computes all 18 features
+    assert plan.count('MapInPandas') == 1
 
 
-def test_dsir_weight_join_is_broadcast_not_sortmerge(spark):
+def test_gopher_arrow_matches_expression_variant(spark):
+    """The Arrow stage and the pure column-expression variant are the same
+    function: bit-exact on a battery of adversarial texts plus the real
+    sf0.001 synthetic pages (the gate input shape)."""
+    from pybel_spark.textops.quality import gopher_features_expr
+
+    adversarial = [
+        (1, None), (2, ''), (3, '   '), (4, '\n\n'), (5, 'word'),
+        (6, 'a b a b a'), (7, 'x ' * 40),
+        (8, '- bullet\n* star\n• dot\n\tno-tab-trim - x'),
+        (9, 'ends ...\nends …\nends.. no'),
+        (10, 'the be to of and that have with THE Be'),
+        (11, '# ## ... .... …… mixed # text'),
+        (12, 'dup line\ndup line\ndup line\nuniq'),
+        (13, 'tab\tsep\x0bvert\fform\rcarriage mix'),
+        (14, ' '.join('tok{}'.format(i % 7) for i in range(60))),
+    ]
+    df = spark.createDataFrame(adversarial, 'doc_id int, text string')
+    docs = (spark.read.parquet('/root/testdata/sf0.001/documents.parquet')
+            .select('doc_id', 'text').limit(30))
+    for src in (df, docs):
+        a = sorted(gopher_features(src).collect())
+        b = sorted(gopher_features_expr(src).collect())
+        assert a == b
+
+
+def test_dsir_arrow_counts_match_explode_reference(spark):
+    """The Arrow per-(doc,bucket) fold equals the explode→groupBy
+    reference (_gram_stream) bit-for-bit, including empty/null text and
+    single-token docs (no bigrams)."""
+    rows = [(1, None), (2, ''), (3, 'one'), (4, 'a b a b a'),
+            (5, 'The THE the mixed Case'),
+            (6, 'tab\tand\nnewline\rsep'),
+            (7, ' '.join('w{}'.format(i % 11) for i in range(80)))]
+    df = spark.createDataFrame(rows, 'doc_id int, text string')
+    arrow = sorted(dsir._doc_bucket_counts(df, 'doc_id', 'text', 64)
+                   .collect())
+    ref = sorted(
+        dsir._gram_stream(df, 'doc_id', 'text')
+        .select('doc_id',
+                dsir.gram_bucket(F.col('gram'), 64).alias('bucket'))
+        .groupBy('doc_id', 'bucket').agg(F.count('*').alias('n'))
+        .collect())
+    assert arrow == ref
+
+    docs = (spark.read.parquet('/root/testdata/sf0.001/documents.parquet')
+            .select('doc_id', 'text').limit(40))
+    arrow = sorted(dsir._doc_bucket_counts(docs, 'doc_id', 'text', 512)
+                   .collect())
+    ref = sorted(
+        dsir._gram_stream(docs, 'doc_id', 'text')
+        .select('doc_id',
+                dsir.gram_bucket(F.col('gram'), 512).alias('bucket'))
+        .groupBy('doc_id', 'bucket').agg(F.count('*').alias('n'))
+        .collect())
+    assert arrow == ref
+
+
+def test_dsir_scoring_plan_is_shuffle_free(spark):
+    """The weight vector ships as a closure, so the scoring DataFrame's
+    plan is scan → one Arrow stage: no join, no exchange at all."""
     docs = (spark.read.parquet('/root/testdata/sf0.001/documents.parquet')
             .select('doc_id', 'text'))
     target = docs.filter(F.col('doc_id') % 4 == 0)
     plan = (dsir.dsir_log_weights(docs, target, n_buckets=256)
             ._jdf.queryExecution().executedPlan().toString())
-    assert 'SortMergeJoin' not in plan
-    assert 'BroadcastHashJoin' in plan
+    assert 'Join' not in plan
+    assert 'Exchange' not in plan
+    assert plan.count('MapInPandas') == 1
 
 
 class TestAssignSplits:
