@@ -463,6 +463,15 @@ def main():
                                   source_fraction=0.00006).count(),
           runs=1)
 
+    # 2× origins: cost is linear in sampled-origin count (the
+    # Brandes-Pich knob trades wall for 1/sqrt(k) error — PLANS.md §27);
+    # origin_batches=2 pins peak (origin×node) state at the 1× level
+    timed(queries, 'graph_betweenness_sampled_4m_edges_2x', lambda: _an
+          .betweenness_centrality(graph, max_hops=8,
+                                  source_fraction=0.00012,
+                                  origin_batches=2).count(),
+          runs=1)
+
     # HyperBall harmonic centrality on the same 4M-edge graph: the
     # 10^9-host scale path (exact all-pairs BFS is infeasible) — each
     # round is one equi-join + one register-wise max agg, same shuffle

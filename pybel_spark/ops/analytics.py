@@ -784,7 +784,8 @@ def strongly_connected_components(graph: KG, max_rounds: int = 30,
 
 def betweenness_centrality(graph: KG, max_hops: int = 12,
                            source_fraction: float = None,
-                           seed: int = 0) -> DataFrame:
+                           seed: int = 0,
+                           origin_batches: int = 1) -> DataFrame:
     """(node_id, betweenness) — EXACT Brandes betweenness on the directed
     graph (nx.betweenness_centrality(DiGraph, normalized=False,
     endpoints=False) semantics): for every source s, shortest-path counts
@@ -802,9 +803,20 @@ def betweenness_centrality(graph: KG, max_hops: int = 12,
     ``md5(seed:'btw':node) < threshold`` — state drops from n² to
     n·(f·n), the estimator is the standard unscaled partial sum, and the
     hash choice reproduces bit-for-bit in the SQL oracle (no RNG).
+
+    ``origin_batches`` bounds the in-flight (origin × node) state on
+    graphs ≫4M edges: sampled origins are split into deterministic hash
+    groups (pmod(xxhash64(node), origin_batches)) processed SEQUENTIALLY,
+    each group's partial sums checkpointed before the next starts —
+    betweenness is additive over origins, so the result is unchanged
+    (up to float summation order) while peak state drops ~linearly.
+    Brandes–Pich error bound (Pich 2007 / Riondato–Kornaropoulos): with
+    k uniformly sampled origins the per-node estimator n/k·Σδ has
+    additive error O(n·sqrt(ln(n)/k)) w.h.p.; this implementation
+    returns the UNSCALED partial sum Σδ (scale by n/k for the absolute
+    estimate) — see PLANS.md §26.
     """
     from ..textops.mixture import fraction_to_hex_threshold
-    from .paths import bfs_distances
 
     nodes = graph.nodes.select('node_id')
     if source_fraction is not None:
@@ -817,6 +829,34 @@ def betweenness_centrality(graph: KG, max_hops: int = 12,
         sources = nodes
     edges = graph.edges.select('source_id', 'target_id').distinct() \
         .persist()
+    parts = []
+    for b in range(origin_batches):
+        batch = (sources if origin_batches == 1 else sources.where(
+            F.pmod(F.xxhash64('node_id'), F.lit(origin_batches)) == b))
+        part = _brandes_partial(graph, edges, batch, max_hops)
+        if part is not None:
+            parts.append(part.localCheckpoint(eager=True))
+    edges.unpersist()
+    if not parts:
+        return nodes.select('node_id', F.lit(0.0).alias('betweenness'))
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p)
+    got = (acc.groupBy('node_id')
+           .agg(F.sum('partial').alias('betweenness')))
+    return (nodes.join(got, on='node_id', how='left')
+            .select('node_id',
+                    F.coalesce('betweenness', F.lit(0.0))
+                    .alias('betweenness')))
+
+
+def _brandes_partial(graph: KG, edges: DataFrame, sources: DataFrame,
+                     max_hops: int):
+    """One Brandes forward+backward pass over a source group; returns
+    (node_id, partial) dependency sums, or None if no source reaches
+    anything."""
+    from .paths import bfs_distances
+
     d = bfs_distances(graph, sources, max_hops=max_hops).persist()
     # shortest-path DAG per origin: u→v iff d(o,v) = d(o,u) + 1
     du = d.select('origin', F.col('node_id').alias('u'),
@@ -890,15 +930,10 @@ def betweenness_centrality(graph: KG, max_hops: int = 12,
         contrib = cur.where(F.col('origin') != F.col('node'))
         acc = contrib if acc is None else acc.unionByName(contrib)
     if acc is None:
-        out = nodes.select('node_id', F.lit(0.0).alias('betweenness'))
+        out = None
     else:
-        got = acc.groupBy(F.col('node').alias('node_id')) \
-            .agg(F.sum('delta').alias('betweenness'))
-        out = (nodes.join(got, on='node_id', how='left')
-               .select('node_id',
-                       F.coalesce('betweenness', F.lit(0.0))
-                       .alias('betweenness')))
-    edges.unpersist()
+        out = (acc.groupBy(F.col('node').alias('node_id'))
+               .agg(F.sum('delta').alias('partial')))
     d.unpersist()
     dag.unpersist()
     sigma.unpersist()

@@ -645,6 +645,35 @@ def test_betweenness_sampled_subset_of_exact(spark):
     assert all(a[v] <= exact[v] + 1e-9 for v in a)
 
 
+def test_betweenness_origin_batches_equivalent(spark):
+    """origin_batches only bounds in-flight state: batched and unbatched
+    runs agree (betweenness is additive over origins), for both exact
+    and sampled-source modes."""
+    edges = [('a', 'b'), ('b', 'c'), ('a', 'c'), ('c', 'd'), ('d', 'e'),
+             ('b', 'd'), ('e', 'a'), ('x', 'a'), ('d', 'x')]
+    nodes = sorted({u for e in edges for u in e})
+    g = KG(spark.createDataFrame([(n,) for n in nodes], 'node_id string'),
+           spark.createDataFrame(edges,
+                                 'source_id string, target_id string'))
+    one = {r['node_id']: r['betweenness']
+           for r in analytics.betweenness_centrality(g).collect()}
+    batched = {r['node_id']: r['betweenness']
+               for r in analytics.betweenness_centrality(
+                   g, origin_batches=3).collect()}
+    assert set(one) == set(batched)
+    for v in one:
+        assert batched[v] == pytest.approx(one[v], abs=1e-9)
+    s_one = {r['node_id']: r['betweenness']
+             for r in analytics.betweenness_centrality(
+                 g, source_fraction=0.6, seed=1).collect()}
+    s_batched = {r['node_id']: r['betweenness']
+                 for r in analytics.betweenness_centrality(
+                     g, source_fraction=0.6, seed=1,
+                     origin_batches=2).collect()}
+    for v in s_one:
+        assert s_batched[v] == pytest.approx(s_one[v], abs=1e-9)
+
+
 def test_sample_neighbors_caps_and_is_deterministic(spark):
     edges = [('h', 't{}'.format(i)) for i in range(20)] + [('a', 'b')]
     nodes = sorted({u for e in edges for u in e})
