@@ -322,19 +322,30 @@ def main():
     # half near-duplicates of the bottom half) — evidence that the
     # id-only salted exchanges don't regain a payload penalty as the
     # vector widens 12× (r5 verdict: make the salting claim a number)
+    # hash-derived components → near-orthogonal random directions (a
+    # phase-based sin() generator collapses every vector into a 2-D
+    # subspace and makes ALL pairs near-dups); top half = bottom half
+    # + 1% perturbation → ~1000 true near-dup pairs
+    def _u(expr):  # uniform [-1, 1] from exact integer hashing
+        return (F.pmod(F.xxhash64(expr), F.lit(20001)).cast('double')
+                / 10000.0 - 1.0)
+
     wide = spark.range(2000).select(
         F.col('id').alias('vec_id'),
         F.transform(
             F.sequence(F.lit(0), F.lit(767)),
-            lambda i: F.sin((F.col('id') % 1000) * 769 + i)
+            lambda i: _u((F.col('id') % 1000) * 768 + i)
             + F.when(F.col('id') >= 1000,
-                     F.sin(F.col('id') * 131 + i) * 0.01)
+                     _u(F.col('id') * 768 + i + 10000000) * 0.01)
             .otherwise(F.lit(0.0))
         ).alias('embedding')).persist()
     wide.count()
+    # n_planes=8 (vs 4 at dim 64): 2^8 buckets/table bounds bucket size
+    # so candidate volume stays Σ|b|²-controlled at realistic widths —
+    # near-identical vectors agree on ~all signs, so recall at 0.9 holds
     timed(queries, 'embedding_neardup_allpairs_768d',
           lambda: similarity.embedding_near_duplicates(
-              wide, threshold=0.9).count())
+              wide, threshold=0.9, n_planes=8).count())
     timed(queries, 'dedup_semantic_768d',
           lambda: _semdedup.semdedup(wide, threshold=0.9, n_clusters=16)
           .where('keep').count())

