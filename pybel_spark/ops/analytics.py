@@ -396,19 +396,25 @@ def _power_iteration(graph: KG, teleport: DataFrame, damping: float,
     else:
         share = F.col('rank') * F.col('_w') / F.col('outdeg')
     for _ in range(n_iterations):
+        # rank/link joins are pinned to SORT-MERGE: at web scale both
+        # sides are corpus-sized, and re-broadcasting a fresh O(n) rank
+        # table EVERY round (what a size-threshold decision picks once
+        # n×16B fits the limit) pays driver collect + fan-out per
+        # iteration — measured +50% on the 4M-edge bench graph
         contribs = (
-            links.join(
+            links.hint('merge').join(
                 ranks.withColumnRenamed('node_id', 'source_id'),
                 on='source_id')
             .groupBy(F.col('target_id').alias('node_id'))
             .agg(F.sum(share).alias('contrib'))
         )
         dangling = (
-            ranks.join(dangling_ids, on='node_id', how='leftsemi')
+            ranks.hint('merge').join(dangling_ids, on='node_id',
+                                     how='leftsemi')
             .agg(F.coalesce(F.sum('rank'), F.lit(0.0)).alias('dangling_mass'))
         )
         ranks = (
-            teleport.join(contribs, on='node_id', how='left')
+            teleport.hint('merge').join(contribs, on='node_id', how='left')
             .crossJoin(F.broadcast(dangling))
             .select(
                 'node_id',
@@ -464,9 +470,12 @@ def hits(graph: KG, n_iterations: int = 10) -> DataFrame:
         'node_id', F.lit(1.0 / n).alias('hub')).localCheckpoint(eager=True)
     auths = nodes.select('node_id', F.lit(0.0).alias('auth'))
     for i in range(n_iterations):
+        # merge-pinned like _power_iteration: never re-broadcast an O(n)
+        # score table per half-round
         auths = (
-            edges.join(hubs.withColumnRenamed('node_id', 'source_id'),
-                       on='source_id')
+            edges.hint('merge')
+            .join(hubs.withColumnRenamed('node_id', 'source_id'),
+                  on='source_id')
             .groupBy(F.col('target_id').alias('node_id'))
             .agg(F.sum('hub').alias('auth'))
         )
@@ -476,8 +485,9 @@ def hits(graph: KG, n_iterations: int = 10) -> DataFrame:
         if i == n_iterations - 1:
             auths = auths.localCheckpoint(eager=True)
         hubs = (
-            edges.join(auths.withColumnRenamed('node_id', 'target_id'),
-                       on='target_id')
+            edges.hint('merge')
+            .join(auths.withColumnRenamed('node_id', 'target_id'),
+                  on='target_id')
             .groupBy(F.col('source_id').alias('node_id'))
             .agg(F.sum('auth').alias('hub'))
             .localCheckpoint(eager=True)
@@ -1359,7 +1369,10 @@ def hyperball_harmonic(graph: KG, p: int = 64,
 
     reg_cols = ['_r{}'.format(i) for i in range(p)]
     for t in range(1, t_max + 1):
-        nbr_regs = (inbound
+        # merge-pinned: the register table is O(n·p) and fresh each
+        # round — re-broadcasting it under a size-threshold decision
+        # pays per-round driver fan-out (same rationale as PageRank)
+        nbr_regs = (inbound.hint('merge')
                     .join(state.select(F.col('node_id').alias('nbr'),
                                        'regs'), on='nbr')
                     .select('node_id', 'regs'))
@@ -1376,7 +1389,7 @@ def hyperball_harmonic(graph: KG, p: int = 64,
         state = (state
                  .select('node_id', F.col('est').alias('prev_est'),
                          'harmonic')
-                 .join(merged, on='node_id')
+                 .hint('merge').join(merged, on='node_id')
                  .select('node_id', 'regs', 'est',
                          (F.col('harmonic')
                           + F.greatest(F.lit(0.0),
