@@ -231,6 +231,44 @@ def test_grounding_join_is_broadcast(spark):
     assert 'SortMergeJoin' not in plan, plan
 
 
+def test_grounding_salted_shuffle_plan(spark):
+    """The larger-than-memory-dictionary path (broadcast_terms=False,
+    salt_buckets) must (a) not broadcast the terms side, (b) carry the
+    salt as a real join key so the hot mention key spreads over
+    salt_buckets reducers."""
+    from pybel_spark.grounding import ground_mentions_join
+
+    mentions = spark.range(1000).select(
+        F.concat(F.lit('n'), F.col('id').cast('string')).alias('node_id'),
+        F.lit('HGNC').alias('namespace'), F.lit('TP53').alias('name'),
+        F.lit(None).cast('string').alias('identifier'))
+    terms = spark.createDataFrame(
+        [('HGNC', 'TP53', 'GRP')], ['namespace', 'name', 'encoding'])
+    out = ground_mentions_join(mentions, terms, broadcast_terms=False,
+                               salt_buckets=8)
+    plan = physical_plan(out)
+    assert '_salt' in plan, plan
+    assert 'BroadcastHashJoin' not in plan, plan
+    # and the result still grounds every mention exactly once
+    rows = out.collect()
+    assert len(rows) == 1000
+    assert all(r['is_grounded'] for r in rows)
+
+
+def test_pagerank_rounds_never_broadcast_rank_table(spark):
+    """Fixpoint state⋈edges joins are merge-pinned: no broadcast
+    exchange of the per-round rank table regardless of the session's
+    autoBroadcastJoinThreshold (at 10^9 nodes a broadcast would OOM;
+    below it, per-round re-broadcast pays driver fan-out every
+    iteration)."""
+    from pybel_spark.ops import KG, analytics
+
+    nodes, edges = analytics.synthetic_skewed_graph(spark, 2000, 4)
+    out = analytics.pagerank(KG(nodes, edges), n_iterations=2)
+    plan = physical_plan(out)
+    assert 'BroadcastHashJoin' not in plan, plan
+
+
 def test_iter_node_concepts_has_no_python_stage(spark):
     """The concept walk must stay in whole-stage codegen: no MapInPandas
     (the round-3 formulation walked node JSON row-by-row in Python)."""
