@@ -245,10 +245,14 @@ def k_core(graph: KG, k: int = 2, max_rounds: int = 50) -> DataFrame:
             break
         keep = (_pair_degrees(pairs).where(F.col('degree') >= k)
                 .select('node_id'))
+        # merge-pinned per-round semi-joins (same rationale as the
+        # PageRank rank table: 'keep' is O(n) and fresh each peel round)
         pairs = (
             pairs
+            .hint('merge')
             .join(keep.select(F.col('node_id').alias('a')),
                   on='a', how='leftsemi')
+            .hint('merge')
             .join(keep.select(F.col('node_id').alias('b')),
                   on='b', how='leftsemi')
             .localCheckpoint(eager=True)
@@ -568,8 +572,9 @@ def weighted_shortest_paths(graph: KG, cost_col: str, sources,
         F.lit(0.0).alias('dist')).localCheckpoint(eager=True)
     for _ in range(max_rounds):
         cand = (
-            dist.join(edges.withColumnRenamed('source_id', 'node_id'),
-                      on='node_id')
+            dist.hint('merge')
+            .join(edges.withColumnRenamed('source_id', 'node_id'),
+                  on='node_id')
             .select('origin', F.col('target_id').alias('node_id'),
                     (F.col('dist') + F.col('cost')).alias('dist'))
         )
@@ -580,7 +585,7 @@ def weighted_shortest_paths(graph: KG, cost_col: str, sources,
             .localCheckpoint(eager=True)
         )
         improved = (
-            new_dist.join(
+            new_dist.hint('merge').join(
                 dist.select('origin', 'node_id',
                             F.col('dist').alias('old')),
                 on=['origin', 'node_id'], how='left')
@@ -643,13 +648,16 @@ def random_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
             ':', F.lit(str(seed)), F.col('walk_id'), F.lit(str(t)),
             F.col('node'))
         idx = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast('long')
+        # merge-pinned: the walk frontier is O(walks) and fresh per
+        # step — a size-threshold broadcast would re-ship it every step
         stepped = (
-            cur.join(outdeg.withColumnRenamed('source_id', 'node'),
-                     on='node')
+            cur.hint('merge')
+            .join(outdeg.withColumnRenamed('source_id', 'node'),
+                  on='node')
             .select('walk_id',
                     F.col('node').alias('source_id'),
                     F.pmod(idx, F.col('outdeg')).alias('rn'))
-            .join(nb, on=['source_id', 'rn'])
+            .hint('merge').join(nb, on=['source_id', 'rn'])
             .select('walk_id', F.col('target_id').alias('node'),
                     F.lit(t).alias('step'))
         )
@@ -706,21 +714,22 @@ def strongly_connected_components(graph: KG, max_rounds: int = 30,
             .localCheckpoint(eager=True)
         for _p in range(max_prop_rounds):
             incoming = (
-                act_edges.join(
+                act_edges.hint('merge').join(
                     colors.withColumnRenamed('node_id', 'source_id'),
                     on='source_id')
                 .groupBy(F.col('target_id').alias('node_id'))
                 .agg(F.min('color').alias('in_color'))
             )
             new_colors = (
-                colors.join(incoming, on='node_id', how='left')
+                colors.hint('merge').join(incoming, on='node_id',
+                                          how='left')
                 .select('node_id',
                         F.least('color', F.coalesce('in_color', 'color'))
                         .alias('color'))
                 .localCheckpoint(eager=True)
             )
             n_changed = (
-                new_colors.join(
+                new_colors.hint('merge').join(
                     colors.withColumnRenamed('color', 'old_color'),
                     on='node_id')
                 .where(F.col('color') != F.col('old_color')).count())
@@ -737,7 +746,7 @@ def strongly_connected_components(graph: KG, max_rounds: int = 30,
         n_marked = marked.count()
         for _p in range(max_prop_rounds):
             reach_back = (
-                act_edges.join(
+                act_edges.hint('merge').join(
                     marked.withColumnRenamed('node_id', 'target_id'),
                     on='target_id')
                 .select(F.col('source_id').alias('node_id'),
@@ -892,6 +901,7 @@ def _brandes_partial(graph: KG, edges: DataFrame, sources: DataFrame,
     for t in range(1, max_hops + 1):
         nxt = (
             dag.where(F.col('du') == t - 1)
+            .hint('merge')
             .join(sig_layers[-1].select(
                 'origin', F.col('node').alias('u'), 'sigma'),
                 on=['origin', 'u'])
@@ -913,15 +923,17 @@ def _brandes_partial(graph: KG, edges: DataFrame, sources: DataFrame,
     for t in range(maxd - 1, -1, -1):
         down = (
             dag.where(F.col('du') == t)
+            .hint('merge')
             .join(sigma.select('origin', F.col('node').alias('u'),
                                F.col('sigma').alias('sig_u')),
                   on=['origin', 'u'])
+            .hint('merge')
             .join(sigma.select('origin', F.col('node').alias('v'),
                                F.col('sigma').alias('sig_v')),
                   on=['origin', 'v'])
         )
         if delta_next is not None:
-            down = down.join(
+            down = down.hint('merge').join(
                 delta_next.select('origin', F.col('node').alias('v'),
                                   F.col('delta').alias('delta_w')),
                 on=['origin', 'v'], how='left')
@@ -974,8 +986,8 @@ def k_truss(graph: KG, k: int = 4, max_rounds: int = 50) -> DataFrame:
         e2 = pairs.select(F.col('a').alias('x'), F.col('b').alias('c'))
         e3 = pairs.select(F.col('a').alias('a'), F.col('b').alias('c'))
         tri = (
-            e1.join(e2, on='x')
-            .join(e3, on=['a', 'c'])
+            e1.hint('merge').join(e2, on='x')
+            .hint('merge').join(e3, on=['a', 'c'])
             .select('a', F.col('x').alias('b'), 'c')
         )
         sup = (
@@ -987,7 +999,7 @@ def k_truss(graph: KG, k: int = 4, max_rounds: int = 50) -> DataFrame:
             .groupBy('x', 'y').agg(F.count(F.lit(1)).alias('support'))
         )
         kept = (
-            pairs.join(
+            pairs.hint('merge').join(
                 sup.where(F.col('support') >= k - 2)
                 .select(F.col('x').alias('a'), F.col('y').alias('b')),
                 on=['a', 'b'], how='leftsemi')
@@ -1202,8 +1214,9 @@ def label_propagation_communities(graph: KG,
         .localCheckpoint(eager=True)
     for _ in range(n_iterations):
         counts = (
-            adj.join(labels.select(F.col('node_id').alias('nb'),
-                                   'community'), on='nb')
+            adj.hint('merge')
+            .join(labels.select(F.col('node_id').alias('nb'),
+                                'community'), on='nb')
             .groupBy('node_id', 'community')
             .agg(F.count(F.lit(1)).alias('cnt'))
         )
@@ -1215,7 +1228,7 @@ def label_propagation_communities(graph: KG,
             .select('node_id', F.col('s.community').alias('new_community'))
         )
         labels = (
-            labels.join(best, on='node_id', how='left')
+            labels.hint('merge').join(best, on='node_id', how='left')
             .select('node_id',
                     F.coalesce('new_community', 'community')
                     .alias('community'))

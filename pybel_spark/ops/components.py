@@ -63,9 +63,12 @@ def min_label_propagation(nodes: DataFrame, edges: DataFrame,
 
     n_changed = 0
     for _ in range(max_iterations):
+        # merge-pinned per-round joins: the label table is O(n) and
+        # fresh each round (PageRank rationale — never re-broadcast it)
         neighbor_min = (
-            sym.join(labels.withColumnRenamed('node_id', 'source_id'),
-                     on='source_id')
+            sym.hint('merge')
+            .join(labels.withColumnRenamed('node_id', 'source_id'),
+                  on='source_id')
             .groupBy(F.col('target_id').alias('node_id'))
             .agg(F.min('component').alias('neighbor_component'))
         )
@@ -73,14 +76,16 @@ def min_label_propagation(nodes: DataFrame, edges: DataFrame,
         # ids, so one self-join compresses min-pointer paths by half per
         # round (O(log diameter) total rounds)
         shortcut = (
-            labels.alias('a')
+            labels.alias('a').hint('merge')
             .join(labels.alias('b'),
                   F.col('a.component') == F.col('b.node_id'))
             .select(F.col('a.node_id').alias('node_id'),
                     F.col('b.component').alias('grand_component'))
         )
         new_labels = (
-            labels.join(neighbor_min, on='node_id', how='left')
+            labels.hint('merge')
+            .join(neighbor_min, on='node_id', how='left')
+            .hint('merge')
             .join(shortcut, on='node_id', how='left')
             .select(
                 'node_id',
@@ -92,7 +97,7 @@ def min_label_propagation(nodes: DataFrame, edges: DataFrame,
         )
         new_labels = new_labels.localCheckpoint(eager=True)
         n_changed = (
-            new_labels.alias('n')
+            new_labels.alias('n').hint('merge')
             .join(labels.alias('o'), on='node_id')
             .where(F.col('n.component') != F.col('o.component'))
             .count()

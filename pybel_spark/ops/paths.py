@@ -34,8 +34,11 @@ def bfs_distances(graph: KG, sources, max_hops=6, directed=True) -> DataFrame:
         'origin', F.col('origin').alias('node_id'), F.lit(0).alias('distance'))
     frontier = distances
     for hop in range(1, max_hops + 1):
+        # merge-pinned: frontier and visited sets are fresh per hop —
+        # a size-threshold broadcast would re-ship them every round
         neighbors = (
             frontier
+            .hint('merge')
             .join(edges.withColumnRenamed('source_id', 'node_id'), on='node_id')
             .select('origin', F.col('target_id').alias('node_id'),
                     F.lit(hop).alias('distance'))
@@ -43,8 +46,9 @@ def bfs_distances(graph: KG, sources, max_hops=6, directed=True) -> DataFrame:
         )
         # localCheckpoint truncates the iterative lineage — without it every
         # round re-evaluates the whole union chain from the source scan
-        new = neighbors.join(distances.select('origin', 'node_id'),
-                             on=['origin', 'node_id'], how='leftanti') \
+        new = neighbors.hint('merge') \
+            .join(distances.select('origin', 'node_id'),
+                  on=['origin', 'node_id'], how='leftanti') \
             .localCheckpoint()
         if new.isEmpty():
             break
