@@ -260,3 +260,70 @@ def leakage_safe_splits(docs: DataFrame, clusters: DataFrame,
     return assign_splits(joined, fractions, id_col=id_col, seed=seed,
                          key_col='_split_key') \
         .drop('_rep', '_split_key')
+
+
+def doremi_weights(docs: DataFrame, ref_docs: DataFrame, n_rounds: int = 5,
+                   eta: float = 1.0, smoothing: float = 0.01,
+                   n_buckets: int = 512, source_col='source',
+                   text_col='text') -> DataFrame:
+    """DoReMi-style domain mixture reweighting (Xie et al. 2023,
+    arXiv:2305.10429): multiplicative-weights rounds that upweight
+    domains with positive EXCESS loss — domains the current mixture
+    models worse than the reference model does — yielding the (source,
+    weight) table a pretraining sampler consumes.
+
+    Documented simplification (no neural proxy training in a SQL-
+    mirrorable engine): both models are add-one-smoothed hashed
+    uni+bigram unigram models (the DSIR feature space, md5 buckets).
+    The REFERENCE model is fit on ``ref_docs``; the round-t PROXY is the
+    current mixture-weighted blend of per-domain distributions
+    q_t(b) = Σ_d w_d·p_d(b). Per round:
+
+        L_d(q)   = −Σ_b c_db·ln q(b) / N_d        (per-token loss)
+        excess_d = max(0, L_d(q_t) − L_d(p_ref))
+        w ∝ w·exp(η·excess);  w ← (1−s)·w + s/K    (uniform smoothing)
+
+    Scale: ONE Arrow pass over each corpus folds the gram stream into a
+    (K domains × n_buckets) count table (map-side, tiny exchange); the
+    T-round update is driver-side numpy over that K×B matrix — no
+    per-round corpus pass, unlike the neural original. Deterministic;
+    the DuckDB oracle unrolls the same T rounds in SQL.
+    """
+    import numpy as np
+
+    from .dsir import _doc_bucket_counts, bucket_distribution
+
+    per_domain = (
+        _doc_bucket_counts(docs, source_col, text_col, n_buckets)
+        .groupBy(F.col('doc_id').alias('source'), 'bucket')
+        .agg(F.sum('n').alias('n'))
+        .collect())
+    sources = sorted({r['source'] for r in per_domain})
+    k = len(sources)
+    idx = {s: i for i, s in enumerate(sources)}
+    c = np.zeros((k, n_buckets), dtype=np.int64)
+    for r in per_domain:
+        c[idx[r['source']], r['bucket']] = r['n']
+    n_d = c.sum(axis=1)
+
+    r_cnt = np.zeros(n_buckets, dtype=np.int64)
+    for r in bucket_distribution(ref_docs, text_col=text_col,
+                                 n_buckets=n_buckets).collect():
+        r_cnt[r['bucket']] = r['cnt']
+    p_ref = (r_cnt + 1.0) / float(int(r_cnt.sum()) + n_buckets)
+    p_d = (c + 1.0) / (n_d + float(n_buckets))[:, None]
+
+    l_ref = -(c * np.log(p_ref)).sum(axis=1) / n_d
+    w = np.full(k, 1.0 / k)
+    for _ in range(n_rounds):
+        q = w @ p_d
+        l_mix = -(c * np.log(q)).sum(axis=1) / n_d
+        excess = np.maximum(l_mix - l_ref, 0.0)
+        w = w * np.exp(eta * excess)
+        w = w / w.sum()
+        w = (1.0 - smoothing) * w + smoothing / k
+
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [(s, float(w[idx[s]])) for s in sources],
+        'source string, weight double')

@@ -300,3 +300,31 @@ class TestLeakageSafeSplits:
         b = {r['doc_id']: r['split'] for r in
              assign_splits(docs).collect()}
         assert a == b
+
+
+def test_doremi_upweights_reference_aligned_domain(spark):
+    """DoReMi rounds: the domain the reference model covers well (low
+    L_ref, positive excess under the uniform-start mixture) gains
+    weight; the junk domain (high L_ref → excess clamped at 0) loses
+    relative weight. Deterministic across reruns."""
+    from pybel_spark.textops import mixture
+
+    sci = 'theorem proof lemma corollary axiom derivation'
+    web = 'click here buy now subscribe deal offer'
+    junk = 'zq xv qq kjz vvx wpt zzz qxq'
+    rows = ([(i, sci, 'sci') for i in range(20)]
+            + [(100 + i, web, 'web') for i in range(20)]
+            + [(200 + i, junk, 'junk') for i in range(20)])
+    docs = spark.createDataFrame(
+        rows, 'doc_id int, text string, source string')
+    ref = docs.where(F.col('source') == 'sci').select(
+        'doc_id', 'text', 'source')
+    w = {r['source']: r['weight']
+         for r in mixture.doremi_weights(docs, ref, n_rounds=4,
+                                         n_buckets=256).collect()}
+    assert abs(sum(w.values()) - 1.0) < 1e-9
+    assert w['sci'] > w['junk']
+    w2 = {r['source']: r['weight']
+          for r in mixture.doremi_weights(docs, ref, n_rounds=4,
+                                          n_buckets=256).collect()}
+    assert w == w2
