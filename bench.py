@@ -407,6 +407,19 @@ def main():
               bdocs, bdocs.filter(F.abs(F.xxhash64('url')) % 4 == 0),
               id_col='url').agg(F.sum('log_weight')).collect())
 
+    # DoReMi domain reweighting over the full multiplied corpus: two
+    # Arrow gram folds (domains keyed by a synthetic 20-way source) +
+    # driver-side multiplicative-weights rounds on the K×B matrix
+    from pybel_spark.textops import mixture as _mixture2
+    _src_docs = bdocs.withColumn(
+        'source', F.concat(F.lit('s'),
+                           (F.abs(F.xxhash64('url')) % 20).cast('string')))
+    timed(queries, 'corpus_doremi_weights',
+          lambda: _mixture2.doremi_weights(
+              _src_docs, _src_docs.filter(
+                  F.abs(F.xxhash64('url')) % 4 == 0),
+              n_rounds=3).count())
+
     # host link graph over the full multiplied corpus: anchors
     # synthesized from a url hash (997 hosts), extraction+resolution
     # fused into the scan, ONE (src_host, dst_host) exchange

@@ -63,7 +63,8 @@ def gram_bucket(gram: Column, n_buckets: int = DEFAULT_BUCKETS) -> Column:
 
 
 def _doc_bucket_counts(docs: DataFrame, id_col: str, text_col: str,
-                       n_buckets: int) -> DataFrame:
+                       n_buckets: int,
+                       combine_keys: bool = False) -> DataFrame:
     """(doc_id, bucket, n) hashed-gram profile per document as ONE Arrow
     mapInPandas stage — the fold of _gram_stream's explode→groupBy.
 
@@ -75,7 +76,15 @@ def _doc_bucket_counts(docs: DataFrame, id_col: str, text_col: str,
     are complete — no per-doc exchange is needed downstream; output size
     is Σ min(grams_d, n_buckets) rows. Bucket = first 8 md5 hex chars of
     the utf-8 gram mod n_buckets, digit-for-digit the gram_bucket column
-    (and the DuckDB oracle)."""
+    (and the DuckDB oracle).
+
+    ``combine_keys=True`` accumulates ONE counter per distinct id value
+    per batch instead of per row — for low-cardinality keys (a 20-way
+    ``source`` domain label) the stage then emits ≤ K×n_buckets rows per
+    batch instead of one run per document, collapsing the downstream
+    partial-agg input by orders of magnitude (DoReMi's shape). Counts
+    are then per-(key, batch) partials, so a groupBy(key) rollup is
+    still required downstream."""
     from pyspark.sql import types as T
 
     from .quality import _JAVA_WS_RE
@@ -105,6 +114,7 @@ def _doc_bucket_counts(docs: DataFrame, id_col: str, text_col: str,
             uni_cache = {}
             bi_cache = {}
             ids, buckets, ns = [], [], []
+            combined = {}
             for doc_id, text in zip(pdf['doc_id'], pdf['__text']):
                 toks = [t.lower() for t in
                         _JAVA_WS_RE.split(text.strip(' '))]
@@ -113,8 +123,19 @@ def _doc_bucket_counts(docs: DataFrame, id_col: str, text_col: str,
                 pairs = list(zip(toks, toks[1:]))
                 for p in set(pairs).difference(bi_cache):
                     bi_cache[p] = bucket_of(p[0] + ' ' + p[1])
-                cnt = Counter(map(uni_cache.__getitem__, toks))
+                if combine_keys:
+                    cnt = combined.get(doc_id)
+                    if cnt is None:
+                        cnt = combined[doc_id] = Counter()
+                else:
+                    cnt = Counter()
+                cnt.update(map(uni_cache.__getitem__, toks))
                 cnt.update(map(bi_cache.__getitem__, pairs))
+                if not combine_keys:
+                    ids.extend([doc_id] * len(cnt))
+                    buckets.extend(cnt.keys())
+                    ns.extend(cnt.values())
+            for doc_id, cnt in combined.items():
                 ids.extend([doc_id] * len(cnt))
                 buckets.extend(cnt.keys())
                 ns.extend(cnt.values())
@@ -128,8 +149,15 @@ def _doc_bucket_counts(docs: DataFrame, id_col: str, text_col: str,
 
 def bucket_distribution(docs: DataFrame, id_col='doc_id', text_col='text',
                         n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
-    """(bucket, cnt) hashed-gram histogram — at most ``n_buckets`` rows."""
-    return (_doc_bucket_counts(docs, id_col, text_col, n_buckets)
+    """(bucket, cnt) hashed-gram histogram — at most ``n_buckets`` rows.
+    ``id_col`` is accepted for signature compatibility but unused: the
+    Arrow stage folds the whole batch into one counter (constant key),
+    so each batch emits ≤ n_buckets partial rows regardless of corpus
+    size."""
+    keyed = docs.select(F.lit(0).cast('long').alias('__k'),
+                        F.col(text_col).alias('__t'))
+    return (_doc_bucket_counts(keyed, '__k', '__t', n_buckets,
+                               combine_keys=True)
             .groupBy('bucket').agg(F.sum('n').alias('cnt')))
 
 

@@ -294,7 +294,8 @@ def doremi_weights(docs: DataFrame, ref_docs: DataFrame, n_rounds: int = 5,
     from .dsir import _doc_bucket_counts, bucket_distribution
 
     per_domain = (
-        _doc_bucket_counts(docs, source_col, text_col, n_buckets)
+        _doc_bucket_counts(docs, source_col, text_col, n_buckets,
+                           combine_keys=True)
         .groupBy(F.col('doc_id').alias('source'), 'bucket')
         .agg(F.sum('n').alias('n'))
         .collect())
