@@ -615,20 +615,23 @@ def random_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
     as textops.mixture.sampling_hash. Walks stop early at nodes with no
     out-edges (the inner join drops them).
 
-    Scale: the neighbor rank is a per-source window (partitioned, no global
-    sort, computed once); each step is two equi-joins keyed by the current
-    node (outdeg, then (source, rank)) — shuffle size is O(active walks),
-    never O(edges); localCheckpoint keeps step-t's plan flat. Hub skew is
-    bounded: a walk visits ONE neighbor regardless of outdeg, and AQE
-    handles the popular-node join skew.
+    Scale: out-neighbors are materialized ONCE as a per-node sorted
+    adjacency array (one groupBy over the edge set — same rank order as
+    the previous per-source row_number window, so walk values are
+    unchanged), and each step is then ONE merge-pinned equi-join keyed
+    by the current node plus an element_at — half the exchanges of the
+    earlier (outdeg, then (source, rank)) two-join round. Shuffle size
+    stays O(active walks), never O(edges); localCheckpoint keeps step
+    t's plan flat. Hub skew is bounded: a walk visits ONE neighbor
+    regardless of outdeg (the adjacency row of a 10^6-out-link
+    directory page is megabytes — large but a single row, and only
+    walk-visited nodes' rows are ever shuffled).
     """
     edges = graph.edges.select('source_id', 'target_id').distinct()
-    w = Window.partitionBy('source_id').orderBy('target_id')
-    nb = edges.select(
-        'source_id', 'target_id',
-        (F.row_number().over(w) - 1).alias('rn')).persist()
-    outdeg = nb.groupBy('source_id').agg(
-        F.count(F.lit(1)).alias('outdeg')).persist()
+    adj = (edges.groupBy('source_id')
+           .agg(F.array_sort(F.collect_list('target_id')).alias('nbrs'))
+           .withColumnRenamed('source_id', 'node')
+           .persist())
 
     starts = (
         graph.nodes.select('node_id')
@@ -652,13 +655,12 @@ def random_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
         # step — a size-threshold broadcast would re-ship it every step
         stepped = (
             cur.hint('merge')
-            .join(outdeg.withColumnRenamed('source_id', 'node'),
-                  on='node')
+            .join(adj, on='node')
             .select('walk_id',
-                    F.col('node').alias('source_id'),
-                    F.pmod(idx, F.col('outdeg')).alias('rn'))
-            .hint('merge').join(nb, on=['source_id', 'rn'])
-            .select('walk_id', F.col('target_id').alias('node'),
+                    F.element_at(
+                        F.col('nbrs'),
+                        (F.pmod(idx, F.size('nbrs')) + 1).cast('int'))
+                    .alias('node'),
                     F.lit(t).alias('step'))
         )
         cur = stepped.localCheckpoint(eager=True)
@@ -666,8 +668,7 @@ def random_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
     out = levels[0]
     for lvl in levels[1:]:
         out = out.unionByName(lvl)
-    nb.unpersist()
-    outdeg.unpersist()
+    adj.unpersist()
     return out
 
 
