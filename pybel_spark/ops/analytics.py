@@ -701,6 +701,129 @@ def random_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
     return out
 
 
+def node2vec_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
+                   p: float = 2.0, q: float = 0.5,
+                   seed: int = 0) -> DataFrame:
+    """Deterministic node2vec-biased walk corpus (Grover & Leskovec 2016):
+    (walk_id, step, node) rows like :func:`random_walks`, but from step 2
+    on the neighbor choice is SECOND-ORDER — having stepped u→v, candidate
+    x among v's out-neighbors is weighted 1/p if x == u (return), 1 if the
+    edge u→x exists (stay near u), else 1/q (explore). p>1,q<1 biases
+    outward (DFS-like, structural-equivalence corpora); the reverse biases
+    BFS-like (homophily corpora). The reference delegates graph embedding
+    corpora to in-memory networkx walks; this is the distributed
+    re-expression.
+
+    Determinism/oracle contract: the "random" draw at step t is
+    u = ('0x'||md5(seed:walk_id:t:v)[:8]) / 2^32 ∈ [0,1); the chosen
+    neighbor is the FIRST (by ascending target id) whose cumulative weight
+    reaches u * total_weight. With dyadic p and q (defaults 2.0 / 0.5 —
+    any power of two works) every weight, cumulative sum, and the
+    threshold product are dyadic rationals representable exactly in IEEE
+    doubles (numerators stay < 2^53 for out-degrees < 2^20), so the
+    unrolled DuckDB window-sum oracle matches bit-for-bit — the same
+    md5-threshold determinism contract as ``random_walks``.
+
+    Scale shape: one adjacency-array materialization, then per step ONE
+    merge-pinned self-pair of adjacency lookups — frontier joins adj on
+    the current node v (candidates) and on the previous node u (the u→x
+    existence probe via array_contains on u's sorted array). Shuffle
+    stays O(active walks); the per-row cost is O(outdeg(v) · outdeg(u))
+    worst-case on hub→hub transitions (flagged here: at true web scale a
+    bloom/sorted-probe per candidate would cap the inner scan; out-deg
+    8-ish corpora never see it).
+    """
+    edges = graph.edges.select('source_id', 'target_id').distinct()
+    adj = (edges.groupBy('source_id')
+           .agg(F.array_sort(F.collect_list('target_id')).alias('nbrs'))
+           .withColumnRenamed('source_id', 'node')
+           .persist())
+
+    starts = (
+        graph.nodes.select('node_id')
+        .select(
+            'node_id',
+            F.explode(F.array(
+                *[F.lit(i) for i in range(walks_per_node)])).alias('w_i'))
+        .select(
+            F.concat_ws('#', 'node_id', 'w_i').alias('walk_id'),
+            F.col('node_id').alias('node'))
+    )
+    cur = starts.select(
+        'walk_id', 'node', F.lit(None).cast('string').alias('prev'),
+        F.lit(0).alias('step')).localCheckpoint(eager=True)
+    levels = [cur.select('walk_id', 'node', 'step')]
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    for t in range(1, walk_length + 1):
+        key = F.concat_ws(
+            ':', F.lit(str(seed)), F.col('walk_id'), F.lit(str(t)),
+            F.col('node'))
+        u01 = (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast('double')
+               / F.lit(float(2 ** 32)))
+        with_nbrs = cur.hint('merge').join(adj, on='node')
+        if t == 1:
+            # first step has no previous node: uniform over out-neighbors,
+            # the exact random_walks draw (md5 mod outdeg)
+            idx = F.conv(
+                F.substring(F.md5(key), 1, 8), 16, 10).cast('long')
+            stepped = with_nbrs.select(
+                'walk_id',
+                F.element_at(
+                    F.col('nbrs'),
+                    (F.pmod(idx, F.size('nbrs')) + 1).cast('int'))
+                .alias('node'),
+                F.col('node').alias('prev'),
+                F.lit(t).alias('step'))
+        else:
+            prev_adj = adj.select(F.col('node').alias('prev'),
+                                  F.col('nbrs').alias('prev_nbrs'))
+            both = (with_nbrs.hint('merge')
+                    .join(prev_adj, on='prev', how='left')
+                    .withColumn('prev_nbrs', F.coalesce(
+                        'prev_nbrs', F.array().cast('array<string>'))))
+            w_of = lambda x: (
+                F.when(x == F.col('prev'), F.lit(inv_p))
+                .when(F.array_contains('prev_nbrs', x), F.lit(1.0))
+                .otherwise(F.lit(inv_q)))
+            weights = F.transform('nbrs', w_of)
+            total = F.aggregate(
+                weights, F.lit(0.0), lambda acc, w: acc + w)
+            # first index (1-based) whose running weight sum reaches the
+            # threshold: a single left-to-right fold — bit-identical to
+            # the oracle's ORDER BY-target window sum
+            thresh = (u01 * total).alias('thresh')
+            pick = F.aggregate(
+                weights,
+                F.struct(F.lit(0.0).alias('cum'),
+                         F.lit(0).alias('idx'),
+                         F.lit(0).alias('i'),
+                         thresh),
+                lambda acc, w: F.struct(
+                    (acc['cum'] + w).alias('cum'),
+                    F.when((acc['idx'] == 0)
+                           & (acc['cum'] + w >= acc['thresh']),
+                           acc['i'] + 1)
+                    .otherwise(acc['idx']).alias('idx'),
+                    (acc['i'] + 1).alias('i'),
+                    acc['thresh'].alias('thresh')),
+                # u01*total can equal total only at u01's dyadic
+                # boundaries; clamp to the last neighbor then
+                lambda acc: F.when(acc['idx'] == 0, acc['i'])
+                             .otherwise(acc['idx']))
+            stepped = both.select(
+                'walk_id',
+                F.element_at('nbrs', pick.cast('int')).alias('node'),
+                F.col('node').alias('prev'),
+                F.lit(t).alias('step'))
+        cur = stepped.localCheckpoint(eager=True)
+        levels.append(cur.select('walk_id', 'node', 'step'))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    adj.unpersist()
+    return out
+
+
 def strongly_connected_components(graph: KG, max_rounds: int = 30,
                                   max_prop_rounds: int = 64) -> DataFrame:
     """(node_id, scc_id) with ``scc_id`` = the minimum member id of the

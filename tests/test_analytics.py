@@ -388,6 +388,87 @@ def test_random_walks_stop_at_sinks(spark):
     assert sorted(by_walk['b#0']) == [(0, 'b')]
 
 
+def _py_node2vec(nodes, edges, walk_length, walks_per_node, p, q, seed=0):
+    """Independent pure-Python mirror of the documented node2vec draw —
+    the same logic the DuckDB oracle unrolls, implemented from the
+    docstring contract (not the Spark code)."""
+    import hashlib
+    adj = {}
+    for s, t in sorted(set(edges)):
+        adj.setdefault(s, []).append(t)
+    rows = []
+    for n in nodes:
+        for i in range(walks_per_node):
+            wid = '{}#{}'.format(n, i)
+            cur, prev = n, None
+            rows.append((wid, n, 0))
+            for t in range(1, walk_length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                h = int(hashlib.md5('{}:{}:{}:{}'.format(
+                    seed, wid, t, cur).encode()).hexdigest()[:8], 16)
+                if prev is None:
+                    nxt = nbrs[h % len(nbrs)]
+                else:
+                    pn = set(adj.get(prev, []))
+                    ws = [1.0 / p if x == prev
+                          else (1.0 if x in pn else 1.0 / q) for x in nbrs]
+                    tot = 0.0
+                    for w in ws:
+                        tot += w
+                    thresh = (h / 2 ** 32) * tot
+                    cum, pick = 0.0, None
+                    for j, w in enumerate(ws):
+                        cum += w
+                        if cum >= thresh:
+                            pick = j
+                            break
+                    if pick is None:
+                        pick = len(ws) - 1
+                    nxt = nbrs[pick]
+                rows.append((wid, nxt, t))
+                prev, cur = cur, nxt
+    return sorted(rows)
+
+
+def test_node2vec_walks_python_mirror_parity(kg):
+    got = sorted(
+        (r['walk_id'], r['node'], r['step'])
+        for r in analytics.node2vec_walks(
+            kg, walk_length=3, walks_per_node=2, p=2.0, q=0.5).collect())
+    nodes = [r['node_id'] for r in kg.nodes.select('node_id').collect()]
+    edges = [(r['source_id'], r['target_id'])
+             for r in kg.edges.select('source_id', 'target_id').collect()]
+    assert got == _py_node2vec(nodes, edges, 3, 2, 2.0, 0.5)
+
+
+def test_node2vec_extreme_p_never_returns(spark):
+    # a->b, b->a, b->c, c->a: after a->b the return edge b->a carries
+    # weight 1/p ~ 0 vs c's 1/q = 2, so step 2 must pick c for any draw
+    nodes = spark.createDataFrame(
+        [('a',), ('b',), ('c',)], 'node_id string')
+    edges = spark.createDataFrame(
+        [('a', 'b'), ('b', 'a'), ('b', 'c'), ('c', 'a')],
+        'source_id string, target_id string')
+    rows = analytics.node2vec_walks(
+        KG(nodes, edges), walk_length=2, walks_per_node=4,
+        p=float(2 ** 20), q=0.5).collect()
+    step2 = {(r['walk_id'], r['node']) for r in rows
+             if r['step'] == 2 and r['walk_id'].startswith('a#')}
+    assert step2 == {('a#{}'.format(i), 'c') for i in range(4)}
+
+
+def test_node2vec_uniform_pq_matches_random_walks_distributional(kg):
+    # p=q=1 makes every weight 1.0 — step 1 must equal random_walks
+    # exactly (identical uniform draw); later steps remain valid walks
+    n2v = analytics.node2vec_walks(kg, walk_length=1, walks_per_node=1,
+                                   p=1.0, q=1.0)
+    rw = analytics.random_walks(kg, walk_length=1, walks_per_node=1)
+    assert (sorted(map(tuple, n2v.collect()))
+            == sorted(map(tuple, rw.collect())))
+
+
 def test_scc_parity_networkx(kg):
     import networkx as nx
     nxg = nx.DiGraph()
