@@ -1026,51 +1026,70 @@ def _brandes_partial(graph: KG, edges: DataFrame, sources: DataFrame,
                      max_hops: int):
     """One Brandes forward+backward pass over a source group; returns
     (node_id, partial) dependency sums, or None if no source reaches
-    anything."""
-    from .paths import bfs_distances
+    anything.
 
-    d = bfs_distances(graph, sources, max_hops=max_hops).persist()
-    # shortest-path DAG per origin: u→v iff d(o,v) = d(o,u) + 1
-    du = d.select('origin', F.col('node_id').alias('u'),
-                  F.col('distance').alias('du'))
+    The forward BFS and the σ path-count sweep are FUSED: expanding
+    layer t-1's frontier already sums σ over same-layer predecessors
+    (an edge u→v with u first reached at t-1 contributes σ(u) iff v is
+    first reached at t, which the visited anti-join decides), so σ
+    falls out of the same frontier shuffle that discovers the layer —
+    the previous separate per-layer σ sweep and its max_hops join+agg
+    rounds are gone, and the frontier expansion itself rides the
+    per-node adjacency array (bfs_distances rewrite) instead of the
+    O(edges) pair table. Counts are identical exact int64."""
+    adj = (edges.groupBy(F.col('source_id').alias('node'))
+           .agg(F.collect_list('target_id').alias('nbrs'))
+           .persist())
+    layers = [
+        sources.select(F.col(sources.columns[0]).alias('origin'))
+        .select('origin', F.col('origin').alias('node'),
+                F.lit(1).cast('long').alias('sigma'))
+        .localCheckpoint(eager=True)
+    ]
+    visited = layers[0].select('origin', 'node').localCheckpoint(eager=True)
+    for t in range(1, max_hops + 1):
+        cand = (
+            layers[-1].hint('merge').join(adj, on='node')
+            .select('origin', F.explode('nbrs').alias('node'), 'sigma')
+            .groupBy('origin', 'node')
+            .agg(F.sum('sigma').alias('sigma'))
+        )
+        # merge-pinned: frontier and visited are fresh per hop
+        new = (cand.hint('merge')
+               .join(visited, on=['origin', 'node'], how='leftanti')
+               .localCheckpoint(eager=True))
+        if new.isEmpty():
+            break
+        layers.append(new)
+        visited = (visited.unionByName(new.select('origin', 'node'))
+                   .localCheckpoint(eager=True))
+    d = layers[0].select('origin', F.col('node').alias('node_id'),
+                         F.lit(0).alias('distance'))
+    for t in range(1, len(layers)):
+        d = d.unionByName(layers[t].select(
+            'origin', F.col('node').alias('node_id'),
+            F.lit(t).alias('distance')))
+    d = d.persist()
+    # shortest-path DAG per origin: u→v iff d(o,v) = d(o,u) + 1; the
+    # u-side expansion rides the adjacency array too
     dv = d.select('origin', F.col('node_id').alias('v'),
                   F.col('distance').alias('dv'))
     dag = (
-        edges.select(F.col('source_id').alias('u'),
-                     F.col('target_id').alias('v'))
-        .join(du, on='u')
+        d.select('origin', F.col('node_id').alias('u'),
+                 F.col('distance').alias('du'))
+        .join(adj.withColumnRenamed('node', 'u'), on='u')
+        .select('origin', 'u', 'du', F.explode('nbrs').alias('v'))
         .join(dv, on=['origin', 'v'])
         .where(F.col('dv') == F.col('du') + 1)
         .select('origin', 'u', 'v', 'du', 'dv')
         .persist()
     )
-    # forward sweep: σ by BFS layer (exact int64 path counts)
-    sig_layers = [
-        sources.select(F.col('node_id').alias('origin'),
-                       F.col('node_id').alias('node'),
-                       F.lit(1).cast('long').alias('sigma'))
-        .localCheckpoint(eager=True)
-    ]
-    for t in range(1, max_hops + 1):
-        nxt = (
-            dag.where(F.col('du') == t - 1)
-            .hint('merge')
-            .join(sig_layers[-1].select(
-                'origin', F.col('node').alias('u'), 'sigma'),
-                on=['origin', 'u'])
-            .groupBy('origin', F.col('v').alias('node'))
-            .agg(F.sum('sigma').alias('sigma'))
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        sig_layers.append(nxt)
-    sigma = sig_layers[0]
-    for lvl in sig_layers[1:]:
+    sigma = layers[0]
+    for lvl in layers[1:]:
         sigma = sigma.unionByName(lvl)
     sigma = sigma.persist()
     # backward sweep: δ(v) = Σ_{v→w in DAG} σ(v)/σ(w) · (1 + δ(w))
-    maxd = len(sig_layers) - 1
+    maxd = len(layers) - 1
     delta_next = None  # δ of layer t+1
     acc = None         # all (origin, node, delta) rows with distance ≥ 1
     for t in range(maxd - 1, -1, -1):
@@ -1109,6 +1128,7 @@ def _brandes_partial(graph: KG, edges: DataFrame, sources: DataFrame,
     else:
         out = (acc.groupBy(F.col('node').alias('node_id'))
                .agg(F.sum('delta').alias('partial')))
+    adj.unpersist()
     d.unpersist()
     dag.unpersist()
     sigma.unpersist()
