@@ -224,6 +224,25 @@ def main():
         ddocs, ranks=_ranks_32k).agg(
         F.sum('n_bpe_real_tokens')).collect())
 
+    # unigram-LM Viterbi over the vendored EM-trained vocab: same
+    # vocabulary-bounded shape as real-BPE (Arrow DP per distinct
+    # pre-token, one corpus shuffle)
+    from pybel_spark.textops.unigram import load_vocab, unigram_token_counts
+    _uni_vocab = load_vocab()
+    timed(queries, 'text_unigram_tokens', lambda: unigram_token_counts(
+        ddocs, vocab=_uni_vocab).agg(
+        F.sum('n_unigram_tokens')).collect())
+
+    # Bloom seen-set end-to-end: build over 2/3 of urls, pack to 63-bit
+    # words, probe every distinct url — the crawl-frontier dedup probe
+    from pybel_spark.textops import bloom as _bloom
+    import __spark_entry__ as _entry_mod
+    _bloom_pages = _entry_mod._synth_urls(spark, sf_dir)
+    timed(queries, 'web_url_seen_bloom', lambda: _bloom.seen_filter_report(
+        _bloom_pages.where(F.col('doc_id') % 3 != 0), _bloom_pages,
+        m_bits=1 << 20, k=3).agg(
+        F.sum(F.col('maybe_seen').cast('int'))).collect())
+
     # the headline `value` is the kg-pipeline e2e wall: the sum of the
     # per-query medians of the kg family (comparable across rounds)
     total = round(sum(queries[k] for k in (
@@ -474,6 +493,14 @@ def main():
     # is O(active walks) — the graph-embedding training-data job
     timed(queries, 'graph_walks_4m_edges_5steps', lambda: _an.random_walks(
         graph, walk_length=5, walks_per_node=1).count(), runs=1)
+
+    # node2vec second-order variant on the same graph: adds the
+    # previous-node adjacency probe per step (the p/q bias), so the
+    # per-step delta over the uniform walk IS the bias cost
+    timed(queries, 'graph_walks_node2vec_4m_edges_5steps',
+          lambda: _an.node2vec_walks(
+              graph, walk_length=5, walks_per_node=1,
+              p=2.0, q=0.5).count(), runs=1)
 
     # SCC via Orzan coloring: min-label fixpoints + peel — the
     # bowtie-structure decomposition at web-graph scale

@@ -523,6 +523,87 @@ def start_decontaminate_stream(spark, input_dir: str, out_dir: str,
     return writer.start()
 
 
+def start_frontier_stream(spark, input_dir: str, bloom_path: str,
+                          out_dir: str, m_bits: int = 1 << 20, k: int = 3,
+                          seed: int = 0, max_files_per_trigger=16,
+                          trigger_available_now=True):
+    """Crawl-frontier dedup AT INGEST: stream documents, flag each url
+    against the persisted Bloom seen-set (textops/bloom.py), append the
+    flags, then fold the batch's own urls into the filter. Batch and
+    streaming consumers share ONE incremental seen-set; novel urls are
+    the ``maybe_seen = false`` rows of ``frontier_flags``.
+
+    Idempotence is FREE here — stronger than both the marker pattern
+    (band/parse/kg indexes) and the partition-overwrite pattern
+    (decontaminate): the Bloom update is a bitwise OR, a semilattice
+    join, so a replayed micro-batch re-appends word rows that collapse
+    to the identical filter under the read-side ``bit_or`` group-by.
+    No marker, no overwrite, no replay window — at-least-once IS
+    exactly-once for the filter state. The flags output keeps the
+    partition-overwrite contract (``frontier_flags/ingest_batch=<id>/``)
+    so replayed batches replace rather than duplicate their rows.
+
+    Within-batch url duplicates are flagged against the PRE-batch
+    filter (probe happens before the fold), so two copies of a url in
+    one micro-batch both read as unseen — frontier granularity is the
+    micro-batch, and consumers dedup within a batch with the plain
+    ``dropDuplicates`` they already need for retry semantics.
+
+    Filter layout: ``bloom_path`` accumulates appended 63-bit packed
+    word rows (word_idx, word); serving ORs them per word_idx. At
+    10^10 seen urls that is ~2.3e8 OR-collapsed rows — compact files,
+    uniform join key, no driver-side state anywhere. The
+    ``params.json`` sidecar is a BOOTSTRAP/config marker ((m, k, seed)
+    of the accumulated bits), not a replay marker: it gates the
+    probe-vs-bootstrap branch the same way band_index_exists does. The
+    only batch that can crash between its append and the sidecar write
+    is the first ever — whose pre-batch filter was empty, so its replay
+    produces identical flags."""
+    from .textops.bloom import bloom_bits, bloom_pack, bloom_probe
+    from .textops.sidecar import sidecar_exists, write_json_sidecar
+
+    flags_path = os.path.join(out_dir, 'frontier_flags')
+    words_path = bloom_path.rstrip('/') + '/words'
+    params_marker = bloom_path.rstrip('/') + '/params.json'
+
+    def process_batch(batch_df, batch_id):
+        pages = batch_df.select('url').persist()
+        # existence probe, not try/except around the read: a transient
+        # FS error must fail (and retry) the batch, never misroute into
+        # the bootstrap branch and flag a whole batch unseen (the
+        # band-index lesson, code-review r5)
+        if sidecar_exists(spark, params_marker):
+            words = (spark.read.parquet(words_path)
+                     .groupBy('word_idx')
+                     .agg(F.expr('bit_or(word)').alias('word')))
+            flags = bloom_probe(words, pages.distinct(), col='url',
+                                m_bits=m_bits, k=k, seed=seed)
+        else:
+            flags = pages.distinct().select(
+                'url', F.lit(False).alias('maybe_seen'))
+        flags.write.mode('overwrite').parquet(
+            '{}/ingest_batch={}'.format(flags_path, batch_id))
+        # fold AFTER probing: append is OR-idempotent, so no marker
+        bloom_pack(bloom_bits(pages, col='url', m_bits=m_bits, k=k,
+                              seed=seed), m_bits) \
+            .write.mode('append').parquet(words_path)
+        if not sidecar_exists(spark, params_marker):
+            write_json_sidecar(spark, params_marker,
+                               {'m_bits': m_bits, 'k': k, 'seed': seed})
+        pages.unpersist()
+
+    writer = (
+        read_document_stream(spark, input_dir, max_files_per_trigger)
+        .writeStream
+        .foreachBatch(process_batch)
+        .option('checkpointLocation',
+                os.path.join(out_dir, 'frontier_checkpoint'))
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_kg_index_stream(spark, input_dir: str, index_path: str,
                           catalog=None, compiler_options=None,
                           max_files_per_trigger=16,

@@ -629,3 +629,70 @@ def test_session_window_tie_semantics(spark, tmp_path):
         os.path.join(out_dir, 'sessions')).collect() if r['user_id'] == 7]
     # session_window merges the boundary tie exactly like the batch op
     assert sorted(r['n_events'] for r in got) == [2]
+
+
+def test_frontier_stream_matches_batch_bloom(spark, dirs, tmp_path):
+    """Two stream waves against the SHARED persisted Bloom seen-set:
+    wave-2 flags must equal the batch bloom_probe over wave-1's urls
+    (zero false negatives for re-crawled urls, deterministic FPs for
+    novel ones), and the OR-idempotent filter must equal a batch
+    rebuild over everything streamed."""
+    import pyspark.sql.functions as F
+
+    from pybel_spark.streaming import start_frontier_stream
+    from pybel_spark.textops import bloom
+
+    bloom_path = str(tmp_path / 'seen_bloom')
+    m_bits, k = 1 << 16, 3
+
+    docs1 = generate_documents(spark, 40, partitions=2).persist()
+    docs1.write.mode('append').parquet(dirs['input'])
+    q = start_frontier_stream(spark, dirs['input'], bloom_path,
+                              dirs['out'], m_bits=m_bits, k=k)
+    q.awaitTermination(180)
+
+    flags_path = os.path.join(dirs['out'], 'frontier_flags')
+    first = {r['url']: r['maybe_seen']
+             for r in spark.read.parquet(flags_path).collect()}
+    # bootstrap wave: nothing was seen before
+    assert set(first) == {r['url'] for r in docs1.select('url').collect()}
+
+    # wave 2: 20 re-crawled urls + 30 novel ones
+    docs2 = generate_documents(spark, 70, partitions=2) \
+        .where(F.split(F.col('url'), '/').getItem(4).cast('int') >= 20) \
+        .persist()
+    docs2.write.mode('append').parquet(dirs['input'])
+    q2 = start_frontier_stream(spark, dirs['input'], bloom_path,
+                               dirs['out'], m_bits=m_bits, k=k)
+    q2.awaitTermination(180)
+
+    all_flags = spark.read.parquet(flags_path)
+    last_batch = all_flags.agg(F.max('ingest_batch')).collect()[0][0]
+    flags2 = {r['url']: r['maybe_seen']
+              for r in all_flags.where(
+                  F.col('ingest_batch') == last_batch).collect()}
+    # expected: batch probe of wave-2 urls against a filter built from
+    # wave-1 urls only
+    words1 = bloom.bloom_pack(bloom.bloom_bits(
+        docs1.select('url'), col='url', m_bits=m_bits, k=k), m_bits)
+    want = {r['url']: r['maybe_seen']
+            for r in bloom.bloom_probe(
+                words1, docs2.select('url').distinct(), col='url',
+                m_bits=m_bits, k=k).collect()}
+    for url, expect in want.items():
+        assert flags2[url] == expect
+    seen1 = {r['url'] for r in docs1.select('url').collect()}
+    assert all(want[u] for u in want if u in seen1)  # no false negatives
+    assert any(not want[u] for u in want)            # novel urls surface
+
+    # the streamed filter (OR of both waves' appends) equals a batch
+    # rebuild over everything streamed — replay/merge idempotence
+    streamed = {(r['word_idx'], r['word'])
+                for r in spark.read.parquet(bloom_path + '/words')
+                .groupBy('word_idx')
+                .agg(F.expr('bit_or(word)').alias('word')).collect()}
+    rebuilt = {(r['word_idx'], r['word'])
+               for r in bloom.bloom_pack(bloom.bloom_bits(
+                   docs1.select('url').unionByName(docs2.select('url')),
+                   col='url', m_bits=m_bits, k=k), m_bits).collect()}
+    assert streamed == rebuilt
