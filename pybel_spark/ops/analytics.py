@@ -861,16 +861,26 @@ def strongly_connected_components(graph: KG, max_rounds: int = 30,
     for _ in range(max_rounds):
         if n_active == 0:
             break
+        # both fixpoints below run MANY rounds against this peel
+        # iteration's (static) edge set, so the adjacency-array
+        # materializations (PLANS.md §31) amortize: forward propagation
+        # pushes colors along out-edges, backward marking pulls along
+        # in-edges — one array table per direction per peel round
+        out_adj = (act_edges.groupBy(F.col('source_id').alias('node_id'))
+                   .agg(F.collect_list('target_id').alias('targets'))
+                   .persist())
+        in_adj = (act_edges.groupBy(F.col('target_id').alias('node_id'))
+                  .agg(F.collect_list('source_id').alias('sources'))
+                  .persist())
         # 1. forward min-label fixpoint
         colors = act_nodes.select(
             'node_id', F.col('node_id').alias('color')) \
             .localCheckpoint(eager=True)
         for _p in range(max_prop_rounds):
             incoming = (
-                act_edges.hint('merge').join(
-                    colors.withColumnRenamed('node_id', 'source_id'),
-                    on='source_id')
-                .groupBy(F.col('target_id').alias('node_id'))
+                out_adj.hint('merge').join(colors, on='node_id')
+                .select(F.explode('targets').alias('node_id'), 'color')
+                .groupBy('node_id')
                 .agg(F.min('color').alias('in_color'))
             )
             new_colors = (
@@ -899,10 +909,8 @@ def strongly_connected_components(graph: KG, max_rounds: int = 30,
         n_marked = marked.count()
         for _p in range(max_prop_rounds):
             reach_back = (
-                act_edges.hint('merge').join(
-                    marked.withColumnRenamed('node_id', 'target_id'),
-                    on='target_id')
-                .select(F.col('source_id').alias('node_id'),
+                in_adj.hint('merge').join(marked, on='node_id')
+                .select(F.explode('sources').alias('node_id'),
                         F.col('color').alias('mark_color'))
                 .distinct()
             )
@@ -924,6 +932,8 @@ def strongly_connected_components(graph: KG, max_rounds: int = 30,
             raise RuntimeError(
                 'scc backward marking did not converge within '
                 'max_prop_rounds=%d' % max_prop_rounds)
+        out_adj.unpersist()
+        in_adj.unpersist()
         scc_rows = marked.select('node_id', F.col('color').alias('scc_id'))
         assigned = scc_rows if assigned is None \
             else assigned.unionByName(scc_rows)

@@ -481,3 +481,71 @@ def test_semdedup_salted_exchange_carries_no_vector(spark):
     assert salted, plan
     for cols in salted:
         assert not any(v in cols for v in VEC_COLS), cols
+
+
+def test_bfs_result_plan_is_flat_checkpoint_union(spark):
+    """bfs_distances: every hop is localCheckpoint-truncated, so the
+    RETURNED plan must be nothing but a union over checkpointed RDD
+    scans — no joins, no exchanges, no re-evaluation of the hop chain.
+    The per-hop adjacency/explode expansion itself is pinned by
+    test_frontier_hop_shape on the live (pre-checkpoint) hop plan."""
+    from pybel_spark.ops import KG, analytics
+    from pybel_spark.ops.paths import bfs_distances
+
+    nodes, edges = analytics.synthetic_skewed_graph(spark, 2000, 4)
+    out = bfs_distances(KG(nodes, edges), nodes.limit(3), max_hops=3)
+    plan = physical_plan(out)
+    assert 'Scan ExistingRDD' in plan, plan
+    assert n_exchanges(plan) == 0, plan
+    assert 'Join' not in plan, plan
+
+
+def test_frontier_hop_shape(spark):
+    """The PLANS.md §31 hop contract, asserted on a LIVE hop plan (the
+    operators checkpoint-truncate theirs): frontier ⋈ adjacency-array +
+    explode must compile to one SortMergeJoin followed by a Generate —
+    no broadcast of the frontier, no shuffle of an O(edges) pair table.
+    Built with the exact expressions bfs_distances/_power_iteration use."""
+    from pybel_spark.ops import analytics
+
+    nodes, edges = analytics.synthetic_skewed_graph(spark, 2000, 4)
+    adj = (edges.select('source_id', 'target_id').distinct()
+           .groupBy(F.col('source_id').alias('node_id'))
+           .agg(F.collect_list('target_id').alias('nbrs')))
+    frontier = nodes.select('node_id', F.lit(0).alias('distance'))
+    hop = (frontier.hint('merge').join(adj, on='node_id')
+           .select(F.explode('nbrs').alias('node_id'),
+                   F.lit(1).alias('distance')))
+    plan = physical_plan(hop)
+    assert 'SortMergeJoin' in plan, plan
+    assert 'BroadcastHashJoin' not in plan, plan
+    assert 'Generate explode' in plan, plan
+
+
+def test_betweenness_plan_no_broadcast_state(spark):
+    """Brandes (PLANS.md §32): frontier/σ/δ state joins are merge-pinned
+    — no BroadcastHashJoin anywhere in the final plan regardless of the
+    session broadcast threshold."""
+    from pybel_spark.ops import KG, analytics
+
+    nodes, edges = analytics.synthetic_skewed_graph(spark, 2000, 4)
+    out = analytics.betweenness_centrality(
+        KG(nodes, edges), max_hops=4, source_fraction=0.01)
+    plan = physical_plan(out)
+    assert 'BroadcastHashJoin' not in plan, plan
+
+
+def test_node2vec_result_plan_flat_and_jvm_only(spark):
+    """node2vec_walks: per-step plans are checkpoint-truncated (the
+    returned union must be scan-only, like BFS), and nothing anywhere in
+    the operator drops to Python — the second-order weight fold is pure
+    column algebra (aggregate/transform higher-order functions)."""
+    from pybel_spark.ops import KG, analytics
+
+    nodes, edges = analytics.synthetic_skewed_graph(spark, 2000, 4)
+    out = analytics.node2vec_walks(KG(nodes, edges), walk_length=3,
+                                   walks_per_node=1)
+    plan = physical_plan(out)
+    assert 'Scan ExistingRDD' in plan, plan
+    assert n_exchanges(plan) == 0, plan
+    assert 'MapInPandas' not in plan and 'BatchEvalPython' not in plan, plan
