@@ -227,6 +227,64 @@ def em_expected_counts(word_counts: DataFrame, vocab: dict,
         F.sum('exp_count').alias('exp_count'))
 
 
+def train_unigram_spark(word_counts: DataFrame, vocab_size: int = 2000,
+                        seed_size: int = 8000, n_rounds: int = 4,
+                        shrink: float = 0.75,
+                        max_piece_len: int = MAX_PIECE_LEN) -> dict:
+    """Distributed trainer over a (word, n) DataFrame — the
+    10^8-distinct-word path. Same EM/pruning schedule as
+    :func:`train_unigram`; the E-step is :func:`em_expected_counts`
+    (Arrow forward-backward, one vocab-sized groupBy per round) and the
+    seed statistic is a JVM-side substring explode. Only
+    vocabulary-sized tables ever reach the driver (the vocab dict ships
+    to executors in the task closure each round). Expected counts from
+    the distributed sum may differ from the driver reference in final
+    bits (partition-order float addition), so pruning ties can resolve
+    differently on adversarially-close counts — tested equal-within-rel
+    vs the reference on well-separated corpora."""
+    import math as _math
+
+    wc = word_counts.select(F.col('word').cast('string').alias('word'),
+                            F.col('n').cast('long').alias('n')).persist()
+    # seed: count-weighted substring frequencies, JVM-side
+    subs = wc.select(
+        F.explode(F.expr(
+            'flatten(transform(sequence(1, length(word)), i ->'
+            ' transform(sequence(i, least(length(word), i + {L} - 1)),'
+            ' j -> substring(word, i, j - i + 1))))'
+            .format(L=max_piece_len))).alias('piece'),
+        'n')
+    freq = (subs.groupBy('piece').agg(F.sum('n').alias('freq'))
+            .orderBy(F.desc('freq'), 'piece').limit(seed_size).collect())
+    chars = {r['piece']: r['freq'] for r in
+             subs.where(F.length('piece') == 1)
+             .groupBy('piece').agg(F.sum('n').alias('freq')).collect()}
+    total = float(sum(r['freq'] for r in freq))
+    vocab = {r['piece']: _math.log(r['freq'] / total) for r in freq}
+    for c, n in chars.items():
+        vocab.setdefault(c, _math.log(n / total))
+    while True:
+        for _ in range(n_rounds):
+            exp = {r['piece']: r['exp_count'] for r in
+                   em_expected_counts(wc, vocab, max_piece_len).collect()}
+            tot = sum(exp.values())
+            vocab = {p: _math.log(c / tot) for p, c in exp.items()
+                     if c / tot > 0.0}
+            for c in chars:
+                vocab.setdefault(c, _math.log(1e-9))
+        if len(vocab) <= vocab_size:
+            break
+        keep = max(vocab_size, int(len(vocab) * shrink))
+        ranked = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+        pruned = {}
+        for p, lp in ranked:
+            if len(p) == 1 or len(pruned) < keep:
+                pruned[p] = lp
+        vocab = pruned
+    wc.unpersist()
+    return vocab
+
+
 def word_counts_from_docs(docs: DataFrame, text_col: str = 'text'
                           ) -> DataFrame:
     """(word, n) corpus statistic — the only corpus-sized stage of

@@ -143,3 +143,17 @@ def test_fixture_loads_and_segments_corpus_words(spark):
             .alias('n_pre')), on='doc_id').collect()
     assert all(r['n_unigram_tokens'] >= r['n_pre'] for r in both
                if r['n_pre'] > 0)
+
+
+def test_train_unigram_spark_matches_driver_reference(spark):
+    wc = {'banana': 30, 'bandana': 10, 'ananas': 20, 'nab': 5,
+          'anna': 7, 'band': 3, 'nanab': 2}
+    want = unigram.train_unigram(wc, vocab_size=14, seed_size=50,
+                                 n_rounds=2)
+    df = spark.createDataFrame(list(wc.items()), 'word string, n long') \
+        .repartition(3)
+    got = unigram.train_unigram_spark(df, vocab_size=14, seed_size=50,
+                                      n_rounds=2)
+    assert set(got) == set(want)
+    for p in want:
+        assert got[p] == pytest.approx(want[p], rel=1e-9)
