@@ -725,17 +725,13 @@ def node2vec_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
     md5-threshold determinism contract as ``random_walks``.
 
     Scale shape: one adjacency-array materialization, then per step ONE
-    merge-pinned adjacency join on the current node — the previous
-    node's neighbor array (the u→x existence probe) is the array this
-    SAME join produced one step earlier, so the walk state simply
-    carries it forward (``prev_nbrs``) instead of joining adj a second
-    time; half the joins of the naive second-order formulation. Shuffle
-    stays O(active walks) with an outdeg-sized array payload per row
-    (average-degree bytes; a hub's wide row rides along only while a
-    walk is standing on it). The per-row weight fold costs
-    O(outdeg(v) · outdeg(u)) worst-case on hub→hub transitions (flagged
-    here: at true web scale a sorted-probe per candidate would cap the
-    inner scan; out-degree-8-ish corpora never see it).
+    merge-pinned self-pair of adjacency lookups — frontier joins adj on
+    the current node v (candidates) and on the previous node u (the u→x
+    existence probe via array_contains on u's sorted array). Shuffle
+    stays O(active walks); the per-row cost is O(outdeg(v) · outdeg(u))
+    worst-case on hub→hub transitions (flagged here: at true web scale a
+    bloom/sorted-probe per candidate would cap the inner scan; out-deg
+    8-ish corpora never see it).
     """
     edges = graph.edges.select('source_id', 'target_id').distinct()
     adj = (edges.groupBy('source_id')
@@ -767,8 +763,7 @@ def node2vec_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
         with_nbrs = cur.hint('merge').join(adj, on='node')
         if t == 1:
             # first step has no previous node: uniform over out-neighbors,
-            # the exact random_walks draw (md5 mod outdeg). The joined
-            # nbrs array IS the next step's prev_nbrs — carry it forward
+            # the exact random_walks draw (md5 mod outdeg)
             idx = F.conv(
                 F.substring(F.md5(key), 1, 8), 16, 10).cast('long')
             stepped = with_nbrs.select(
@@ -778,10 +773,14 @@ def node2vec_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
                     (F.pmod(idx, F.size('nbrs')) + 1).cast('int'))
                 .alias('node'),
                 F.col('node').alias('prev'),
-                F.col('nbrs').alias('prev_nbrs'),
                 F.lit(t).alias('step'))
         else:
-            both = with_nbrs
+            prev_adj = adj.select(F.col('node').alias('prev'),
+                                  F.col('nbrs').alias('prev_nbrs'))
+            both = (with_nbrs.hint('merge')
+                    .join(prev_adj, on='prev', how='left')
+                    .withColumn('prev_nbrs', F.coalesce(
+                        'prev_nbrs', F.array().cast('array<string>'))))
             w_of = lambda x: (
                 F.when(x == F.col('prev'), F.lit(inv_p))
                 .when(F.array_contains('prev_nbrs', x), F.lit(1.0))
@@ -815,7 +814,6 @@ def node2vec_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
                 'walk_id',
                 F.element_at('nbrs', pick.cast('int')).alias('node'),
                 F.col('node').alias('prev'),
-                F.col('nbrs').alias('prev_nbrs'),
                 F.lit(t).alias('step'))
         cur = stepped.localCheckpoint(eager=True)
         levels.append(cur.select('walk_id', 'node', 'step'))
