@@ -24,7 +24,7 @@ algebra:
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from .graph import KG
+from .graph import KG, adjacency_table
 
 
 def synthetic_skewed_graph(spark, n_nodes: int, avg_out_degree: int = 8,
@@ -381,10 +381,8 @@ def _power_iteration(graph: KG, teleport: DataFrame, damping: float,
     out-degree node is ONE wide adjacency row, never a shuffle hot key.
     """
     if weight_col is None:
-        adj = (graph.edges.select('source_id', 'target_id').distinct()
-               .groupBy('source_id')
-               .agg(F.collect_list('target_id').alias('nbrs'),
-                    F.count(F.lit(1)).alias('outdeg'))
+        adj = (adjacency_table(graph.edges, key_col='source_id')
+               .withColumn('outdeg', F.size('nbrs'))
                .persist())
     else:
         adj = (graph.edges
@@ -485,13 +483,15 @@ def hits(graph: KG, n_iterations: int = 10) -> DataFrame:
     fewer sorted rows per half-round on the 4M-edge bench graph.
     """
     nodes = graph.nodes.select('node_id').distinct().persist()
-    edges = graph.edges.select('source_id', 'target_id').distinct()
-    out_adj = (edges.groupBy('source_id')
-               .agg(F.collect_list('target_id').alias('nbrs'))
-               .persist())
-    in_adj = (edges.groupBy('target_id')
-              .agg(F.collect_list('source_id').alias('srcs'))
-              .persist())
+    # one persisted distinct pass feeds BOTH adjacency builds — without
+    # it the O(edges) dedup shuffle runs twice (code-review this round)
+    edges = graph.edges.select('source_id', 'target_id').distinct() \
+        .persist()
+    out_adj = adjacency_table(edges, key_col='source_id',
+                              dedup=False).persist()
+    in_adj = adjacency_table(edges, src='target_id', dst='source_id',
+                             key_col='target_id', out_col='srcs',
+                             dedup=False).persist()
     n = nodes.count()
     if n == 0:
         return nodes.select(
@@ -546,6 +546,7 @@ def hits(graph: KG, n_iterations: int = 10) -> DataFrame:
                 F.coalesce('hub', F.lit(0.0)).alias('hub'))
     )
     nodes.unpersist()
+    edges.unpersist()
     out_adj.unpersist()
     in_adj.unpersist()
     return out
@@ -656,11 +657,8 @@ def random_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
     directory page is megabytes — large but a single row, and only
     walk-visited nodes' rows are ever shuffled).
     """
-    edges = graph.edges.select('source_id', 'target_id').distinct()
-    adj = (edges.groupBy('source_id')
-           .agg(F.array_sort(F.collect_list('target_id')).alias('nbrs'))
-           .withColumnRenamed('source_id', 'node')
-           .persist())
+    adj = adjacency_table(graph.edges, key_col='node',
+                          sort=True).persist()
 
     starts = (
         graph.nodes.select('node_id')
@@ -733,11 +731,8 @@ def node2vec_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
     bloom/sorted-probe per candidate would cap the inner scan; out-deg
     8-ish corpora never see it).
     """
-    edges = graph.edges.select('source_id', 'target_id').distinct()
-    adj = (edges.groupBy('source_id')
-           .agg(F.array_sort(F.collect_list('target_id')).alias('nbrs'))
-           .withColumnRenamed('source_id', 'node')
-           .persist())
+    adj = adjacency_table(graph.edges, key_col='node',
+                          sort=True).persist()
 
     starts = (
         graph.nodes.select('node_id')
@@ -866,12 +861,11 @@ def strongly_connected_components(graph: KG, max_rounds: int = 30,
         # materializations (PLANS.md §31) amortize: forward propagation
         # pushes colors along out-edges, backward marking pulls along
         # in-edges — one array table per direction per peel round
-        out_adj = (act_edges.groupBy(F.col('source_id').alias('node_id'))
-                   .agg(F.collect_list('target_id').alias('targets'))
-                   .persist())
-        in_adj = (act_edges.groupBy(F.col('target_id').alias('node_id'))
-                  .agg(F.collect_list('source_id').alias('sources'))
-                  .persist())
+        out_adj = adjacency_table(act_edges, out_col='targets',
+                                  dedup=False).persist()
+        in_adj = adjacency_table(act_edges, src='target_id',
+                                 dst='source_id', out_col='sources',
+                                 dedup=False).persist()
         # 1. forward min-label fixpoint
         colors = act_nodes.select(
             'node_id', F.col('node_id').alias('color')) \
@@ -900,6 +894,11 @@ def strongly_connected_components(graph: KG, max_rounds: int = 30,
             if n_changed == 0:
                 break
         else:
+            # release the peel round's caches before surfacing the
+            # guard: a driver that catches and moves on must not keep
+            # the failed graph's adjacency pinned (code-review)
+            out_adj.unpersist()
+            in_adj.unpersist()
             raise RuntimeError(
                 'scc forward propagation did not converge within '
                 'max_prop_rounds=%d' % max_prop_rounds)
@@ -929,6 +928,8 @@ def strongly_connected_components(graph: KG, max_rounds: int = 30,
                 break
             n_marked = n_now
         else:
+            out_adj.unpersist()
+            in_adj.unpersist()
             raise RuntimeError(
                 'scc backward marking did not converge within '
                 'max_prop_rounds=%d' % max_prop_rounds)
@@ -1015,7 +1016,7 @@ def betweenness_centrality(graph: KG, max_hops: int = 12,
     for b in range(origin_batches):
         batch = (sources if origin_batches == 1 else sources.where(
             F.pmod(F.xxhash64('node_id'), F.lit(origin_batches)) == b))
-        part = _brandes_partial(graph, edges, batch, max_hops)
+        part = _brandes_partial(edges, batch, max_hops)
         if part is not None:
             parts.append(part.localCheckpoint(eager=True))
     edges.unpersist()
@@ -1032,7 +1033,7 @@ def betweenness_centrality(graph: KG, max_hops: int = 12,
                     .alias('betweenness')))
 
 
-def _brandes_partial(graph: KG, edges: DataFrame, sources: DataFrame,
+def _brandes_partial(edges: DataFrame, sources: DataFrame,
                      max_hops: int):
     """One Brandes forward+backward pass over a source group; returns
     (node_id, partial) dependency sums, or None if no source reaches
@@ -1047,9 +1048,7 @@ def _brandes_partial(graph: KG, edges: DataFrame, sources: DataFrame,
     rounds are gone, and the frontier expansion itself rides the
     per-node adjacency array (bfs_distances rewrite) instead of the
     O(edges) pair table. Counts are identical exact int64."""
-    adj = (edges.groupBy(F.col('source_id').alias('node'))
-           .agg(F.collect_list('target_id').alias('nbrs'))
-           .persist())
+    adj = adjacency_table(edges, key_col='node', dedup=False).persist()
     layers = [
         sources.select(F.col(sources.columns[0]).alias('origin'))
         .select('origin', F.col('origin').alias('node'),
@@ -1563,11 +1562,8 @@ def hyperball_harmonic(graph: KG, p: int = 64,
     # O(n) register table instead of O(edges) pair rows, and the explode
     # feeds the register-wise partial max directly — identical merged
     # registers, 4× fewer sorted rows per round on the 4M-edge graph.
-    push_adj = (graph.edges
-                .select('source_id', 'target_id').distinct()
-                .groupBy(F.col('source_id').alias('nbr'))
-                .agg(F.collect_list('target_id').alias('targets'))
-                .persist())
+    push_adj = adjacency_table(graph.edges, key_col='nbr',
+                               out_col='targets').persist()
 
     reg_cols = ['_r{}'.format(i) for i in range(p)]
     for t in range(1, t_max + 1):

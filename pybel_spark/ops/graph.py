@@ -85,3 +85,25 @@ def node_intersection(g: KG, h: KG) -> KG:
     (reference operations.py:155-216)."""
     shared = g.node_ids().intersect(h.node_ids())
     return left_full_join(induce_by_nodes(g, shared), induce_by_nodes(h, shared))
+
+
+def adjacency_table(edges: DataFrame, src: str = 'source_id',
+                    dst: str = 'target_id', key_col: str = 'node_id',
+                    out_col: str = 'nbrs', sort: bool = False,
+                    dedup: bool = True) -> DataFrame:
+    """Per-node adjacency-ARRAY table — the ONE definition of the
+    PLANS.md §31 iteration contract: ``(key_col, out_col array<dst>)``
+    with one row per distinct ``src``. Every fixpoint/frontier operator
+    (PageRank, HITS, HyperBall, SCC, BFS, Brandes, walks) joins its
+    O(state) table against this instead of the O(edges) pair table and
+    explodes into the partial aggregate. ``sort=True`` orders neighbors
+    by ascending value — the rank order the walk oracles mirror.
+    Callers persist/unpersist the result around their rounds."""
+    pairs = edges.select(F.col(src).alias('_s'), F.col(dst).alias('_d'))
+    if dedup:
+        pairs = pairs.distinct()
+    collected = F.collect_list('_d')
+    if sort:
+        collected = F.array_sort(collected)
+    return (pairs.groupBy(F.col('_s').alias(key_col))
+            .agg(collected.alias(out_col)))

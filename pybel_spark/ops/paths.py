@@ -10,7 +10,7 @@ over paths.
 """
 from pyspark.sql import DataFrame, functions as F
 
-from .graph import KG, induce_by_nodes
+from .graph import KG, adjacency_table, induce_by_nodes
 
 
 def bfs_distances(graph: KG, sources, max_hops=6, directed=True) -> DataFrame:
@@ -29,10 +29,7 @@ def bfs_distances(graph: KG, sources, max_hops=6, directed=True) -> DataFrame:
             graph.edges.select(
                 F.col('target_id').alias('source_id'),
                 F.col('source_id').alias('target_id')))
-    adj = (edges.distinct()
-           .groupBy(F.col('source_id').alias('node_id'))
-           .agg(F.collect_list('target_id').alias('nbrs'))
-           .persist())
+    adj = adjacency_table(edges).persist()
 
     if isinstance(sources, DataFrame):
         seeds = sources.select(F.col(sources.columns[0]).alias('origin'))

@@ -523,6 +523,59 @@ def start_decontaminate_stream(spark, input_dir: str, out_dir: str,
     return writer.start()
 
 
+def _frontier_process_batch(spark, batch_df, batch_id, bloom_path: str,
+                            out_dir: str, m_bits: int = 1 << 20,
+                            k: int = 3, seed: int = 0):
+    """One frontier micro-batch (module-level so the replay contract is
+    directly testable): probe urls against the seen-set EXCLUDING this
+    batch's own words partition, land flags and the batch's words under
+    per-batch overwrite partitions. Re-invoking with the same batch_id
+    from ANY crash point reproduces bit-identical outputs — see
+    start_frontier_stream's idempotence notes."""
+    from .textops.bloom import bloom_bits, bloom_pack, bloom_probe
+    from .textops.sidecar import sidecar_exists, write_json_sidecar
+
+    flags_path = os.path.join(out_dir, 'frontier_flags')
+    words_path = bloom_path.rstrip('/') + '/words'
+    params_marker = bloom_path.rstrip('/') + '/params.json'
+    pages = batch_df.select('url').persist()
+    # existence probe, not try/except around the read: a transient
+    # FS error must fail (and retry) the batch, never misroute into
+    # the bootstrap branch and flag a whole batch unseen (the
+    # band-index lesson, code-review r5)
+    if sidecar_exists(spark, params_marker):
+        # the probe EXCLUDES this batch's own words partition: a batch
+        # replayed after its fold committed (crash before the streaming
+        # checkpoint) would otherwise probe a filter containing its own
+        # urls and overwrite its flags partition with
+        # all-maybe_seen=true — losing the batch's novel frontier
+        # permanently (code-review this round). With the exclusion,
+        # every crash window replays to identical flags AND an
+        # identical words partition: full idempotence with no marker.
+        words = (spark.read.parquet(words_path)
+                 .where(F.col('ingest_batch') != batch_id)
+                 .groupBy('word_idx')
+                 .agg(F.expr('bit_or(word)').alias('word')))
+        flags = bloom_probe(words, pages.distinct(), col='url',
+                            m_bits=m_bits, k=k, seed=seed)
+    else:
+        flags = pages.distinct().select(
+            'url', F.lit(False).alias('maybe_seen'))
+    flags.write.mode('overwrite').parquet(
+        '{}/ingest_batch={}'.format(flags_path, batch_id))
+    # per-batch partition + overwrite (not a bare append): a replay
+    # REPLACES its own contribution, and the read-side bit_or over
+    # the other partitions is oblivious either way
+    bloom_pack(bloom_bits(pages, col='url', m_bits=m_bits, k=k,
+                          seed=seed), m_bits) \
+        .write.mode('overwrite').parquet(
+            '{}/ingest_batch={}'.format(words_path, batch_id))
+    if not sidecar_exists(spark, params_marker):
+        write_json_sidecar(spark, params_marker,
+                           {'m_bits': m_bits, 'k': k, 'seed': seed})
+    pages.unpersist()
+
+
 def start_frontier_stream(spark, input_dir: str, bloom_path: str,
                           out_dir: str, m_bits: int = 1 << 20, k: int = 3,
                           seed: int = 0, max_files_per_trigger=16,
@@ -533,15 +586,17 @@ def start_frontier_stream(spark, input_dir: str, bloom_path: str,
     streaming consumers share ONE incremental seen-set; novel urls are
     the ``maybe_seen = false`` rows of ``frontier_flags``.
 
-    Idempotence is FREE here — stronger than both the marker pattern
-    (band/parse/kg indexes) and the partition-overwrite pattern
-    (decontaminate): the Bloom update is a bitwise OR, a semilattice
-    join, so a replayed micro-batch re-appends word rows that collapse
-    to the identical filter under the read-side ``bit_or`` group-by.
-    No marker, no overwrite, no replay window — at-least-once IS
-    exactly-once for the filter state. The flags output keeps the
+    Idempotence, with no applied-marker: the Bloom update is a bitwise
+    OR (a semilattice join), each batch's words land in their own
+    ``words/ingest_batch=<id>/`` partition with overwrite, and the
+    probe reads the filter EXCLUDING the current batch's partition —
+    so a replayed micro-batch recomputes bit-identical flags and a
+    bit-identical words partition no matter where the previous attempt
+    crashed (including after its own fold committed, the window where
+    a naive probe-then-append would see its own bits and flag the
+    whole batch as already crawled). The flags output keeps the
     partition-overwrite contract (``frontier_flags/ingest_batch=<id>/``)
-    so replayed batches replace rather than duplicate their rows.
+    so replays replace rather than duplicate rows.
 
     Within-batch url duplicates are flagged against the PRE-batch
     filter (probe happens before the fold), so two copies of a url in
@@ -559,38 +614,10 @@ def start_frontier_stream(spark, input_dir: str, bloom_path: str,
     only batch that can crash between its append and the sidecar write
     is the first ever — whose pre-batch filter was empty, so its replay
     produces identical flags."""
-    from .textops.bloom import bloom_bits, bloom_pack, bloom_probe
-    from .textops.sidecar import sidecar_exists, write_json_sidecar
-
-    flags_path = os.path.join(out_dir, 'frontier_flags')
-    words_path = bloom_path.rstrip('/') + '/words'
-    params_marker = bloom_path.rstrip('/') + '/params.json'
 
     def process_batch(batch_df, batch_id):
-        pages = batch_df.select('url').persist()
-        # existence probe, not try/except around the read: a transient
-        # FS error must fail (and retry) the batch, never misroute into
-        # the bootstrap branch and flag a whole batch unseen (the
-        # band-index lesson, code-review r5)
-        if sidecar_exists(spark, params_marker):
-            words = (spark.read.parquet(words_path)
-                     .groupBy('word_idx')
-                     .agg(F.expr('bit_or(word)').alias('word')))
-            flags = bloom_probe(words, pages.distinct(), col='url',
-                                m_bits=m_bits, k=k, seed=seed)
-        else:
-            flags = pages.distinct().select(
-                'url', F.lit(False).alias('maybe_seen'))
-        flags.write.mode('overwrite').parquet(
-            '{}/ingest_batch={}'.format(flags_path, batch_id))
-        # fold AFTER probing: append is OR-idempotent, so no marker
-        bloom_pack(bloom_bits(pages, col='url', m_bits=m_bits, k=k,
-                              seed=seed), m_bits) \
-            .write.mode('append').parquet(words_path)
-        if not sidecar_exists(spark, params_marker):
-            write_json_sidecar(spark, params_marker,
-                               {'m_bits': m_bits, 'k': k, 'seed': seed})
-        pages.unpersist()
+        _frontier_process_batch(spark, batch_df, batch_id, bloom_path,
+                                out_dir, m_bits=m_bits, k=k, seed=seed)
 
     writer = (
         read_document_stream(spark, input_dir, max_files_per_trigger)

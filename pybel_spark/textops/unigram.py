@@ -155,6 +155,35 @@ def seed_vocab_counts(word_counts: dict,
     return freq
 
 
+def _em_prune_loop(estep, vocab: dict, chars, vocab_size: int,
+                   n_rounds: int, shrink: float) -> dict:
+    """The EM/prune schedule shared by BOTH trainers (driver reference
+    and distributed): ``estep(vocab) -> {piece: expected_count}`` is the
+    only moving part. n_rounds of re-normalization, then prune the
+    lowest-logp pieces by ``shrink`` (single chars exempt, ties on
+    (-logp, piece)) until vocab_size remains."""
+    while True:
+        for _ in range(n_rounds):
+            exp = estep(vocab)
+            tot = sum(exp.values())
+            # guard the quotient, not the count: a denormal expected
+            # count can divide to exactly 0.0 and blow up the log
+            vocab = {p: math.log(c / tot) for p, c in exp.items()
+                     if c / tot > 0.0}
+            for c in chars:
+                vocab.setdefault(c, math.log(1e-9))
+        if len(vocab) <= vocab_size:
+            return vocab
+        keep = max(vocab_size, int(len(vocab) * shrink))
+        ranked = sorted(vocab.items(),
+                        key=lambda kv: (-kv[1], kv[0]))
+        pruned = {}
+        for p, lp in ranked:
+            if len(p) == 1 or len(pruned) < keep:
+                pruned[p] = lp
+        vocab = pruned
+
+
 def train_unigram(word_counts: dict, vocab_size: int = 2000,
                   seed_size: int = 8000, n_rounds: int = 4,
                   shrink: float = 0.75,
@@ -171,32 +200,17 @@ def train_unigram(word_counts: dict, vocab_size: int = 2000,
     vocab = {p: math.log(n / total) for p, n in seed}
     for c in chars:
         vocab.setdefault(c, math.log(freq[c] / total))
-    while True:
-        for _ in range(n_rounds):
-            exp = {}
-            for w, n in word_counts.items():
-                for (i, j), weight in _forward_backward(
-                        w, vocab, max_piece_len):
-                    p = w[i:j]
-                    exp[p] = exp.get(p, 0.0) + n * weight
-            tot = sum(exp.values())
-            # guard the quotient, not the count: a denormal expected
-            # count can divide to exactly 0.0 and blow up the log
-            vocab = {p: math.log(c / tot) for p, c in exp.items()
-                     if c / tot > 0.0}
-            for c in chars:
-                vocab.setdefault(c, math.log(1e-9))
-        if len(vocab) <= vocab_size:
-            break
-        keep = max(vocab_size, int(len(vocab) * shrink))
-        ranked = sorted(vocab.items(),
-                        key=lambda kv: (-kv[1], kv[0]))
-        pruned = {}
-        for p, lp in ranked:
-            if len(p) == 1 or len(pruned) < keep:
-                pruned[p] = lp
-        vocab = pruned
-    return vocab
+
+    def estep(v):
+        exp = {}
+        for w, n in word_counts.items():
+            for (i, j), weight in _forward_backward(w, v, max_piece_len):
+                p = w[i:j]
+                exp[p] = exp.get(p, 0.0) + n * weight
+        return exp
+
+    return _em_prune_loop(estep, vocab, chars, vocab_size, n_rounds,
+                          shrink)
 
 
 def em_expected_counts(word_counts: DataFrame, vocab: dict,
@@ -263,24 +277,13 @@ def train_unigram_spark(word_counts: DataFrame, vocab_size: int = 2000,
     vocab = {r['piece']: _math.log(r['freq'] / total) for r in freq}
     for c, n in chars.items():
         vocab.setdefault(c, _math.log(n / total))
-    while True:
-        for _ in range(n_rounds):
-            exp = {r['piece']: r['exp_count'] for r in
-                   em_expected_counts(wc, vocab, max_piece_len).collect()}
-            tot = sum(exp.values())
-            vocab = {p: _math.log(c / tot) for p, c in exp.items()
-                     if c / tot > 0.0}
-            for c in chars:
-                vocab.setdefault(c, _math.log(1e-9))
-        if len(vocab) <= vocab_size:
-            break
-        keep = max(vocab_size, int(len(vocab) * shrink))
-        ranked = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
-        pruned = {}
-        for p, lp in ranked:
-            if len(p) == 1 or len(pruned) < keep:
-                pruned[p] = lp
-        vocab = pruned
+
+    def estep(v):
+        return {r['piece']: r['exp_count'] for r in
+                em_expected_counts(wc, v, max_piece_len).collect()}
+
+    vocab = _em_prune_loop(estep, vocab, chars, vocab_size, n_rounds,
+                           shrink)
     wc.unpersist()
     return vocab
 

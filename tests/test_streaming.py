@@ -696,3 +696,58 @@ def test_frontier_stream_matches_batch_bloom(spark, dirs, tmp_path):
                    docs1.select('url').unionByName(docs2.select('url')),
                    col='url', m_bits=m_bits, k=k), m_bits).collect()}
     assert streamed == rebuilt
+
+
+def test_frontier_batch_replay_is_idempotent(spark, tmp_path):
+    """The exact crash window from this round's code review: a batch
+    whose words fold COMMITTED but whose streaming checkpoint did not.
+    Replaying the same batch_id must reproduce the original flags
+    (probing a filter that excludes the batch's own partition), never
+    flag the batch's novel urls as already crawled."""
+    import pyspark.sql.functions as F
+
+    from pybel_spark.streaming import _frontier_process_batch
+
+    bloom_path = str(tmp_path / 'bloom')
+    out_dir = str(tmp_path / 'out')
+    m_bits, k = 1 << 16, 3
+    urls0 = spark.createDataFrame(
+        [('https://a/{}'.format(i),) for i in range(40)], 'url string')
+    urls1 = spark.createDataFrame(
+        [('https://a/{}'.format(i),) for i in range(20, 60)],
+        'url string')
+
+    _frontier_process_batch(spark, urls0, 0, bloom_path, out_dir,
+                            m_bits=m_bits, k=k)
+    _frontier_process_batch(spark, urls1, 1, bloom_path, out_dir,
+                            m_bits=m_bits, k=k)
+    flags_path = out_dir + '/frontier_flags'
+    first = sorted(map(tuple, spark.read.parquet(flags_path)
+                       .where(F.col('ingest_batch') == 1)
+                       .select('url', 'maybe_seen').collect()))
+    # 20 re-crawled urls flagged, 20 novel ones not (modulo FPs, which
+    # can only add flags deterministically)
+    n_seen = sum(1 for _, m in first if m)
+    assert n_seen >= 20
+    assert any(not m for _, m in first)
+
+    # REPLAY batch 1 after its fold committed — the pre-fix behavior
+    # probed its own bits and flipped every url to maybe_seen=true
+    _frontier_process_batch(spark, urls1, 1, bloom_path, out_dir,
+                            m_bits=m_bits, k=k)
+    replayed = sorted(map(tuple, spark.read.parquet(flags_path)
+                          .where(F.col('ingest_batch') == 1)
+                          .select('url', 'maybe_seen').collect()))
+    assert replayed == first
+    # and the filter state is unchanged too: the replayed partition
+    # overwrote itself, so the OR-collapse equals a clean batch rebuild
+    words = spark.read.parquet(bloom_path + '/words')
+    rebuilt = {(r['word_idx'], r['word'])
+               for r in words.groupBy('word_idx')
+               .agg(F.expr('bit_or(word)').alias('word')).collect()}
+    from pybel_spark.textops import bloom
+    want = {(r['word_idx'], r['word'])
+            for r in bloom.bloom_pack(bloom.bloom_bits(
+                urls0.unionByName(urls1), col='url', m_bits=m_bits, k=k),
+                m_bits).collect()}
+    assert rebuilt == want
