@@ -630,6 +630,34 @@ def weighted_shortest_paths(graph: KG, cost_col: str, sources,
         % max_rounds)
 
 
+def _walk_starts(nodes: DataFrame, walks_per_node: int) -> DataFrame:
+    """(walk_id, node) start rows: walk_id = '<node>#<i>' — the id format
+    BOTH walk oracles mirror (change here == change the SQL mirrors)."""
+    return (nodes.select('node_id')
+            .select('node_id',
+                    F.explode(F.array(
+                        *[F.lit(i) for i in range(walks_per_node)]))
+                    .alias('w_i'))
+            .select(F.concat_ws('#', 'node_id', 'w_i').alias('walk_id'),
+                    F.col('node_id').alias('node')))
+
+
+def _walk_draw_key(seed: int, t: int):
+    """The per-step draw key 'seed:walk_id:t:node' — the md5 input both
+    walk operators and their SQL mirrors share."""
+    return F.concat_ws(
+        ':', F.lit(str(seed)), F.col('walk_id'), F.lit(str(t)),
+        F.col('node'))
+
+
+def _uniform_pick(key):
+    """Uniform neighbor choice from a sorted 'nbrs' array:
+    md5(key)[:8] mod outdeg, 1-indexed for element_at."""
+    idx = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast('long')
+    return F.element_at(
+        F.col('nbrs'), (F.pmod(idx, F.size('nbrs')) + 1).cast('int'))
+
+
 def random_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
                  seed: int = 0) -> DataFrame:
     """Deterministic DeepWalk-style random-walk corpus: (walk_id, step,
@@ -659,35 +687,17 @@ def random_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
     """
     adj = adjacency_table(graph.edges, key_col='node',
                           sort=True).persist()
-
-    starts = (
-        graph.nodes.select('node_id')
-        .select(
-            'node_id',
-            F.explode(F.array(
-                *[F.lit(i) for i in range(walks_per_node)])).alias('w_i'))
-        .select(
-            F.concat_ws('#', 'node_id', 'w_i').alias('walk_id'),
-            F.col('node_id').alias('node'))
-    )
-    cur = starts.select(
+    cur = _walk_starts(graph.nodes, walks_per_node).select(
         'walk_id', 'node', F.lit(0).alias('step')).localCheckpoint(eager=True)
     levels = [cur]
     for t in range(1, walk_length + 1):
-        key = F.concat_ws(
-            ':', F.lit(str(seed)), F.col('walk_id'), F.lit(str(t)),
-            F.col('node'))
-        idx = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast('long')
         # merge-pinned: the walk frontier is O(walks) and fresh per
         # step — a size-threshold broadcast would re-ship it every step
         stepped = (
             cur.hint('merge')
             .join(adj, on='node')
             .select('walk_id',
-                    F.element_at(
-                        F.col('nbrs'),
-                        (F.pmod(idx, F.size('nbrs')) + 1).cast('int'))
-                    .alias('node'),
+                    _uniform_pick(_walk_draw_key(seed, t)).alias('node'),
                     F.lit(t).alias('step'))
         )
         cur = stepped.localCheckpoint(eager=True)
@@ -734,39 +744,22 @@ def node2vec_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
     adj = adjacency_table(graph.edges, key_col='node',
                           sort=True).persist()
 
-    starts = (
-        graph.nodes.select('node_id')
-        .select(
-            'node_id',
-            F.explode(F.array(
-                *[F.lit(i) for i in range(walks_per_node)])).alias('w_i'))
-        .select(
-            F.concat_ws('#', 'node_id', 'w_i').alias('walk_id'),
-            F.col('node_id').alias('node'))
-    )
-    cur = starts.select(
+    cur = _walk_starts(graph.nodes, walks_per_node).select(
         'walk_id', 'node', F.lit(None).cast('string').alias('prev'),
         F.lit(0).alias('step')).localCheckpoint(eager=True)
     levels = [cur.select('walk_id', 'node', 'step')]
     inv_p, inv_q = 1.0 / p, 1.0 / q
     for t in range(1, walk_length + 1):
-        key = F.concat_ws(
-            ':', F.lit(str(seed)), F.col('walk_id'), F.lit(str(t)),
-            F.col('node'))
+        key = _walk_draw_key(seed, t)
         u01 = (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast('double')
                / F.lit(float(2 ** 32)))
         with_nbrs = cur.hint('merge').join(adj, on='node')
         if t == 1:
             # first step has no previous node: uniform over out-neighbors,
             # the exact random_walks draw (md5 mod outdeg)
-            idx = F.conv(
-                F.substring(F.md5(key), 1, 8), 16, 10).cast('long')
             stepped = with_nbrs.select(
                 'walk_id',
-                F.element_at(
-                    F.col('nbrs'),
-                    (F.pmod(idx, F.size('nbrs')) + 1).cast('int'))
-                .alias('node'),
+                _uniform_pick(key).alias('node'),
                 F.col('node').alias('prev'),
                 F.lit(t).alias('step'))
         else:
