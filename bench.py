@@ -523,6 +523,14 @@ def main():
                                   origin_batches=2).count(),
           runs=1)
 
+    # distance distribution from sampled origins: the effective-diameter
+    # observable (cum_frac 0.9 crossing) — same BFS state shape as the
+    # sampled-betweenness forward pass
+    timed(queries, 'graph_distance_distribution_4m_edges', lambda: _an
+          .distance_distribution(graph, max_hops=8,
+                                 source_fraction=0.00006).count(),
+          runs=1)
+
     # HyperBall harmonic centrality on the same 4M-edge graph: the
     # 10^9-host scale path (exact all-pairs BFS is infeasible) — each
     # round is one equi-join + one register-wise max agg, same shuffle

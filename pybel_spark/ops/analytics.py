@@ -958,6 +958,71 @@ def strongly_connected_components(graph: KG, max_rounds: int = 30,
     return assigned
 
 
+def distance_distribution(graph: KG, max_hops: int = 20,
+                          source_fraction: float = None,
+                          seed: int = 0) -> DataFrame:
+    """(distance, n_pairs, cum_frac): the histogram of finite directed
+    shortest-path distances 1..max_hops from the origin set — the
+    neighborhood function N(t) of web-graph analysis; the EFFECTIVE
+    DIAMETER is the smallest distance whose cum_frac reaches 0.9
+    (Broder et al.'s "six degrees" observable). The reference graphs are
+    in-memory (networkx ``nx.diameter``-style calls); this is the
+    distributed re-expression over the layered BFS.
+
+    ``source_fraction`` samples origins by the repo md5-threshold
+    contract (``md5(seed:'dd':node) < threshold`` — deterministic, so
+    the DuckDB recursive-closure oracle reproduces the exact histogram);
+    None runs every node as an origin (the small-graph exact path —
+    at web scale the sampled estimator is the standard
+    ANF/HyperANF-style surrogate, and :func:`hyperball_harmonic` is the
+    sketch-based alternative when even sampled exact BFS is too wide).
+    Costs one bfs_distances state of O(origins × reached) rows plus two
+    tiny aggregates; cum_frac divides by the total FINITE pair count
+    (unreachable pairs are not modeled, matching the oracle)."""
+    from ..textops.mixture import fraction_to_hex_threshold
+    from .paths import bfs_distances
+
+    nodes = graph.nodes.select('node_id')
+    if source_fraction is not None:
+        thr = fraction_to_hex_threshold(source_fraction)
+        origins = nodes.where(
+            F.substring(F.md5(F.concat_ws(
+                ':', F.lit(str(seed)), F.lit('dd'), F.col('node_id'))),
+                1, 8) < thr)
+    else:
+        origins = nodes
+    d = bfs_distances(graph, origins, max_hops=max_hops)
+    hist = (d.where(F.col('distance') > 0)
+            .groupBy('distance')
+            .agg(F.count(F.lit(1)).alias('n_pairs')))
+    win = Window.orderBy('distance') \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = Window.orderBy('distance') \
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (hist
+            .select('distance', 'n_pairs',
+                    (F.sum('n_pairs').over(win).cast('double')
+                     / F.sum('n_pairs').over(total)).alias('cum_frac'))
+            .orderBy('distance'))
+
+
+def effective_diameter(graph: KG, quantile: float = 0.9,
+                       max_hops: int = 20, source_fraction: float = None,
+                       seed: int = 0) -> int:
+    """Smallest distance d with cum_frac(d) >= quantile over the finite
+    pairs — the integer effective diameter (no interpolation, so the
+    value is exact given the histogram). Returns max observed distance
+    if the quantile is never reached within max_hops."""
+    rows = (distance_distribution(graph, max_hops, source_fraction, seed)
+            .collect())
+    if not rows:
+        return 0
+    for r in rows:
+        if r['cum_frac'] >= quantile:
+            return r['distance']
+    return rows[-1]['distance']
+
+
 def betweenness_centrality(graph: KG, max_hops: int = 12,
                            source_fraction: float = None,
                            seed: int = 0,

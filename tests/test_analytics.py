@@ -854,3 +854,55 @@ def test_weighted_paths_networkx_parity(kg):
         assert set(mine) == set(expected)
         for n in expected:
             assert mine[n] == pytest.approx(expected[n], abs=1e-9)
+
+
+def test_distance_distribution_networkx_parity(kg):
+    import collections
+
+    import networkx as nx
+    g = nx.DiGraph()
+    g.add_nodes_from(
+        r['node_id'] for r in kg.nodes.select('node_id').collect())
+    g.add_edges_from(
+        (r['source_id'], r['target_id'])
+        for r in kg.edges.select('source_id', 'target_id').collect())
+    want = collections.Counter()
+    for _, dists in nx.all_pairs_shortest_path_length(g):
+        for d in dists.values():
+            if d > 0:
+                want[d] += 1
+    got = analytics.distance_distribution(kg, max_hops=30).collect()
+    assert {r['distance']: r['n_pairs'] for r in got} == dict(want)
+    total = sum(want.values())
+    run = 0
+    for r in got:
+        run += r['n_pairs']
+        assert r['cum_frac'] == pytest.approx(run / total)
+    assert got[-1]['cum_frac'] == pytest.approx(1.0)
+
+
+def test_effective_diameter_chain(spark):
+    # directed 5-chain: distances 1..4 with counts 4,3,2,1 (10 finite
+    # pairs); cum_frac(3) = 0.9 exactly -> effective diameter 3
+    nodes = spark.createDataFrame(
+        [(str(i),) for i in range(5)], 'node_id string')
+    edges = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(4)],
+        'source_id string, target_id string')
+    g = KG(nodes, edges)
+    assert analytics.effective_diameter(g, quantile=0.9) == 3
+    assert analytics.effective_diameter(g, quantile=1.0) == 4
+    assert analytics.effective_diameter(g, quantile=0.4) == 1
+
+
+def test_distance_distribution_sampled_subset(kg):
+    # sampled origins: histogram totals can only shrink, distances stay
+    # a subset of the full histogram's support
+    full = {r['distance']: r['n_pairs'] for r in
+            analytics.distance_distribution(kg, max_hops=30).collect()}
+    samp = {r['distance']: r['n_pairs'] for r in
+            analytics.distance_distribution(
+                kg, max_hops=30, source_fraction=0.5).collect()}
+    assert set(samp) <= set(full)
+    assert all(samp[d] <= full[d] for d in samp)
+    assert samp  # the md5 threshold at 0.5 keeps some origins
