@@ -53,13 +53,32 @@ def load_corpus_catalog():
 
 
 class CorpusSpec:
-    """Holds the pool and derives documents deterministically by index."""
+    """Holds the pool and derives documents deterministically by index.
+
+    The pool text is CONSTANT across documents, so every derived string —
+    a unit's joined lines, the header block, their HTML-escaped ``<p>``
+    renderings, and the 8-word prose sentences (period len(words) in i) —
+    is precomputed once per spec instead of re-joined/re-escaped per
+    document; ``doc_text``/``doc_row`` then only concatenate cached
+    blocks. Output bytes are identical (pinned by the compiler parity
+    tests and the md5-keyed oracles); generation is ~2× faster, which is
+    pure corpus_gen wall."""
 
     def __init__(self, pool=None):
         pool = pool or load_pool()
         self.header = pool['header']
         self.units = pool['units']
         self.n_units = len(self.units)
+        # plain-text blocks ('\n'.join of lines) and their HTML bodies
+        self._header_block = '\n'.join(self.header)
+        self._unit_blocks = ['\n'.join(u['lines']) for u in self.units]
+        self._header_html = _html_body(self.header)
+        self._unit_html = [_html_body(u['lines']) for u in self.units]
+        # prose(i, lang) depends only on i % len(words) and the language
+        self._prose_en = [self._make_prose(i, 'en')
+                          for i in range(len(_WORDS))]
+        self._prose_de = [self._make_prose(i, 'de')
+                          for i in range(len(_WORDS_DE))]
 
     def unit_indices(self, i):
         n = 1 + (i % UNITS_PER_DOC_MOD)
@@ -68,31 +87,46 @@ class CorpusSpec:
     def doc_lang(self, i):
         return 'de' if i % LANG_DE_MOD == 0 and i > 0 else 'en'
 
-    def prose(self, i, lang):
+    def _make_prose(self, i, lang):
         words = _WORDS_DE if lang == 'de' else _WORDS
         return ' '.join(words[(i + k) % len(words)] for k in range(8)) + '.'
+
+    def prose(self, i, lang):
+        cache = self._prose_de if lang == 'de' else self._prose_en
+        return cache[i % len(cache)]
 
     def doc_text(self, i):
         """The extracted text of document i (the byte-identical contract)."""
         lang = self.doc_lang(i)
-        lines = [self.prose(i, lang), '']
-        lines.extend(self.header)
-        for idx in self.unit_indices(i):
-            lines.append('')
-            lines.extend(self.units[idx]['lines'])
-        lines.append('')
-        lines.append(self.prose(i + 1, lang))
-        return '\n'.join(lines)
+        parts = [self.prose(i, lang), self._header_block]
+        parts.extend(self._unit_blocks[idx] for idx in self.unit_indices(i))
+        parts.append(self.prose(i + 1, lang))
+        return '\n\n'.join(parts)
+
+    def doc_html(self, i):
+        """wrap_html(doc_text(i)) from the cached per-block renderings —
+        byte-identical to escaping the whole text line-by-line."""
+        lang = self.doc_lang(i)
+        sep = '\n<p></p>\n'
+        parts = [_html_body([self.prose(i, lang)]), self._header_html]
+        parts.extend(self._unit_html[idx] for idx in self.unit_indices(i))
+        parts.append(_html_body([self.prose(i + 1, lang)]))
+        body = sep.join(parts)
+        title = 'Page {}'.format(i)
+        page = (
+            '<html><head><meta charset="utf-8"><title>{}</title></head>\n'
+            '<body>\n{}\n</body></html>'
+        ).format(_html.escape(title, quote=False), body)
+        return page.encode('utf-8')
 
     def doc_row(self, i):
         """Full documents-table row for index i."""
-        text = self.doc_text(i)
         lang = self.doc_lang(i)
         url = 'https://corpus.test/page/{}'.format(i)
         ts = EPOCH + timedelta(seconds=i)
         if i % HTML_ONLY_MOD == 0:
-            return (url, ts, wrap_html(text, title='Page {}'.format(i)), None, lang)
-        return (url, ts, None, text, lang)
+            return (url, ts, self.doc_html(i), None, lang)
+        return (url, ts, None, self.doc_text(i), lang)
 
     def expected_unit_indices_by_url(self, urls):
         """{url: [unit ids]} for parity checks."""
@@ -101,6 +135,14 @@ class CorpusSpec:
             i = int(url.rsplit('/', 1)[1])
             out[url] = self.unit_indices(i)
         return out
+
+
+def _html_body(lines):
+    """``<p>`` rendering of a block of text lines (wrap_html's per-line
+    escaping, cacheable per pool block)."""
+    return '\n'.join(
+        '<p>{}</p>'.format(_html.escape(line, quote=False))
+        for line in lines)
 
 
 def wrap_html(text, title='page'):
@@ -153,14 +195,30 @@ def generate_documents(spark, n_docs, partitions=None):
     def build(batches):
         spec = CorpusSpec(spec_pool)
         for pdf in batches:
-            rows = [spec.doc_row(int(i)) for i in pdf['id']]
-            yield pd.DataFrame(
-                rows, columns=['url', 'warc_ts', 'html', 'text', 'lang'])
+            yield _doc_columns(spec, [int(i) for i in pdf['id']])
 
     return (
         spark.range(0, n_docs, numPartitions=partitions)
         .mapInPandas(build, schema=DOCUMENTS_SCHEMA)
     )
+
+
+def _doc_columns(spec, ids):
+    """Column-wise batch construction (same values as ``doc_row`` per id):
+    building columns directly skips the per-row tuple → object-dtype
+    transpose, and the timestamp column is one vectorized timedelta add
+    instead of n datetime objects."""
+    import pandas as pd
+
+    return pd.DataFrame({
+        'url': ['https://corpus.test/page/{}'.format(i) for i in ids],
+        'warc_ts': pd.to_datetime(EPOCH) + pd.to_timedelta(ids, unit='s'),
+        'html': [spec.doc_html(i) if i % HTML_ONLY_MOD == 0 else None
+                 for i in ids],
+        'text': [None if i % HTML_ONLY_MOD == 0 else spec.doc_text(i)
+                 for i in ids],
+        'lang': [spec.doc_lang(i) for i in ids],
+    })
 
 
 def documents_from_driver_table(spark, sf_dir, partitions=None):
@@ -182,8 +240,6 @@ def documents_from_driver_table(spark, sf_dir, partitions=None):
     def build(batches):
         spec = CorpusSpec(spec_pool)
         for pdf in batches:
-            rows = [spec.doc_row(int(i)) for i in pdf['doc_id']]
-            yield pd.DataFrame(
-                rows, columns=['url', 'warc_ts', 'html', 'text', 'lang'])
+            yield _doc_columns(spec, [int(i) for i in pdf['doc_id']])
 
     return ids.mapInPandas(build, schema=DOCUMENTS_SCHEMA)

@@ -901,8 +901,10 @@ def strongly_connected_components(graph: KG, max_rounds: int = 30,
             )
             dump_plan(new_colors, 'round_scc_forward')
             new_colors = new_colors.localCheckpoint(eager=True)
+            # coalesce: sum() over an empty node set is NULL == converged
             n_changed = new_colors.agg(
-                F.sum('_chg').alias('n')).collect()[0]['n']
+                F.coalesce(F.sum('_chg'), F.lit(0)).alias('n')
+            ).collect()[0]['n']
             colors = new_colors.select('node_id', 'color')
             if n_changed == 0:
                 break

@@ -61,48 +61,56 @@ def min_label_propagation(nodes: DataFrame, edges: DataFrame,
         'node_id', F.col('node_id').alias('component'))
     labels = labels.localCheckpoint(eager=True)
 
+    # join strategies are left to AQE (runtime sizes pick broadcast for
+    # small label tables, sort-merge at scale — the _brandes_partial A/B);
+    # convergence rides a change flag computed INSIDE the update join and
+    # aggregated from the fresh checkpoint, replacing the previous
+    # per-round full-table equi-join + count
     n_changed = 0
-    for _ in range(max_iterations):
-        # merge-pinned per-round joins: the label table is O(n) and
-        # fresh each round (PageRank rationale — never re-broadcast it)
+    for it in range(max_iterations):
         neighbor_min = (
-            sym.hint('merge')
+            sym
             .join(labels.withColumnRenamed('node_id', 'source_id'),
                   on='source_id')
             .groupBy(F.col('target_id').alias('node_id'))
             .agg(F.min('component').alias('neighbor_component'))
         )
-        # pointer doubling: label(label(u)) — labels are themselves node
-        # ids, so one self-join compresses min-pointer paths by half per
-        # round (O(log diameter) total rounds)
-        shortcut = (
-            labels.alias('a').hint('merge')
-            .join(labels.alias('b'),
-                  F.col('a.component') == F.col('b.node_id'))
-            .select(F.col('a.node_id').alias('node_id'),
-                    F.col('b.component').alias('grand_component'))
+        new_labels = labels.join(neighbor_min, on='node_id', how='left')
+        if it == 0:
+            # round 1: every label is its own id, so label(label(u)) == u
+            # — the pointer-doubling self-join is a provable no-op
+            new_labels = new_labels.withColumn(
+                'grand_component', F.lit(None).cast(
+                    labels.schema['component'].dataType))
+        else:
+            # pointer doubling: label(label(u)) — labels are themselves
+            # node ids, so one self-join compresses min-pointer paths by
+            # half per round (O(log diameter) total rounds)
+            shortcut = (
+                labels.alias('a')
+                .join(labels.alias('b'),
+                      F.col('a.component') == F.col('b.node_id'))
+                .select(F.col('a.node_id').alias('node_id'),
+                        F.col('b.component').alias('grand_component'))
+            )
+            new_labels = new_labels.join(shortcut, on='node_id',
+                                         how='left')
+        best = F.least(
+            F.col('component'),
+            F.coalesce('neighbor_component', F.col('component')),
+            F.coalesce('grand_component', F.col('component')),
         )
-        new_labels = (
-            labels.hint('merge')
-            .join(neighbor_min, on='node_id', how='left')
-            .hint('merge')
-            .join(shortcut, on='node_id', how='left')
-            .select(
-                'node_id',
-                F.least(
-                    F.col('component'),
-                    F.coalesce('neighbor_component', F.col('component')),
-                    F.coalesce('grand_component', F.col('component')),
-                ).alias('component'))
-        )
+        new_labels = new_labels.select(
+            'node_id', best.alias('component'),
+            F.when(best < F.col('component'), F.lit(1)).otherwise(F.lit(0))
+            .alias('_chg'))
         new_labels = new_labels.localCheckpoint(eager=True)
-        n_changed = (
-            new_labels.alias('n').hint('merge')
-            .join(labels.alias('o'), on='node_id')
-            .where(F.col('n.component') != F.col('o.component'))
-            .count()
-        )
-        labels = new_labels
+        # coalesce: sum() over an EMPTY label table is NULL, which must
+        # read as converged (0), not as "still changing"
+        n_changed = new_labels.agg(
+            F.coalesce(F.sum('_chg'), F.lit(0)).alias('n')
+        ).collect()[0]['n']
+        labels = new_labels.select('node_id', 'component')
         if n_changed == 0:
             break
     sym.unpersist()

@@ -30,7 +30,7 @@ against the broadcast-size (n_clusters × dim) centroid matrix.
 """
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .similarity import _matrix, _unit_rows, cosine_pairs, ivf_assignments
+from .similarity import _matrix, _unit_rows, ivf_assignments
 
 
 def _centroid_sims(assignments: DataFrame, centroids, id_col, vec_col
@@ -65,37 +65,62 @@ def semdedup_pairs(vectors: DataFrame, threshold=0.7, n_clusters=16,
     """(vec_a, vec_b, similarity) semantic-duplicate pairs: within-cluster
     cosine ≥ threshold, vec_a < vec_b.
 
-    Scale shape: the within-cluster self-join has only n_clusters
-    distinct keys — salted on a hash of the id so the pair fan-out
-    spreads over n_salt × n_clusters reducers regardless of cluster
-    skew, and the salted exchange carries (list_id, id) only; both
-    vector sides re-attach by id join before the one Arrow scoring
-    stage. Σ|c|² work is inherent to SemDeDup — bound it by raising
-    n_clusters, which shrinks clusters (the paper's own lever).
+    Scale shape: each cluster is scored in ONE grouped Arrow stage —
+    every vector crosses the Python boundary ONCE per cluster
+    (O(n · dim) bytes) instead of once per candidate pair
+    (O(Σ|c|² · dim), the previous salted-join + per-pair re-attach
+    shape, which moved the heavy payload quadratically — guide-§8
+    "decide with small rows, move big rows once"). Pair enumeration is
+    chunked inside the stage so peak memory is bounded regardless of
+    cluster size; the quadratic Σ|c|² FLOP cost is inherent to SemDeDup
+    and bounded by raising n_clusters, which shrinks clusters (the
+    paper's own lever — a cluster is also this stage's parallelism
+    unit). Similarities are computed by the exact cosine_pairs numpy
+    expression, so every (pair, similarity) is bit-identical to the
+    previous shape. ``n_salt`` is retained for signature compatibility
+    (the salted exchange it tuned no longer exists).
     """
+    import numpy as np
+
     if _assignments is None:
         _assignments, _ = ivf_assignments(
             vectors, n_clusters, seed, id_col, vec_col, refine_iterations)
-    keys = _assignments.select(F.col(id_col), 'list_id')
-    x = (keys.select(F.col(id_col).alias('vec_a'), 'list_id')
-         .withColumn('_salt',
-                     F.pmod(F.xxhash64(F.col('vec_a').cast('string')),
-                            F.lit(n_salt)).cast('int')))
-    y = (keys.select(F.col(id_col).alias('vec_b'), 'list_id')
-         .withColumn('_salt', F.explode(
-             F.array(*[F.lit(i) for i in range(n_salt)]))))
-    pair_ids = (x.join(y, on=['list_id', '_salt'])
-                .where(F.col('vec_a') < F.col('vec_b'))
-                .select('vec_a', 'vec_b'))
-    a_vecs = vectors.select(F.col(id_col).alias('vec_a'),
-                            F.col(vec_col).alias('a_vec'))
-    b_vecs = vectors.select(F.col(id_col).alias('vec_b'),
-                            F.col(vec_col).alias('b_vec'))
-    pairs = cosine_pairs(
-        pair_ids.join(a_vecs, on='vec_a').join(b_vecs, on='vec_b'),
-        'a_vec', 'b_vec', ['vec_a', 'vec_b'])
-    return (pairs.where(F.col('similarity') >= threshold)
-            .select('vec_a', 'vec_b', 'similarity'))
+    id_type = _assignments.schema[id_col].dataType.simpleString()
+    thr = float(threshold)
+
+    def score_cluster(pdf):
+        import pandas as pd
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({'vec_a': [], 'vec_b': [],
+                                 'similarity': []})
+        pdf = pdf.sort_values(id_col)
+        emb = _matrix(pdf[vec_col])
+        ids = pdf[id_col].to_numpy()
+        ia, ib = np.triu_indices(n, k=1)
+        out_a, out_b, out_s = [], [], []
+        chunk = 2_000_000
+        for lo in range(0, len(ia), chunk):
+            ca, cb = ia[lo:lo + chunk], ib[lo:lo + chunk]
+            a, b = emb[ca], emb[cb]
+            # the exact cosine_pairs arithmetic (bit-identical sims)
+            dot = (a * b).sum(axis=1)
+            denom = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            sim = np.where(denom > 0,
+                           dot / np.where(denom == 0, 1.0, denom), 0.0)
+            keep = sim >= thr
+            out_a.append(ids[ca[keep]])
+            out_b.append(ids[cb[keep]])
+            out_s.append(sim[keep])
+        return pd.DataFrame({'vec_a': np.concatenate(out_a),
+                             'vec_b': np.concatenate(out_b),
+                             'similarity': np.concatenate(out_s)})
+
+    return (_assignments.select(id_col, vec_col, 'list_id')
+            .groupBy('list_id')
+            .applyInPandas(score_cluster,
+                           schema='vec_a {t}, vec_b {t}, similarity double'
+                           .format(t=id_type)))
 
 
 def semdedup(vectors: DataFrame, threshold=0.7, n_clusters=16, seed=7,
