@@ -32,8 +32,12 @@ def get_spark(app_name='pybel-spark', cores=None, shuffle_partitions=None,
         # 64 MB dimension table (e.g. 80k × dim-768 float vectors in the
         # ANN re-attach joins) is still far cheaper to broadcast than to
         # shuffle the fact side carrying the payload twice — measured
-        # 18.6 → ~6 s on the dim-768 near-dup bench row
-        .config('spark.sql.autoBroadcastJoinThreshold', str(64 * 1024 * 1024))
+        # 18.6 → ~6 s on the dim-768 near-dup bench row. Overridable for
+        # smaller executors (r6 ADVICE): a 64 MB build side on a 1 GB
+        # executor can OOM tasks that previously shuffle-joined safely
+        .config('spark.sql.autoBroadcastJoinThreshold',
+                os.environ.get('SPARK_GRAFT_BROADCAST_THRESHOLD',
+                               str(64 * 1024 * 1024)))
         .config('spark.driver.memory', os.environ.get('SPARK_DRIVER_MEMORY', '8g'))
         .config('spark.ui.enabled', 'false')
         .config('spark.sql.session.timeZone', 'UTC')

@@ -222,6 +222,12 @@ def bm25_index_write(docs: DataFrame, path: str,
 
     spark = docs.sparkSession
     postings = build_postings(docs, doc_col, text_col)
+    # delete the old applied/ markers BEFORE overwriting postings: a
+    # crash between the two steps then leaves new postings with NO stats
+    # markers (bootstrap rerun required — same benign window the append
+    # path documents) instead of new postings served under the previous
+    # index's n_docs/avgdl (r6 ADVICE)
+    delete_sidecar_dir(spark, os.path.join(path, 'applied'))
     (postings
      .withColumn('bucket', F.pmod(F.xxhash64('term'), F.lit(n_buckets))
                  .cast('int'))
@@ -230,7 +236,6 @@ def bm25_index_write(docs: DataFrame, path: str,
     # df needs no sidecar: a term's postings live entirely in its bucket,
     # so the pruned read reconstructs exact df.
     n, s = _batch_stats(postings)
-    delete_sidecar_dir(spark, os.path.join(path, 'applied'))
     write_json_sidecar(spark, os.path.join(path, 'applied', 'bootstrap.json'),
                        {'batch_id': 'bootstrap', 'n_docs': n, 'sum_dl': s})
 

@@ -12,11 +12,11 @@ The published recipe, re-expressed Spark-first:
    index's partitioning (one quantizer serves both ops at scale).
 2. Within each cluster, pairwise cosine; pairs with sim ≥ ``threshold``
    are semantic duplicates. This is the algorithm's cost model —
-   O(Σ|c|²) *within* clusters instead of O(n²) globally — and the join
-   is keyed by cluster, so it parallelizes per cluster. Same hot-key
-   treatment as the ANN paths: only n_clusters distinct keys exist, so
-   the self-join is salted and the salted exchange carries IDS ONLY
-   (vectors re-attach by id join after the pair stream exists).
+   O(Σ|c|²) *within* clusters instead of O(n²) globally. Each cluster
+   is scored in ONE grouped Arrow stage: every vector crosses the
+   exchange and the Python boundary once per cluster (O(n·dim) bytes),
+   never once per candidate pair; the pairwise cosines are one chunked
+   numpy pass inside the stage (see :func:`semdedup_pairs`).
 3. Duplicate groups = connected components over the pair graph (shared
    pointer-doubling engine, :func:`dedup.near_duplicate_clusters`).
 4. Keep policy (the paper's): within each duplicate group keep the ONE

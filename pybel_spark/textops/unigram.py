@@ -181,6 +181,12 @@ def _em_prune_loop(estep, vocab: dict, chars, vocab_size: int,
         for p, lp in ranked:
             if len(p) == 1 or len(pruned) < keep:
                 pruned[p] = lp
+        if len(pruned) == len(vocab):
+            # prune-exempt single chars alone exceed vocab_size (e.g. a
+            # CJK corpus with more distinct codepoints than the target):
+            # the pass cannot shrink further — return the floor instead
+            # of looping forever (r6 ADVICE)
+            return pruned
         vocab = pruned
 
 

@@ -466,10 +466,13 @@ def test_host_link_graph_single_exchange(spark):
     assert plan.index('HashAggregate') < plan.index('Exchange'), plan
 
 
-def test_semdedup_salted_exchange_carries_no_vector(spark):
-    """SemDeDup's within-cluster self-join follows the same contract as
-    the ANN paths: the ×n_salt replication moves (list_id, id) rows only,
-    vectors re-attach by id join after the pair stream exists."""
+def test_semdedup_pairs_one_grouped_exchange_no_pair_join(spark):
+    """SemDeDup r7 contract (grouped Arrow scoring): each cluster's
+    vectors cross ONE Exchange keyed by list_id — every vector moves
+    once (O(n·dim) bytes), never once per candidate pair (the previous
+    salted-join + per-pair re-attach moved the payload quadratically).
+    The pairs plan is scan → assign → one Exchange(list_id) →
+    FlatMapGroupsInPandas: no self-join, no salt key left anywhere."""
     from pybel_spark.textops import semdedup
 
     vectors = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
@@ -477,10 +480,13 @@ def test_semdedup_salted_exchange_carries_no_vector(spark):
         out = semdedup.semdedup_pairs(vectors, threshold=0.9, n_clusters=4,
                                       refine_iterations=0)
         plan = formatted_plan(out)
-    salted = list(_salted_exchange_inputs(plan))
-    assert salted, plan
-    for cols in salted:
-        assert not any(v in cols for v in VEC_COLS), cols
+    # formatted explain prints each node twice (tree + detail section):
+    # count the detail sections
+    assert len(re.findall(r'\(\d+\) Exchange', plan)) == 1, plan
+    assert 'hashpartitioning(list_id' in plan, plan
+    assert 'FlatMapGroupsInPandas' in plan, plan
+    assert 'Join' not in plan, plan
+    assert '_salt' not in plan, plan
 
 
 def test_bfs_result_plan_is_flat_checkpoint_union(spark):

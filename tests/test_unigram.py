@@ -86,6 +86,17 @@ def test_train_is_deterministic_and_covers_chars():
         assert n is not None and 1 <= n <= len(w)
 
 
+def test_train_terminates_when_chars_exceed_vocab_size():
+    """r6 ADVICE: single chars are prune-exempt, so a corpus with more
+    distinct codepoints than vocab_size could never shrink below the
+    target and the prune loop spun forever. It must now return the
+    single-char floor instead."""
+    wc = {chr(0x4E00 + i): 1 for i in range(30)}  # 30 distinct CJK chars
+    v = unigram.train_unigram(wc, vocab_size=10, seed_size=40, n_rounds=1)
+    assert set(wc) <= set(v)          # every char survives
+    assert len(v) >= 30               # the floor, not vocab_size
+
+
 def test_distributed_estep_matches_driver(spark):
     wc = {'banana': 30, 'bandana': 10, 'ananas': 20, 'nab': 5,
           'anna': 7, 'band': 3}
