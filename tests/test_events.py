@@ -43,3 +43,26 @@ def test_sessionize_single_exchange(spark):
         .executedPlan().toString()
     # both window steps share one hashpartitioning exchange on user_id
     assert plan.count('Exchange hashpartitioning') == 1
+
+
+def test_session_stats_sum_deterministic_across_layouts(spark):
+    """r7 determinism contract (CORRECTNESS_r06's one hash mismatch):
+    value_sum_r is an explicit (ts, event_id)-ordered fold, so the
+    rounded sum must be IDENTICAL whatever partitioning the input
+    arrives with — a plain F.sum(double) summed in partial-agg arrival
+    order and could flip the 6th decimal between runs."""
+    ev = spark.read.parquet('/root/testdata/sf0.001/events.parquet')
+
+    def sums(df, n_part):
+        old = spark.conf.get('spark.sql.shuffle.partitions')
+        spark.conf.set('spark.sql.shuffle.partitions', str(n_part))
+        try:
+            return {(r['user_id'], r['session_idx']): repr(r['value_sum_r'])
+                    for r in session_stats(df, gap_minutes=30).collect()}
+        finally:
+            spark.conf.set('spark.sql.shuffle.partitions', old)
+
+    a = sums(ev, 3)
+    b = sums(ev.repartition(17), 64)
+    c = sums(ev.coalesce(1), 8)
+    assert a == b == c and len(a) > 0
